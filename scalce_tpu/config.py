@@ -1,0 +1,102 @@
+"""Typed configuration for scalce_tpu.
+
+The reference keeps its run configuration in mutable globals populated by
+``getopt_long`` [REF: scalce scalce.c / const.h — UNVERIFIED; SURVEY.md §2
+L4].  Here it is a frozen dataclass constructed once by the CLI (or by
+library callers) and threaded explicitly through the pipeline — no globals,
+which also keeps the jit'd functions pure.
+
+Flag parity with the scalce CLI (SURVEY.md §1):
+  -d            decompress            -> ``mode="decompress"``
+  -r            paired-end            -> ``paired=True``
+  -T <n>        threads               -> ``threads`` (host worker threads)
+  -p <pct>      lossy quality         -> ``lossy_pct``
+  -S <n>        lossy sample size     -> ``sample_size``
+  -B <size>     output part cap      -> ``part_size`` (bytes)
+  -n <lib>      discard/regen names  -> ``name_lib``
+  -o <prefix>   output prefix        -> ``output``
+  gz/bz/no backend selection         -> ``backend``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional, Tuple
+
+#: Sentinel for "no part splitting" (-B absent).
+NO_PART_LIMIT = 0
+
+
+def parse_size(text: str) -> int:
+    """Parse a human size like ``500M``, ``2G``, ``1024`` into bytes.
+
+    Mirrors the reference's ``-B <size>`` argument surface
+    [REF: scalce.c option parsing — UNVERIFIED].
+    """
+    m = re.fullmatch(r"\s*(\d+)\s*([kKmMgGtT]?)[bB]?\s*", text)
+    if not m:
+        raise ValueError(f"cannot parse size: {text!r}")
+    value = int(m.group(1))
+    unit = m.group(2).lower()
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}[unit]
+    return value * mult
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Complete run configuration.
+
+    Device-pipeline-relevant fields are consumed as *static* arguments by
+    the jit'd block functions; changing them recompiles, which matches how
+    a user actually runs the tool (fixed settings per invocation).
+    """
+
+    # --- scalce-compatible surface -------------------------------------
+    mode: str = "compress"            # "compress" | "decompress"
+    inputs: Tuple[str, ...] = ()       # 1 file, or 2 when paired
+    output: str = "out"                # -o output prefix
+    paired: bool = False               # -r
+    threads: int = 1                   # -T (host-side backend workers)
+    lossy_pct: int = 0                 # -p ; 0 = lossless qualities
+    sample_size: int = 100_000         # -S ; reads sampled for lossy histogram
+    part_size: int = NO_PART_LIMIT     # -B ; max compressed bytes per part
+    name_lib: Optional[str] = None     # -n ; regenerate names as "<lib>.N"
+    backend: str = "gz"                # gz | bz | no  (generic byte backend)
+
+    # --- TPU pipeline shape --------------------------------------------
+    block_reads: int = 1 << 15         # reads per device block (static shape)
+    max_read_len: int = 128            # padded read length (static shape)
+    core_k: int = 12                   # core k-mer length (2k bits <= 31)
+    dict_seed: int = 0x5CA1CE          # core-dictionary ranking seed
+    dict_size_log2: int = 0            # 0 = implicit hash-ranked dictionary;
+                                       # >0 = explicit LUT of 4^k ranks
+
+    # --- entropy coder shape -------------------------------------------
+    rans_lanes: int = 1024             # interleaved rANS lanes per block
+    rans_prob_bits: int = 12           # M = 1 << prob_bits
+    qual_context_order: int = 1        # 1 or 2 (prev-symbol contexts)
+
+    # --- misc -----------------------------------------------------------
+    stats_json: bool = False           # emit machine-readable stats
+    verbose: bool = False
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("compress", "decompress"):
+            raise ValueError(f"bad mode: {self.mode}")
+        if self.backend not in ("gz", "bz", "no"):
+            raise ValueError(f"bad backend: {self.backend} (want gz|bz|no)")
+        if not (0 <= self.lossy_pct <= 100):
+            raise ValueError("lossy_pct must be in [0, 100]")
+        if self.paired and self.mode == "compress" and len(self.inputs) != 2:
+            raise ValueError("-r (paired) compression requires two inputs")
+        if self.core_k < 4 or self.core_k > 15:
+            raise ValueError("core_k must be in [4, 15] (2k bits in int32)")
+        if self.block_reads & (self.block_reads - 1):
+            raise ValueError("block_reads must be a power of two")
+        if self.rans_lanes & (self.rans_lanes - 1):
+            raise ValueError("rans_lanes must be a power of two")
+        if not (8 <= self.rans_prob_bits <= 14):
+            raise ValueError("rans_prob_bits must be in [8, 14]")
+        if self.qual_context_order not in (1, 2):
+            raise ValueError("qual_context_order must be 1 or 2")

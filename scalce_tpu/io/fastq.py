@@ -1,0 +1,430 @@
+"""Chunked, vectorized FASTQ parsing into fixed-shape device blocks.
+
+The reference parses FASTQ one record at a time in a scalar C loop
+[REF: scalce reads.c record loop — UNVERIFIED; SURVEY.md §4.1 hot loop #1].
+A scalar loop is the wrong shape for feeding a TPU: the device wants large,
+static-shape, padded batches.  This module therefore parses FASTQ with
+whole-buffer NumPy vector ops (newline scan + ragged gather) and emits
+``ReadBlock``s — padded ``[B, L]`` uint8 arrays plus a length vector —
+ready for a single H2D transfer.  Ragged per-record strings (names, '+'
+lines) stay as concatenated byte arrays with offset vectors, never Python
+lists, so parse and write run at memory-bandwidth-class speed.
+
+Supports plain and gzip inputs (auto-detected by magic), stdin, and
+paired-end dual-file iteration in lockstep (SURVEY.md §1 items 1, 7).
+
+Non-ACGT bases (N, lowercase, IUPAC codes) are preserved exactly via an
+exception side-channel (flat position, original byte) so the device path
+can work on dense 2-bit codes while round-trips stay byte-exact
+(SURVEY.md §8 "hard parts": N-handling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import sys
+from typing import IO, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+# Base coding: A=0, C=1, G=2, T=3. Everything else is an exception byte
+# (code forced to 0 so 2-bit packing stays dense).
+BASE_TO_CODE = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    BASE_TO_CODE[_b] = _i
+CODE_TO_BASE = np.frombuffer(b"ACGT", dtype=np.uint8).copy()
+
+_CHUNK_BYTES = 32 << 20  # streaming read granularity
+_EMPTY_U8 = np.empty(0, np.uint8)
+
+
+def ragged_gather(buf: np.ndarray, starts: np.ndarray,
+                  lens: np.ndarray) -> np.ndarray:
+    """Concatenate ``buf[starts[i]:starts[i]+lens[i]]`` fully vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return _EMPTY_U8
+    off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.repeat(starts - off, lens) + np.arange(total, dtype=np.int64)
+    return buf[idx]
+
+
+def ragged_scatter(dst: np.ndarray, dst_starts: np.ndarray,
+                   src_cat: np.ndarray, lens: np.ndarray) -> None:
+    """Inverse of :func:`ragged_gather`: write concatenated rows into dst."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.repeat(dst_starts - off, lens) + np.arange(total, dtype=np.int64)
+    dst[idx] = src_cat
+
+
+def lens_to_offsets(lens: np.ndarray) -> np.ndarray:
+    """[l0, l1, ...] -> [0, l0, l0+l1, ...] (int64, n+1 entries)."""
+    out = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out[1:])
+    return out
+
+
+@dataclasses.dataclass
+class Ragged:
+    """A batch of byte strings as (concatenated bytes, offsets)."""
+
+    cat: np.ndarray        # uint8 [total]
+    offsets: np.ndarray    # int64 [n + 1]
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.cat[self.offsets[i]: self.offsets[i + 1]].tobytes()
+
+    def to_list(self) -> List[bytes]:
+        return [self[i] for i in range(len(self))]
+
+    @property
+    def lens(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    @staticmethod
+    def from_list(items: List[bytes]) -> "Ragged":
+        lens = np.asarray([len(x) for x in items], dtype=np.int64)
+        cat = (np.frombuffer(b"".join(items), dtype=np.uint8).copy()
+               if items else _EMPTY_U8)
+        return Ragged(cat, lens_to_offsets(lens))
+
+    @staticmethod
+    def concat(parts: List["Ragged"]) -> "Ragged":
+        if not parts:
+            return Ragged(_EMPTY_U8, np.zeros(1, np.int64))
+        cat = np.concatenate([p.cat for p in parts])
+        lens = np.concatenate([p.lens for p in parts])
+        return Ragged(cat, lens_to_offsets(lens))
+
+
+@dataclasses.dataclass
+class ReadBlock:
+    """One fixed-shape batch of parsed FASTQ records.
+
+    Arrays are padded to ``[capacity, max_len]``; only the first
+    ``n_reads`` rows and the first ``lengths[i]`` columns are meaningful.
+    """
+
+    seq: np.ndarray            # uint8 [B, L]  2-bit base codes (0..3)
+    qual: np.ndarray           # uint8 [B, L]  raw quality bytes
+    lengths: np.ndarray        # int32 [B]     per-read length
+    n_reads: int
+    exc_pos: np.ndarray        # int64 [E]     flat positions (row*L + col)
+    exc_byte: np.ndarray       # uint8 [E]     original base byte
+    names: Ragged              # len == n_reads, without leading '@'
+    plus: Optional[Ragged]     # None => every '+' line was bare "+"
+    block_id: int = 0
+
+    @property
+    def capacity(self) -> int:
+        return self.seq.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.seq.shape[1]
+
+
+def _open_maybe_gz(path: str) -> IO[bytes]:
+    if path == "-":
+        return sys.stdin.buffer
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")  # type: ignore[return-value]
+    return f
+
+
+def _iter_line_bundles(stream: IO[bytes]) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (buffer, line_start_offsets) covering whole lines.
+
+    ``starts`` has a trailing entry = end offset, so line ``i`` is
+    ``buf[starts[i]:starts[i+1]-1]`` (excluding the newline).  A trailing
+    unterminated line is treated as terminated at EOF.
+    """
+    carry = b""
+    while True:
+        chunk = stream.read(_CHUNK_BYTES)
+        if not chunk:
+            if carry:
+                buf = np.frombuffer(carry + b"\n", dtype=np.uint8)
+                nl = np.flatnonzero(buf == 10)
+                yield buf, np.concatenate(([0], nl + 1)).astype(np.int64)
+            return
+        data = carry + chunk
+        last_nl = data.rfind(b"\n")
+        if last_nl < 0:
+            carry = data
+            continue
+        carry = data[last_nl + 1:]
+        buf = np.frombuffer(data[: last_nl + 1], dtype=np.uint8)
+        nl = np.flatnonzero(buf == 10)
+        yield buf, np.concatenate(([0], nl + 1)).astype(np.int64)
+
+
+@dataclasses.dataclass
+class _RawRecords:
+    names: Ragged
+    plus: Ragged
+    seq: Ragged     # concatenated sequence bytes
+    qual: Ragged    # concatenated quality bytes
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+
+class _RecordStream:
+    """Streams FASTQ records as vectorized column arrays, ``count`` at a time."""
+
+    def __init__(self, path: str):
+        self._bundles = _iter_line_bundles(_open_maybe_gz(path))
+        self._buf: Optional[np.ndarray] = None
+        self._starts: Optional[np.ndarray] = None
+        self._cursor = 0          # line index into current bundle
+        self._leftover_lines: List[bytes] = []  # <4 lines crossing bundles
+        self.exhausted = False
+
+    def _next_bundle(self) -> bool:
+        try:
+            self._buf, self._starts = next(self._bundles)
+        except StopIteration:
+            self._buf, self._starts = None, None
+            return False
+        self._cursor = 0
+        return True
+
+    def take_records(self, count: int) -> Optional[_RawRecords]:
+        """Return up to ``count`` records (None at clean EOF)."""
+        names: List[Ragged] = []
+        plus: List[Ragged] = []
+        seqs: List[Ragged] = []
+        quals: List[Ragged] = []
+        got = 0
+
+        while got < count:
+            if self._buf is None or self._cursor >= len(self._starts) - 1:
+                if not self._next_bundle():
+                    break
+                continue
+            starts, buf = self._starts, self._buf
+
+            # Handle a partial record crossing the previous bundle (rare).
+            if self._leftover_lines:
+                while (len(self._leftover_lines) < 4
+                       and self._cursor < len(starts) - 1):
+                    s, e = starts[self._cursor], starts[self._cursor + 1] - 1
+                    if e > s and buf[e - 1] == 13:
+                        e -= 1
+                    self._leftover_lines.append(buf[s:e].tobytes())
+                    self._cursor += 1
+                if len(self._leftover_lines) < 4:
+                    self._buf = None
+                    continue
+                nm, sq, pl, ql = self._leftover_lines
+                self._leftover_lines = []
+                _check_record(nm, sq, pl, ql)
+                names.append(Ragged.from_list([nm[1:]]))
+                plus.append(Ragged.from_list([pl[1:]]))
+                seqs.append(Ragged.from_list([sq]))
+                quals.append(Ragged.from_list([ql]))
+                got += 1
+                continue
+
+            n_lines_avail = len(starts) - 1 - self._cursor
+            n_rec = min(count - got, n_lines_avail // 4)
+            if n_rec == 0:
+                # stash leftover (<4) lines and move to next bundle
+                while self._cursor < len(starts) - 1:
+                    s, e = starts[self._cursor], starts[self._cursor + 1] - 1
+                    if e > s and buf[e - 1] == 13:
+                        e -= 1
+                    self._leftover_lines.append(buf[s:e].tobytes())
+                    self._cursor += 1
+                self._buf = None
+                continue
+
+            base = self._cursor
+            idx = base + 4 * np.arange(n_rec, dtype=np.int64)
+            name_s, name_e = starts[idx], _strip_cr(buf, starts[idx + 1] - 1)
+            seq_s, seq_e = starts[idx + 1], _strip_cr(buf, starts[idx + 2] - 1)
+            plus_s, plus_e = starts[idx + 2], _strip_cr(buf, starts[idx + 3] - 1)
+            qual_s, qual_e = starts[idx + 3], _strip_cr(buf, starts[idx + 4] - 1)
+
+            if not np.all(buf[name_s] == ord("@")):
+                raise ValueError(
+                    "malformed FASTQ: record does not start with '@'")
+            if not np.all(buf[plus_s] == ord("+")):
+                raise ValueError("malformed FASTQ: missing '+' separator line")
+            lens = (seq_e - seq_s).astype(np.int64)
+            if not np.all(lens == qual_e - qual_s):
+                raise ValueError("malformed FASTQ: seq/qual length mismatch")
+
+            name_lens = (name_e - name_s - 1).astype(np.int64)
+            plus_lens = (plus_e - plus_s - 1).astype(np.int64)
+            names.append(Ragged(ragged_gather(buf, name_s + 1, name_lens),
+                                lens_to_offsets(name_lens)))
+            plus.append(Ragged(ragged_gather(buf, plus_s + 1, plus_lens),
+                               lens_to_offsets(plus_lens)))
+            seqs.append(Ragged(ragged_gather(buf, seq_s, lens),
+                               lens_to_offsets(lens)))
+            quals.append(Ragged(ragged_gather(buf, qual_s, lens),
+                                lens_to_offsets(lens)))
+            got += n_rec
+            self._cursor += 4 * n_rec
+
+        if got == 0:
+            if self._leftover_lines:
+                raise ValueError("truncated FASTQ: dangling partial record")
+            self.exhausted = True
+            return None
+        return _RawRecords(names=Ragged.concat(names),
+                           plus=Ragged.concat(plus),
+                           seq=Ragged.concat(seqs),
+                           qual=Ragged.concat(quals))
+
+
+def _strip_cr(buf: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    has_cr = buf[np.maximum(ends - 1, 0)] == 13
+    return ends - has_cr.astype(np.int64)
+
+
+def _check_record(nm: bytes, sq: bytes, pl: bytes, ql: bytes) -> None:
+    if not nm.startswith(b"@"):
+        raise ValueError("malformed FASTQ: record does not start with '@'")
+    if not pl.startswith(b"+"):
+        raise ValueError("malformed FASTQ: missing '+' separator line")
+    if len(sq) != len(ql):
+        raise ValueError("malformed FASTQ: seq/qual length mismatch")
+
+
+def _records_to_block(rec: _RawRecords, capacity: int, max_len: int,
+                      block_id: int) -> ReadBlock:
+    n = len(rec)
+    lens = rec.seq.lens
+    if lens.size and int(lens.max()) > max_len:
+        raise ValueError(
+            f"read length {int(lens.max())} exceeds max_read_len={max_len}; "
+            f"re-run with a larger --max-read-len")
+
+    seq = np.zeros((capacity, max_len), dtype=np.uint8)
+    qual = np.zeros((capacity, max_len), dtype=np.uint8)
+    lengths = np.zeros(capacity, dtype=np.int32)
+    lengths[:n] = lens
+
+    if n:
+        # scatter ragged cats into padded rows, vectorized
+        flat_starts = np.arange(n, dtype=np.int64) * max_len
+        flat_seq = seq.reshape(-1)
+        ragged_scatter(flat_seq, flat_starts, rec.seq.cat, lens)
+        ragged_scatter(qual.reshape(-1), flat_starts, rec.qual.cat, lens)
+        codes = BASE_TO_CODE[flat_seq]
+        valid = (np.arange(max_len, dtype=np.int64)[None, :]
+                 < lengths[:, None]).reshape(-1)
+        exc_mask = (codes == 255) & valid
+        exc_pos = np.flatnonzero(exc_mask)
+        exc_byte = flat_seq[exc_pos]
+        np.copyto(flat_seq, np.where(codes == 255, 0, codes))
+    else:
+        exc_pos = np.empty(0, np.int64)
+        exc_byte = _EMPTY_U8
+
+    plus: Optional[Ragged] = rec.plus
+    if int(rec.plus.offsets[-1]) == 0:
+        plus = None  # every '+' line was bare
+    return ReadBlock(seq=seq, qual=qual, lengths=lengths, n_reads=n,
+                     exc_pos=exc_pos, exc_byte=exc_byte,
+                     names=rec.names, plus=plus, block_id=block_id)
+
+
+def iter_blocks(path: str, capacity: int, max_len: int) -> Iterator[ReadBlock]:
+    """Parse a FASTQ file into fixed-shape ``ReadBlock``s of ``capacity`` reads."""
+    stream = _RecordStream(path)
+    block_id = 0
+    while True:
+        rec = stream.take_records(capacity)
+        if rec is None:
+            return
+        yield _records_to_block(rec, capacity, max_len, block_id)
+        block_id += 1
+
+
+def iter_paired_blocks(path1: str, path2: str, capacity: int,
+                       max_len: int) -> Iterator[Tuple[ReadBlock, ReadBlock]]:
+    """Lockstep block iteration over a paired-end FASTQ pair.
+
+    Mate-2 blocks carry the reads pairing 1:1 with mate-1 rows, so one
+    permutation computed from mate 1 reorders both (SURVEY.md §2
+    "Paired-end sync").
+    """
+    s1 = _RecordStream(path1)
+    s2 = _RecordStream(path2)
+    block_id = 0
+    while True:
+        r1 = s1.take_records(capacity)
+        r2 = s2.take_records(capacity)
+        if r1 is None and r2 is None:
+            return
+        if r1 is None or r2 is None or len(r1) != len(r2):
+            raise ValueError("paired-end inputs have differing read counts")
+        yield (_records_to_block(r1, capacity, max_len, block_id),
+               _records_to_block(r2, capacity, max_len, block_id))
+        block_id += 1
+
+
+def write_fastq_records(out: IO[bytes], seq: np.ndarray, qual: np.ndarray,
+                        lengths: np.ndarray, n_reads: int,
+                        exc_pos: np.ndarray, exc_byte: np.ndarray,
+                        names: Ragged,
+                        plus: Optional[Ragged]) -> None:
+    """Write ``n_reads`` records back to FASTQ, fully vectorized.
+
+    ``seq`` holds 2-bit codes; exceptions are re-applied before assembly so
+    output bases are byte-exact with the original input.
+    """
+    if n_reads == 0:
+        return
+    max_len = seq.shape[1]
+    bases = CODE_TO_BASE[seq[:n_reads].reshape(-1)]
+    if exc_pos.size:
+        keep = exc_pos < n_reads * max_len
+        bases[exc_pos[keep]] = exc_byte[keep]
+
+    lens = lengths[:n_reads].astype(np.int64)
+    name_lens = names.lens[:n_reads]
+    if plus is None:
+        plus_lens = np.zeros(n_reads, dtype=np.int64)
+        plus_cat = _EMPTY_U8
+    else:
+        plus_lens = plus.lens[:n_reads]
+        plus_cat = plus.cat
+    # record = '@' name '\n' seq '\n' '+' plus '\n' qual '\n'
+    rec_lens = 1 + name_lens + 1 + lens + 1 + 1 + plus_lens + 1 + lens + 1
+    rec_off = lens_to_offsets(rec_lens)
+    buf = np.empty(int(rec_off[-1]), dtype=np.uint8)
+
+    at = rec_off[:-1]
+    buf[at] = ord("@")
+    ragged_scatter(buf, at + 1, names.cat[: int(names.offsets[n_reads])],
+                   name_lens)
+    at = at + 1 + name_lens
+    buf[at] = 10
+    seq_starts = np.arange(n_reads, dtype=np.int64) * max_len
+    ragged_scatter(buf, at + 1, ragged_gather(bases, seq_starts, lens), lens)
+    at = at + 1 + lens
+    buf[at] = 10
+    buf[at + 1] = ord("+")
+    ragged_scatter(buf, at + 2, plus_cat, plus_lens)
+    at = at + 2 + plus_lens
+    buf[at] = 10
+    ragged_scatter(buf, at + 1,
+                   ragged_gather(qual[:n_reads].reshape(-1), seq_starts, lens),
+                   lens)
+    buf[at + 1 + lens] = 10
+    out.write(buf.tobytes())

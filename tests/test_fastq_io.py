@@ -1,0 +1,94 @@
+"""FASTQ parse/write round-trip tests (host layer)."""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from scalce_tpu.io import fastq
+from scalce_tpu.utils.synth import synth_fastq
+
+
+def _parse_all(payload: bytes, tmp_path, capacity=256, max_len=128, gz=False):
+    p = tmp_path / ("in.fastq.gz" if gz else "in.fastq")
+    p.write_bytes(gzip.compress(payload) if gz else payload)
+    return list(fastq.iter_blocks(str(p), capacity, max_len))
+
+
+def _rebuild(blocks):
+    out = io.BytesIO()
+    for b in blocks:
+        fastq.write_fastq_records(out, b.seq, b.qual, b.lengths, b.n_reads,
+                                  b.exc_pos, b.exc_byte, b.names, b.plus)
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_identity(tmp_path, gz):
+    payload = synth_fastq(1000, 100, seed=1)
+    blocks = _parse_all(payload, tmp_path, gz=gz)
+    assert sum(b.n_reads for b in blocks) == 1000
+    assert len(blocks) == 4  # 256-read capacity
+    assert _rebuild(blocks) == payload
+
+
+def test_var_len_and_n_bases(tmp_path):
+    payload = synth_fastq(500, 90, seed=2, var_len=True, n_rate=0.05)
+    blocks = _parse_all(payload, tmp_path)
+    assert _rebuild(blocks) == payload
+    # exceptions recorded for N bases
+    assert sum(b.exc_pos.size for b in blocks) > 0
+    for b in blocks:
+        assert np.all(b.seq < 4)
+
+
+def test_plus_line_with_name(tmp_path):
+    rec = b"@r1\nACGT\n+r1 again\nIIII\n@r2\nTTTT\n+\nJJJJ\n"
+    blocks = _parse_all(rec, tmp_path)
+    assert blocks[0].plus.to_list() == [b"r1 again", b""]
+    assert _rebuild(blocks) == rec
+
+
+def test_crlf_tolerated(tmp_path):
+    rec = b"@r1\r\nACGT\r\n+\r\nIIII\r\n"
+    blocks = _parse_all(rec, tmp_path)
+    assert blocks[0].n_reads == 1
+    assert blocks[0].names.to_list() == [b"r1"]
+    assert bytes(blocks[0].qual[0, :4]) == b"IIII"
+
+
+def test_lowercase_and_iupac_preserved(tmp_path):
+    rec = b"@r\nacgtNRYK\n+\nIIIIIIII\n"
+    blocks = _parse_all(rec, tmp_path)
+    assert _rebuild(blocks) == rec
+
+
+def test_malformed_raises(tmp_path):
+    with pytest.raises(ValueError):
+        _parse_all(b"ACGT\n@x\n+\nII\n", tmp_path)
+    with pytest.raises(ValueError):
+        _parse_all(b"@r\nACGT\n+\nII\n", tmp_path)  # len mismatch
+    with pytest.raises(ValueError):
+        _parse_all(b"@r\nACGT\n+\nIIII\n@t\nAC\n", tmp_path)  # truncated
+
+
+def test_paired_lockstep(tmp_path):
+    from scalce_tpu.utils.synth import synth_pair
+    a, b = synth_pair(300, 80, seed=3)
+    p1, p2 = tmp_path / "1.fq", tmp_path / "2.fq"
+    p1.write_bytes(a)
+    p2.write_bytes(b)
+    pairs = list(fastq.iter_paired_blocks(str(p1), str(p2), 128, 128))
+    assert sum(x.n_reads for x, _ in pairs) == 300
+    for x, y in pairs:
+        assert x.n_reads == y.n_reads
+
+
+def test_block_capacity_padding(tmp_path):
+    payload = synth_fastq(10, 50, seed=4)
+    blocks = _parse_all(payload, tmp_path, capacity=64, max_len=64)
+    b = blocks[0]
+    assert b.capacity == 64 and b.n_reads == 10
+    assert np.all(b.lengths[10:] == 0)
+    assert np.all(b.seq[10:] == 0)
