@@ -1,0 +1,131 @@
+"""LCE tokenizer / core matcher — the device replacement for the
+reference's per-read trie scan.
+
+The reference walks a trie of LCP-derived core substrings at every
+position of every read, serially, and picks the highest-priority hit
+[REF: scalce reads.c core scan — UNVERIFIED; SURVEY.md §4.1 hot loop #1,
+"dominant CPU cost"].  On TPU this becomes a fully data-parallel
+computation over a ``[B, L]`` block:
+
+  1. rolling 2-bit k-mer codes at every position (k static, from Config),
+  2. a fixed pseudo-random priority for every k-mer (``mix32`` — the
+     implicit dictionary; see ``scalce_tpu.ops.bitops.mix32``) or an
+     explicit rank LUT gather (``models.core_dict``),
+  3. masked argmin over positions -> (core k-mer, core position) per read.
+
+Reads whose every window is invalid (shorter than k, or covered by
+non-ACGT exceptions) land in the sentinel bucket ``NO_CORE``, mirroring
+the reference's special bucket for unmatched/N reads (SURVEY.md §2
+"LCE tokenizer": "reads with no core / with N -> special buckets").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from scalce_tpu.ops.bitops import U32, U32_MAX, mix32, pack_bases_u32
+
+#: Bucket key for reads with no valid core window (sorts after all cores).
+NO_CORE = U32_MAX
+
+
+def rolling_kmers(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """2-bit k-mer code at every start position.
+
+    codes: uint8 ``[B, L]`` with values 0..3.  Returns uint32 ``[B, P]``
+    with ``P = L - k + 1``; position ``p`` holds the big-endian packing
+    of ``codes[:, p:p+k]``.  Implemented as k shifted adds — O(k·B·P)
+    cheap VPU work with no sequential dependence (vs the reference's
+    per-position rescan).
+    """
+    B, L = codes.shape
+    P = L - k + 1
+    acc = jnp.zeros((B, P), dtype=U32)
+    for i in range(k):
+        acc = acc | (codes[:, i:i + P].astype(U32) << (U32(2 * (k - 1 - i))))
+    return acc
+
+
+def window_invalid(exc: jnp.ndarray, lengths: jnp.ndarray,
+                   k: int) -> jnp.ndarray:
+    """Boolean ``[B, P]``: window at p is unusable (past end or touches
+    a non-ACGT exception byte)."""
+    B, L = exc.shape
+    P = L - k + 1
+    csum = jnp.cumsum(exc.astype(jnp.int32), axis=1)
+    csum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), csum], axis=1)
+    any_exc = (csum[:, k:] - csum[:, :P]) > 0
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    past_end = pos > (lengths[:, None] - k)
+    return any_exc | past_end
+
+
+def find_cores(codes: jnp.ndarray, lengths: jnp.ndarray,
+               exc: jnp.ndarray, k: int, seed: int,
+               rank_lut: Optional[jnp.ndarray] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-read core selection.
+
+    Returns ``(core_kmer u32 [B], core_pos i32 [B])``.  ``core_kmer`` is
+    ``NO_CORE`` for reads without any valid window.
+
+    rank_lut: optional explicit priority table over all ``4**k`` k-mers
+    (uint32, lower = higher priority) — the explicit-dictionary mode
+    matching the reference's shipped core table.  ``None`` selects the
+    implicit ``mix32`` ranking (default; no memory traffic).
+    """
+    kmers = rolling_kmers(codes, k)
+    if rank_lut is not None:
+        rank = rank_lut[kmers]
+    else:
+        rank = mix32(kmers, seed)
+    rank = jnp.where(window_invalid(exc, lengths, k), U32_MAX, rank)
+    # argmin over positions; ties -> lowest position (argmin is first-hit)
+    core_pos = jnp.argmin(rank, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(rank, core_pos[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+    core_kmer = jnp.take_along_axis(kmers, core_pos[:, None], axis=1)[:, 0]
+    core_kmer = jnp.where(best == U32_MAX, NO_CORE, core_kmer)
+    core_pos = jnp.where(best == U32_MAX, 0, core_pos)
+    return core_kmer, core_pos
+
+
+def build_sort_keys(codes: jnp.ndarray, lengths: jnp.ndarray,
+                    core_kmer: jnp.ndarray, core_pos: jnp.ndarray,
+                    n_reads: jnp.ndarray,
+                    suffix_words: int = 2) -> Tuple[jnp.ndarray, ...]:
+    """Lexicographic sort keys that realise the reference's bucket order.
+
+    The reference flushes buckets in core order and sorts reads within a
+    bucket so overlapping content aligns [REF: scalce compress.c flush —
+    UNVERIFIED; SURVEY.md §2 "Bucket manager"].  Here the whole block is
+    ordered by one stable multi-key sort:
+
+      key0   core k-mer            (bucket identity; NO_CORE sorts last)
+      key1.. bases from the core position onward, 16 per u32 word
+             (aligns reads on their shared core, so neighbours in the
+             sorted order overlap maximally)
+      last   row index             (stability / padding rows to the end)
+
+    Padded rows (row >= n_reads) get all-ones keys so they sort after
+    every real read.
+    """
+    B, L = codes.shape
+    pos = jnp.arange(16 * suffix_words, dtype=jnp.int32)[None, :]
+    idx = core_pos[:, None] + pos
+    valid = idx < lengths[:, None]
+    gathered = jnp.take_along_axis(codes, jnp.minimum(idx, L - 1).astype(
+        jnp.int32), axis=1)
+    gathered = jnp.where(valid, gathered, 0).astype(jnp.uint8)
+    suffix = pack_bases_u32(gathered, axis=1)      # [B, suffix_words]
+
+    row = jnp.arange(B, dtype=U32)
+    pad = row >= n_reads.astype(U32)
+    key0 = jnp.where(pad, U32_MAX, core_kmer)
+    keys = [key0]
+    for w in range(suffix_words):
+        keys.append(jnp.where(pad, U32_MAX, suffix[:, w]))
+    keys.append(row)
+    return tuple(keys)
