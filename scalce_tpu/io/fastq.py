@@ -44,7 +44,7 @@ def ragged_gather(buf: np.ndarray, starts: np.ndarray,
     """Concatenate ``buf[starts[i]:starts[i]+lens[i]]`` fully vectorized."""
     total = int(lens.sum())
     if total == 0:
-        return _EMPTY_U8
+        return buf[:0]
     off = np.concatenate(([0], np.cumsum(lens)[:-1]))
     idx = np.repeat(starts - off, lens) + np.arange(total, dtype=np.int64)
     return buf[idx]

@@ -1,0 +1,1 @@
+"""Statistical models: core dictionary, entropy tables, quality contexts."""

@@ -1,0 +1,114 @@
+"""Host-side rANS table construction (deterministic, shared by all streams).
+
+The reference's arithmetic coder adapts its model per symbol
+[REF: scalce arithmetic.c model update — UNVERIFIED]; a static-table
+coder must instead normalize per-block histograms into frequency tables
+that BOTH sides derive identically.  Tables are built on host (tiny:
+contexts × symbols), stored in the container, and uploaded for both
+encode and decode — the decoder never re-derives them from data, so
+normalization only needs to be deterministic, not clever.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from scalce_tpu.ops.rans import M_TOTAL, PROB_BITS
+
+
+def normalize_freqs(counts: np.ndarray, n_syms: int) -> np.ndarray:
+    """Normalize per-context histograms to sum exactly M_TOTAL.
+
+    counts: int array ``[C, n_syms]``.  Returns uint32 freq ``[C, n_syms]``
+    where every context row sums to M_TOTAL and every symbol with a
+    nonzero count keeps freq >= 1.  Empty contexts put all mass on
+    symbol 0 (they are never referenced).  Fully deterministic.
+    """
+    counts = counts.astype(np.int64)
+    C = counts.shape[0]
+    totals = counts.sum(axis=1)
+    freq = np.zeros_like(counts)
+    nz = counts > 0
+    safe_tot = np.maximum(totals, 1)[:, None]
+    f = counts * M_TOTAL // safe_tot
+    f = np.maximum(f, nz.astype(np.int64))
+    diff = M_TOTAL - f.sum(axis=1)
+
+    for c in np.flatnonzero(diff != 0):
+        d = int(diff[c])
+        row = f[c]
+        if totals[c] == 0:
+            continue
+        if d > 0:
+            row[np.argmax(counts[c])] += d
+        else:
+            # shave from the largest freqs, never below 1
+            while d < 0:
+                i = int(np.argmax(row))
+                take = min(int(row[i]) - 1, -d)
+                if take <= 0:
+                    raise ValueError("cannot normalize: too many symbols")
+                row[i] -= take
+                d += take
+    empty = totals == 0
+    if empty.any():
+        freq[empty, 0] = M_TOTAL
+        f[empty] = freq[empty]
+    assert (f.sum(axis=1) == M_TOTAL).all()
+    return f.astype(np.uint32)
+
+
+def freq_to_cum(freq: np.ndarray) -> np.ndarray:
+    """Exclusive prefix sum per context row (uint32 [C, n_syms])."""
+    cum = np.zeros_like(freq)
+    np.cumsum(freq[:, :-1], axis=1, out=cum[:, 1:])
+    return cum
+
+
+def build_decode_lut(freq: np.ndarray, cum: np.ndarray) -> np.ndarray:
+    """Packed decode table uint32 ``[C * M_TOTAL]``.
+
+    Entry for (ctx c, slot s): ``sym << 24 | (freq-1) << 12 | cum`` —
+    one gather per decoded symbol instead of three
+    (symbol-from-slot, freq, cum).
+    """
+    C, n_syms = freq.shape
+    if n_syms > 256:
+        raise ValueError("n_syms must fit 8 bits in the packed LUT")
+    # symbol owning each slot: repeat sym id freq[c, sym] times
+    sym_of_slot = np.repeat(
+        np.tile(np.arange(n_syms, dtype=np.uint32), C),
+        freq.reshape(-1).astype(np.int64)).reshape(C, M_TOTAL)
+    f = np.take_along_axis(freq, sym_of_slot.astype(np.int64), axis=1)
+    cm = np.take_along_axis(cum, sym_of_slot.astype(np.int64), axis=1)
+    packed = (sym_of_slot << 24) | ((f - 1) << PROB_BITS) | cm
+    return packed.reshape(-1).astype(np.uint32)
+
+
+def table_payload(freq: np.ndarray) -> bytes:
+    """Serialize normalized freq tables for the container.
+
+    freq values are in [0, M_TOTAL]; rows are sparse and similar, so the
+    u16 image is deflated here (self-contained: the table must be
+    readable before the stream's own entropy decode can start).
+    """
+    import zlib
+    return zlib.compress(freq.astype("<u2").tobytes(), 6)
+
+
+def payload_to_freq(payload: bytes, n_ctx: int, n_syms: int) -> np.ndarray:
+    import zlib
+    freq = np.frombuffer(zlib.decompress(payload), dtype="<u2").reshape(
+        n_ctx, n_syms).astype(np.uint32)
+    return freq
+
+
+def tables_from_counts(counts: np.ndarray, n_ctx: int, n_syms: int
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """counts (flat or [C,S]) -> (freq [C,S], cum [C,S], decode_lut flat)."""
+    counts = np.asarray(counts).reshape(n_ctx, n_syms)
+    freq = normalize_freqs(counts, n_syms)
+    cum = freq_to_cum(freq)
+    return freq, cum, build_decode_lut(freq, cum)

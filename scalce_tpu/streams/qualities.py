@@ -1,0 +1,196 @@
+"""Quality stream codec: context-modelled interleaved rANS.
+
+Replaces the reference's adaptive order-k arithmetic coder over quality
+symbols [REF: scalce arithmetic.c + qualities path — UNVERIFIED;
+SURVEY.md §2 "Quality codec (lossless)"] with the two-pass static-table
+scheme of ``scalce_tpu.ops.rans``.
+
+Context model (shared bit-exactly by encode and decode):
+
+  PAD (ctx 0)      padding positions past a read's length — frequency
+                   mass collapses to symbol 0, so padding costs 0 bits
+                   and 0 extra branches on device.
+  order-1          ctx = 1 + pos_bucket(8) * 25 + prev_quant(24 + start)
+  order-2          adds a 7-level quantization of the symbol two back.
+
+Symbols are ``quality_byte - 33`` (FASTQ range '!'..'~', 94 values).
+
+Lane layout: reads are padded to a common L, so flattening ``[B, L]``
+row-major IS the lane-major span layout ``ops.rans`` wants, with
+``T = k*L`` making every lane own k whole reads — contexts never cross
+lanes, and at scan step t every lane sits at the same column ``t % L``
+(this is what makes the decode-side context recomputation cheap: the
+position part of the context is a per-step scalar, only the
+previous-symbol part differs per lane).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scalce_tpu.models import entropy
+from scalce_tpu.ops import rans
+from scalce_tpu.ops.bitops import U32
+
+N_SYMS = 94          # printable FASTQ quality range
+QUAL_OFFSET = 33
+_POS_BUCKETS = 8
+_PREV_LEVELS = 24    # prev_sym >> 2, clipped
+_PREV2_LEVELS = 7    # prev2_sym >> 4 (6 levels) + start sentinel
+
+
+def n_contexts(order: int) -> int:
+    base = _POS_BUCKETS * (_PREV_LEVELS + 1)
+    return 1 + (base if order == 1 else base * _PREV2_LEVELS)
+
+
+def pick_T(B: int, L: int, target: int = 1024) -> int:
+    """Span length: a multiple of L so lanes own whole reads; lane count
+    N = B*L/T stays a few thousand for VPU width."""
+    k = max(1, target // L)
+    k = 1 << (k.bit_length() - 1)          # power of two
+    while B % k:
+        k >>= 1
+    return k * L
+
+
+def _pos_bucket(col: jnp.ndarray) -> jnp.ndarray:
+    return jnp.minimum(col // 16, _POS_BUCKETS - 1).astype(U32)
+
+
+def _ctx_from(prev1: jnp.ndarray, prev2: jnp.ndarray, pb: jnp.ndarray,
+              c0, c1, valid: jnp.ndarray, order: int) -> jnp.ndarray:
+    """The one context function used by both encode grid and decode scan."""
+    pq = jnp.where(c0, U32(_PREV_LEVELS),
+                   jnp.minimum(prev1 >> 2, _PREV_LEVELS - 1))
+    ctx = pb * U32(_PREV_LEVELS + 1) + pq
+    if order == 2:
+        p2 = jnp.where(c0 | c1, U32(_PREV2_LEVELS - 1),
+                       jnp.minimum(prev2 >> 4, _PREV2_LEVELS - 2))
+        ctx = ctx * U32(_PREV2_LEVELS) + p2
+    return jnp.where(valid, ctx + U32(1), U32(0))
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _sym_ctx_hist(qual: jnp.ndarray, lengths: jnp.ndarray, order: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device pass A: symbol grid, context grid, (ctx,sym) histogram."""
+    B, L = qual.shape
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = col < lengths[:, None]
+    sym = jnp.clip(qual.astype(jnp.int32) - QUAL_OFFSET, 0, N_SYMS - 1)
+    sym = jnp.where(valid, sym, 0).astype(U32)
+    prev1 = jnp.pad(sym[:, :-1], ((0, 0), (1, 0)))
+    prev2 = jnp.pad(sym[:, :-2], ((0, 0), (2, 0)))
+    ctx = _ctx_from(prev1, prev2, _pos_bucket(col.astype(U32)),
+                    col == 0, col == 1, valid, order)
+    counts = rans.context_histogram(sym.reshape(-1), ctx.reshape(-1),
+                                    n_contexts(order), N_SYMS)
+    return sym, ctx, counts
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _encode_pass(sym: jnp.ndarray, ctx: jnp.ndarray, freq_lut: jnp.ndarray,
+                 cum_lut: jnp.ndarray, T: int):
+    states, words, emits = rans.rans_encode(
+        sym.reshape(-1), ctx.reshape(-1), freq_lut, cum_lut, N_SYMS, T)
+    packed, counts = rans.compact_emissions(words, emits)
+    return states, packed, counts
+
+
+@partial(jax.jit, static_argnames=("order", "T", "B", "L"))
+def _decode_pass(states: jnp.ndarray, words_padded: jnp.ndarray,
+                 decode_lut: jnp.ndarray, lengths: jnp.ndarray,
+                 order: int, T: int, B: int, L: int) -> jnp.ndarray:
+    k = T // L
+    N = B // k
+    col = jnp.tile(jnp.arange(L, dtype=jnp.int32), k)          # [T]
+    # valid[t, n]: lane n at step t sits in read n*k + t//L, column t%L
+    read_of_t = jnp.repeat(jnp.arange(k, dtype=jnp.int32), L)  # [T]
+    lane_reads = jnp.arange(N, dtype=jnp.int32)[None, :] * k + read_of_t[:, None]
+    valid = col[:, None] < lengths[lane_reads]                  # [T, N]
+    aux = {
+        "pb": _pos_bucket(col.astype(U32)),
+        "c0": col == 0,
+        "c1": col == 1,
+        "valid": valid,
+    }
+
+    def ctx_fn(aux_t, prev1, prev2):
+        return _ctx_from(prev1, prev2, aux_t["pb"], aux_t["c0"],
+                         aux_t["c1"], aux_t["valid"], order)
+
+    syms = rans.rans_decode(states, words_padded, decode_lut, ctx_fn,
+                            aux, T)                             # [T, N]
+    grid = syms.T.reshape(B, L)
+    qual = jnp.where(valid.T.reshape(B, L),
+                     grid + U32(QUAL_OFFSET), U32(0)).astype(jnp.uint8)
+    return qual
+
+
+@dataclasses.dataclass
+class EncodedQuals:
+    """Host-side encoded quality stream for one block."""
+    freq: np.ndarray        # uint32 [C, N_SYMS] normalized tables
+    states: np.ndarray      # uint32 [N]
+    counts: np.ndarray      # int32  [N]
+    words: np.ndarray       # uint16 [total] per-lane concatenated
+    B: int
+    L: int
+    T: int
+    order: int
+
+    def payload_bytes(self) -> int:
+        return (self.words.nbytes + self.states.nbytes + self.counts.nbytes
+                + len(entropy.table_payload(self.freq)))
+
+
+def encode(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
+           T_target: int = 1024) -> EncodedQuals:
+    """Encode one block's quality grid (uint8 [B, L], int32 [B])."""
+    B, L = qual.shape
+    T = pick_T(B, L, T_target)
+    sym, ctx, counts = _sym_ctx_hist(jnp.asarray(qual), jnp.asarray(lengths),
+                                     order)
+    freq, cum, _ = entropy.tables_from_counts(np.asarray(counts),
+                                              n_contexts(order), N_SYMS)
+    states, packed, wcounts = _encode_pass(
+        sym, ctx, jnp.asarray(freq.reshape(-1)),
+        jnp.asarray(entropy.freq_to_cum(freq).reshape(-1)), T)
+    packed = np.asarray(packed)
+    wcounts = np.asarray(wcounts).astype(np.int64)
+    # per-lane compaction to a flat stream (decode order preserved),
+    # vectorized via the shared ragged gather
+    from scalce_tpu.io.fastq import ragged_gather
+    row_starts = np.arange(packed.shape[0], dtype=np.int64) * packed.shape[1]
+    words = ragged_gather(packed.reshape(-1), row_starts, wcounts)
+    return EncodedQuals(freq=freq, states=np.asarray(states),
+                        counts=wcounts, words=words, B=B, L=L, T=T,
+                        order=order)
+
+
+def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
+    """Decode back to the uint8 [B, L] quality grid (padding zeroed)."""
+    N = enc.states.shape[0]
+    wmax = int(enc.counts.max()) if N else 0
+    # pad word matrix to a power-of-two width to bound recompilations
+    W = 64
+    while W < wmax:
+        W <<= 1
+    from scalce_tpu.io.fastq import ragged_scatter
+    words_padded = np.zeros((N, W), dtype=np.uint16)
+    counts64 = enc.counts.astype(np.int64)
+    ragged_scatter(words_padded.reshape(-1),
+                   np.arange(N, dtype=np.int64) * W, enc.words, counts64)
+    cum = entropy.freq_to_cum(enc.freq)
+    lut = entropy.build_decode_lut(enc.freq, cum)
+    qual = _decode_pass(jnp.asarray(enc.states), jnp.asarray(words_padded),
+                        jnp.asarray(lut), jnp.asarray(lengths),
+                        enc.order, enc.T, enc.B, enc.L)
+    return np.asarray(qual)

@@ -1,0 +1,128 @@
+"""rANS coder unit tests: exact division, raw coder round-trip,
+quality-stream codec round-trip (CPU backend)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scalce_tpu.models import entropy
+from scalce_tpu.ops import rans
+from scalce_tpu.streams import qualities
+
+
+def test_udiv_exact_exhaustive_edges():
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.integers(0, 1 << 32, size=20000, dtype=np.uint64),
+        np.array([0, 1, 0xFFFFFFFF, 0x80000000, 0xFFFF0000, 4095, 4096]),
+    ]).astype(np.uint32)
+    fs = np.concatenate([
+        rng.integers(1, 4097, size=xs.size - 7, dtype=np.uint64),
+        np.array([1, 4096, 3, 4095, 2, 7, 4096]),
+    ]).astype(np.uint32)
+    q, r = rans.udiv_u32_small(jnp.asarray(xs), jnp.asarray(fs))
+    q, r = np.asarray(q).astype(np.uint64), np.asarray(r).astype(np.uint64)
+    x64, f64 = xs.astype(np.uint64), fs.astype(np.uint64)
+    np.testing.assert_array_equal(q, x64 // f64)
+    np.testing.assert_array_equal(r, x64 % f64)
+
+
+def test_normalize_freqs_properties():
+    rng = np.random.default_rng(1)
+    counts = rng.integers(0, 1000, size=(50, 16))
+    counts[3] = 0                       # empty context
+    counts[4] = 0
+    counts[4, 7] = 5                    # single-symbol context
+    counts[5, :] = 1                    # flat tiny counts
+    freq = entropy.normalize_freqs(counts, 16)
+    assert (freq.sum(axis=1) == rans.M_TOTAL).all()
+    assert (freq[counts > 0] >= 1).all()
+    assert freq[4, 7] == rans.M_TOTAL
+    # deterministic
+    freq2 = entropy.normalize_freqs(counts, 16)
+    np.testing.assert_array_equal(freq, freq2)
+
+
+def _roundtrip_raw(sym_np, ctx_np, n_ctx, n_syms, T):
+    counts = np.zeros((n_ctx, n_syms), np.int64)
+    np.add.at(counts, (ctx_np, sym_np), 1)
+    freq, cum, lut = entropy.tables_from_counts(counts, n_ctx, n_syms)
+    states, words, emits = rans.rans_encode(
+        jnp.asarray(sym_np, jnp.uint32), jnp.asarray(ctx_np, jnp.uint32),
+        jnp.asarray(freq.reshape(-1)), jnp.asarray(cum.reshape(-1)),
+        n_syms, T)
+    packed, wcounts = rans.compact_emissions(words, emits)
+
+    # decode with the true ctx sequence supplied as aux (context known)
+    N = sym_np.size // T
+    aux = jnp.asarray(ctx_np.reshape(N, T).T.astype(np.uint32))
+
+    def ctx_fn(aux_t, prev1, prev2):
+        return aux_t
+
+    out = rans.rans_decode(states, packed, jnp.asarray(lut), ctx_fn,
+                           aux, T)
+    got = np.asarray(out).T.reshape(-1)
+    return got, np.asarray(wcounts).sum() * 2 + N * 4
+
+
+def test_rans_roundtrip_uniform_and_skewed():
+    rng = np.random.default_rng(2)
+    T, N, n_ctx, n_syms = 64, 32, 4, 10
+    S = T * N
+    sym = rng.integers(0, n_syms, size=S)
+    ctx = rng.integers(0, n_ctx, size=S)
+    got, _ = _roundtrip_raw(sym, ctx, n_ctx, n_syms, T)
+    np.testing.assert_array_equal(got, sym)
+
+    # heavily skewed: mostly symbol 3
+    sym2 = np.where(rng.random(S) < 0.95, 3, rng.integers(0, n_syms, size=S))
+    got2, nbytes = _roundtrip_raw(sym2, ctx, n_ctx, n_syms, T)
+    np.testing.assert_array_equal(got2, sym2)
+    # skewed stream must compress well below 1 byte/symbol
+    assert nbytes < S
+
+
+def test_rans_single_symbol_stream_costs_nothing():
+    T, N = 32, 8
+    S = T * N
+    sym = np.zeros(S, np.int64)
+    ctx = np.zeros(S, np.int64)
+    got, nbytes = _roundtrip_raw(sym, ctx, 1, 4, T)
+    np.testing.assert_array_equal(got, sym)
+    assert nbytes == N * 4  # only the flushed states
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("qual_model", ["illumina", "uniform", "const"])
+def test_quality_codec_roundtrip(order, qual_model):
+    rng = np.random.default_rng(3)
+    B, L = 64, 96
+    lengths = rng.integers(40, L + 1, size=B).astype(np.int32)
+    if qual_model == "const":
+        qual = np.full((B, L), ord("I"), np.uint8)
+    elif qual_model == "uniform":
+        qual = rng.integers(33, 127, size=(B, L)).astype(np.uint8)
+    else:
+        base = 70 - (np.arange(L) // 8)
+        qual = (base[None, :]
+                + rng.integers(-3, 4, size=(B, L))).astype(np.uint8)
+    mask = np.arange(L)[None, :] < lengths[:, None]
+    qual = np.where(mask, qual, 0).astype(np.uint8)
+
+    enc = qualities.encode(qual, lengths, order=order, T_target=256)
+    dec = qualities.decode(enc, lengths)
+    np.testing.assert_array_equal(dec, qual)
+
+
+def test_quality_codec_beats_zlib_on_structured():
+    import zlib
+    rng = np.random.default_rng(4)
+    B, L = 512, 100
+    lengths = np.full(B, L, np.int32)
+    base = 70 - (np.arange(L) // 8)
+    qual = (base[None, :] + rng.integers(-2, 3, size=(B, L))).astype(np.uint8)
+    enc = qualities.encode(qual, lengths, order=1)
+    rans_bytes = enc.payload_bytes()
+    z = len(zlib.compress(qual.tobytes(), 6))
+    assert rans_bytes < z, (rans_bytes, z)
