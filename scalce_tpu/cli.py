@@ -1,0 +1,94 @@
+"""scalce-compatible command line.
+
+Flag surface mirrors the reference's ``getopt_long`` options
+[REF: scalce scalce.c usage — UNVERIFIED; SURVEY.md §1]:
+
+  scalce_tpu input.fastq -o out              compress
+  scalce_tpu -d out.00.scalcen -o result     decompress
+  -r   paired-end (two inputs)
+  -T   host worker threads
+  -p   lossy quality percentage
+  -S   lossy sample size
+  -B   max part size (e.g. 500M)
+  -n   drop names, regenerate "<lib>.N"
+  -o   output prefix
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from scalce_tpu.config import Config, parse_size
+from scalce_tpu.version import __version__
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="scalce_tpu",
+        description="TPU-native SCALCE-class FASTQ compressor")
+    p.add_argument("inputs", nargs="+", help="input FASTQ (or .scalce* with -d)")
+    p.add_argument("-d", "--decompress", action="store_true")
+    p.add_argument("-r", "--paired", action="store_true",
+                   help="paired-end mode (two inputs)")
+    p.add_argument("-o", "--output", default="out", help="output prefix")
+    p.add_argument("-T", "--threads", type=int, default=1)
+    p.add_argument("-p", "--lossy", type=int, default=0, metavar="PCT",
+                   help="lossy quality quantization percentage")
+    p.add_argument("-S", "--sample-size", type=int, default=100_000)
+    p.add_argument("-B", "--part-size", default="0",
+                   help="max compressed bytes per part (e.g. 500M)")
+    p.add_argument("-n", "--name-lib", default=None, metavar="LIB",
+                   help="discard names; regenerate as LIB.N")
+    p.add_argument("--backend", choices=("gz", "bz", "no"), default="gz")
+    p.add_argument("--block-reads", type=int, default=1 << 15)
+    p.add_argument("--max-read-len", type=int, default=128)
+    p.add_argument("--core-k", type=int, default=12)
+    p.add_argument("--qual-order", type=int, choices=(1, 2), default=1)
+    p.add_argument("--stats-json", action="store_true",
+                   help="print machine-readable run stats to stdout")
+    p.add_argument("--version", action="version",
+                   version=f"scalce_tpu {__version__}")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    return Config(
+        mode="decompress" if args.decompress else "compress",
+        inputs=tuple(args.inputs),
+        output=args.output,
+        paired=args.paired,
+        threads=args.threads,
+        lossy_pct=args.lossy,
+        sample_size=args.sample_size,
+        part_size=parse_size(args.part_size),
+        name_lib=args.name_lib,
+        backend=args.backend,
+        block_reads=args.block_reads,
+        max_read_len=args.max_read_len,
+        core_k=args.core_k,
+        qual_context_order=args.qual_order,
+        stats_json=args.stats_json,
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    from scalce_tpu.pipeline import driver
+    if cfg.mode == "compress":
+        stats = driver.compress(cfg)
+    else:
+        stats = driver.decompress(cfg)
+    if cfg.stats_json:
+        print(stats.to_json())
+    else:
+        print(f"[scalce_tpu] {stats.mode}: {stats.n_reads} reads in "
+              f"{stats.n_blocks} blocks, {stats.wall_s:.2f}s",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

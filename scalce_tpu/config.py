@@ -94,6 +94,9 @@ class Config:
             raise ValueError("core_k must be in [4, 15] (2k bits in int32)")
         if self.block_reads & (self.block_reads - 1):
             raise ValueError("block_reads must be a power of two")
+        if self.max_read_len % 16:
+            raise ValueError("max_read_len must be a multiple of 16 "
+                             "(2-bit packing granularity)")
         if self.rans_lanes & (self.rans_lanes - 1):
             raise ValueError("rans_lanes must be a power of two")
         if not (8 <= self.rans_prob_bits <= 14):

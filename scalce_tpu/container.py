@@ -1,0 +1,315 @@
+"""On-disk container: the triplet stream files and block framing.
+
+The reference emits three output files per input — ``.scalcen`` (names),
+``.scalcer`` (sequences), ``.scalceq`` (qualities) — optionally split
+into fixed-size parts ``name.00``, ``name.01`` … [REF: scalce output
+layout — UNVERIFIED; SURVEY.md §1 items 3, 7].  scalce_tpu keeps the
+same user-visible surface (same extensions, same part numbering) but the
+inside is block-granular: every block is independently decodable, which
+is what makes part splitting, retry/resume, and multi-host ordered
+merge trivial by construction (SURVEY.md §6 "Failure detection",
+"Checkpoint / resume").
+
+File layout (little-endian):
+
+  header  MAGIC(8) ver(u16) kind(1 byte: n/r/q) reserved(u8)
+          meta_len(u32) meta_json
+  block   BLK0(4) block_id(u32) payload_len(u64) payload
+  footer  FTR0(4) n_blocks(u32) total_records(u64) end_magic(8)
+
+The footer is written last — a torn write leaves it missing, which the
+reader reports (SURVEY.md §6: torn-write detection).
+
+Block payloads are dictionaries of named numpy arrays serialized by
+``pack_arrays`` (per-array optional deflate), so stream modules never
+hand-roll offsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAGIC = b"SCLCTPU1"
+END_MAGIC = b"1UPTCLCS"
+VERSION = 1
+_BLK = b"BLK0"
+_FTR = b"FTR0"
+
+STREAM_EXT = {"n": ".scalcen", "r": ".scalcer", "q": ".scalceq"}
+
+
+# ---------------------------------------------------------------------------
+# array (de)serialization
+
+_DTYPES = {
+    "u1": np.uint8, "u2": np.uint16, "u4": np.uint32, "u8": np.uint64,
+    "i1": np.int8, "i2": np.int16, "i4": np.int32, "i8": np.int64,
+}
+
+
+def pack_arrays(arrays: Dict[str, np.ndarray],
+                deflate: Sequence[str] = (), level: int = 6) -> bytes:
+    """Serialize named arrays; names in ``deflate`` are zlib-compressed."""
+    out = io.BytesIO()
+    out.write(struct.pack("<H", len(arrays)))
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        code = arr.dtype.str[1:]          # e.g. 'u4'
+        if code not in _DTYPES:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
+        raw = arr.tobytes()
+        comp = name in deflate
+        data = zlib.compress(raw, level) if comp else raw
+        nb = name.encode()
+        out.write(struct.pack("<B", len(nb)))
+        out.write(nb)
+        out.write(struct.pack("<2sBB", code.encode(), comp, arr.ndim))
+        out.write(struct.pack(f"<{arr.ndim}q", *arr.shape))
+        out.write(struct.pack("<QQ", len(data), len(raw)))
+        out.write(data)
+    return out.getvalue()
+
+
+def unpack_arrays(data: bytes) -> Dict[str, np.ndarray]:
+    view = memoryview(data)
+    pos = 0
+    (n,) = struct.unpack_from("<H", view, pos); pos += 2
+    out: Dict[str, np.ndarray] = {}
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<B", view, pos); pos += 1
+        name = bytes(view[pos:pos + ln]).decode(); pos += ln
+        code, comp, ndim = struct.unpack_from("<2sBB", view, pos); pos += 4
+        shape = struct.unpack_from(f"<{ndim}q", view, pos); pos += 8 * ndim
+        dlen, rlen = struct.unpack_from("<QQ", view, pos); pos += 16
+        payload = bytes(view[pos:pos + dlen]); pos += dlen
+        raw = zlib.decompress(payload) if comp else payload
+        if len(raw) != rlen:
+            raise ValueError(f"corrupt array {name!r}")
+        out[name] = np.frombuffer(raw, dtype=_DTYPES[code.decode()]
+                                  ).reshape(shape)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# single stream file
+
+class StreamWriter:
+    """Appends framed blocks to one stream file."""
+
+    def __init__(self, path: str, kind: str, meta: Dict):
+        self.path = path
+        self._f = open(path, "wb")
+        meta_json = json.dumps(meta, sort_keys=True).encode()
+        self._f.write(MAGIC)
+        self._f.write(struct.pack("<H", VERSION))
+        self._f.write(kind.encode())
+        self._f.write(b"\0")
+        self._f.write(struct.pack("<I", len(meta_json)))
+        self._f.write(meta_json)
+        self.n_blocks = 0
+        self.n_records = 0
+
+    def add_block(self, block_id: int, payload: bytes, n_records: int) -> None:
+        self._f.write(_BLK)
+        self._f.write(struct.pack("<IQ", block_id, len(payload)))
+        self._f.write(payload)
+        self.n_blocks += 1
+        self.n_records += n_records
+
+    @property
+    def bytes_written(self) -> int:
+        return self._f.tell()
+
+    def close(self) -> None:
+        self._f.write(_FTR)
+        self._f.write(struct.pack("<IQ", self.n_blocks, self.n_records))
+        self._f.write(END_MAGIC)
+        self._f.close()
+
+
+@dataclasses.dataclass
+class StreamBlockRef:
+    block_id: int
+    offset: int
+    length: int
+
+
+class StreamReader:
+    """Scans one stream file; validates framing and footer."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        hdr = self._f.read(8)
+        if hdr != MAGIC:
+            raise ValueError(f"{path}: not a scalce_tpu stream")
+        (ver,) = struct.unpack("<H", self._f.read(2))
+        if ver != VERSION:
+            raise ValueError(f"{path}: unsupported version {ver}")
+        self.kind = self._f.read(1).decode()
+        self._f.read(1)
+        (mlen,) = struct.unpack("<I", self._f.read(4))
+        self.meta = json.loads(self._f.read(mlen))
+        self.blocks: List[StreamBlockRef] = []
+        self._scan()
+
+    def _scan(self) -> None:
+        size = os.fstat(self._f.fileno()).st_size
+        while True:
+            tag = self._f.read(4)
+            if tag == _BLK:
+                hdr = self._f.read(12)
+                if len(hdr) < 12:
+                    raise ValueError(f"{self.path}: truncated stream "
+                                     "(torn write?)")
+                bid, plen = struct.unpack("<IQ", hdr)
+                off = self._f.tell()
+                if off + plen > size:
+                    raise ValueError(f"{self.path}: truncated block "
+                                     "(torn write?)")
+                self.blocks.append(StreamBlockRef(bid, off, plen))
+                self._f.seek(plen, os.SEEK_CUR)
+            elif tag == _FTR:
+                ftr = self._f.read(20)
+                if len(ftr) < 20 or ftr[12:20] != END_MAGIC:
+                    raise ValueError(f"{self.path}: corrupt footer "
+                                     "(torn write?)")
+                nb, nr = struct.unpack("<IQ", ftr[:12])
+                if nb != len(self.blocks):
+                    raise ValueError(f"{self.path}: footer block count "
+                                     f"mismatch ({nb} != {len(self.blocks)})")
+                self.n_records = nr
+                return
+            elif tag == b"":
+                raise ValueError(
+                    f"{self.path}: truncated stream (no footer — torn write?)")
+            else:
+                raise ValueError(f"{self.path}: corrupt block framing")
+
+    def read_block(self, ref: StreamBlockRef) -> bytes:
+        self._f.seek(ref.offset)
+        return self._f.read(ref.length)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# triplet management (the user-facing unit) + part splitting
+
+def part_paths(prefix: str, part: int, mate: Optional[int]) -> Dict[str, str]:
+    """scalce-compatible naming: ``prefix.00_1.scalcen`` etc.
+
+    mate=None (single-end) omits the ``_1``/``_2`` suffix."""
+    m = f"_{mate}" if mate is not None else ""
+    base = f"{prefix}.{part:02d}{m}"
+    return {k: base + ext for k, ext in STREAM_EXT.items()}
+
+
+class TripletWriter:
+    """Writes the n/r/q triplet, rolling all three to a new part together
+    when the combined size passes ``part_size`` (the reference's ``-B``)."""
+
+    def __init__(self, prefix: str, meta: Dict, part_size: int = 0,
+                 mate: Optional[int] = None):
+        self.prefix = prefix
+        self.meta = meta
+        self.part_size = part_size
+        self.mate = mate
+        self.part = 0
+        self.parts_written: List[int] = []
+        self._open_part()
+
+    def _open_part(self) -> None:
+        paths = part_paths(self.prefix, self.part, self.mate)
+        self.writers = {k: StreamWriter(p, k, self.meta)
+                        for k, p in paths.items()}
+        self.parts_written.append(self.part)
+
+    def _combined_bytes(self) -> int:
+        return sum(w.bytes_written for w in self.writers.values())
+
+    def add_block(self, block_id: int, payloads: Dict[str, bytes],
+                  n_records: int) -> None:
+        if (self.part_size and self.writers["r"].n_blocks > 0
+                and self._combined_bytes() >= self.part_size):
+            self._roll()
+        for k, w in self.writers.items():
+            w.add_block(block_id, payloads[k], n_records)
+
+    def _roll(self) -> None:
+        for w in self.writers.values():
+            w.close()
+        self.part += 1
+        self._open_part()
+
+    def close(self) -> None:
+        for w in self.writers.values():
+            w.close()
+
+
+class TripletReader:
+    """Iterates blocks across all parts of a triplet in order.
+
+    Accepts any one of the triplet's file names (like the reference's
+    decompressor, which is pointed at a ``.scalcen`` file) and derives
+    the rest, including all parts.
+    """
+
+    def __init__(self, any_path: str):
+        prefix, part, mate = parse_stream_path(any_path)
+        self.prefix = prefix
+        self.mate = mate
+        self.part_ids: List[int] = []
+        p = 0
+        while os.path.exists(part_paths(prefix, p, mate)["r"]):
+            self.part_ids.append(p)
+            p += 1
+        if not self.part_ids:
+            raise FileNotFoundError(f"no parts found for {prefix!r}")
+        first = StreamReader(part_paths(prefix, 0, mate)["r"])
+        self.meta = first.meta
+        first.close()
+
+    def iter_blocks(self) -> Iterator[Tuple[int, Dict[str, bytes]]]:
+        for part in self.part_ids:
+            paths = part_paths(self.prefix, part, self.mate)
+            readers = {k: StreamReader(p) for k, p in paths.items()}
+            ref_blocks = {k: r.blocks for k, r in readers.items()}
+            nb = len(ref_blocks["r"])
+            if any(len(v) != nb for v in ref_blocks.values()):
+                raise ValueError("triplet files disagree on block count")
+            for i in range(nb):
+                bid = ref_blocks["r"][i].block_id
+                payloads = {k: readers[k].read_block(ref_blocks[k][i])
+                            for k in readers}
+                yield bid, payloads
+            for r in readers.values():
+                r.close()
+
+
+def parse_stream_path(path: str) -> Tuple[str, int, Optional[int]]:
+    """'out.00_1.scalcen' -> ('out', 0, 1); 'out.03.scalceq' -> ('out', 3, None)."""
+    for ext in STREAM_EXT.values():
+        if path.endswith(ext):
+            stem = path[: -len(ext)]
+            break
+    else:
+        raise ValueError(f"{path}: not a scalce stream file "
+                         f"(want one of {list(STREAM_EXT.values())})")
+    mate: Optional[int] = None
+    if stem.endswith(("_1", "_2")):
+        mate = int(stem[-1])
+        stem = stem[:-2]
+    i = stem.rfind(".")
+    if i < 0 or not stem[i + 1:].isdigit():
+        raise ValueError(f"{path}: missing part number")
+    return stem[:i], int(stem[i + 1:]), mate

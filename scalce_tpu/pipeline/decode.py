@@ -1,0 +1,77 @@
+"""Block decode pipeline — the decompress driver.
+
+Mirrors the reference's ``decompress()`` [REF: scalce decompress.c —
+UNVERIFIED; SURVEY.md §4.2]: per block, decode the three streams and
+re-zip into FASTQ records.  Reads come back in REORDERED order — like
+the reference, original order is deliberately not restored
+(SURVEY.md §1 item 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scalce_tpu import container
+from scalce_tpu.io.fastq import Ragged, lens_to_offsets
+from scalce_tpu.ops.bitops import unpack_bases_u32
+from scalce_tpu.streams import names as names_stream
+from scalce_tpu.streams import qualities, seqs
+
+
+@jax.jit
+def _unpack_seq(packed: jnp.ndarray) -> jnp.ndarray:
+    return unpack_bases_u32(packed, axis=1)
+
+
+@dataclasses.dataclass
+class DecodedBlock:
+    seq: np.ndarray          # uint8 [B, L] 2-bit codes
+    qual: np.ndarray         # uint8 [B, L]
+    lengths: np.ndarray      # int32 [B]
+    n_reads: int
+    exc_pos: np.ndarray
+    exc_byte: np.ndarray
+    names: Ragged
+    plus: Optional[Ragged]
+
+
+class BlockDecoder:
+    def __init__(self, meta: Dict):
+        self.meta = meta
+        self._name_counter = 1          # template-mode running index
+
+    def decode_block(self, payloads: Dict[str, bytes]) -> DecodedBlock:
+        B = int(self.meta["block_reads"])
+        packed, lengths, n_reads, exc_pos, exc_byte = seqs.parse(
+            payloads["r"], B)
+        seq = np.asarray(_unpack_seq(jnp.asarray(packed)))
+        L = seq.shape[1]
+        if L != int(self.meta["max_read_len"]):
+            raise ValueError("stream max_read_len mismatch")
+
+        enc_q = qualities.parse(payloads["q"])
+        qual = qualities.decode(enc_q, lengths)
+
+        na = container.unpack_arrays(payloads["n"])
+        n = int(na["n"][0])
+        if n != n_reads:
+            raise ValueError("stream record-count mismatch")
+        if "template" in na:
+            lib = self.meta.get("name_lib") or "lib"
+            names = names_stream.template_names(lib, self._name_counter, n)
+            self._name_counter += n
+        else:
+            names = names_stream.decode(na["names_blob"].tobytes())
+        plus: Optional[Ragged] = None
+        if "plus_cat" in na:
+            plus = Ragged(na["plus_cat"].copy(),
+                          lens_to_offsets(na["plus_lens"].astype(np.int64)))
+        return DecodedBlock(seq=seq, qual=qual, lengths=lengths,
+                            n_reads=n_reads, exc_pos=exc_pos,
+                            exc_byte=exc_byte, names=names, plus=plus)

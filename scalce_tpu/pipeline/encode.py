@@ -1,0 +1,154 @@
+"""Block encode pipeline — the compress driver.
+
+The reference's ``compress()`` owns the per-read hot loop, the bucket
+table, flush policy, and part splitting [REF: scalce compress.c —
+UNVERIFIED; SURVEY.md §4.1].  Here the whole per-block device work is
+ONE fused jit (tokenize → sort → reorder → pack → quality pass A); the
+only host syncs per block are the tiny context histogram (to build rANS
+tables) and the final payload download — exactly the boundary layout
+promised in SURVEY.md §4 ("everything between stays on device").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scalce_tpu.config import Config
+from scalce_tpu.io.fastq import Ragged, ReadBlock, lens_to_offsets, \
+    ragged_gather
+from scalce_tpu.ops import core_match, reorder
+from scalce_tpu.ops.bitops import pack_bases_u32
+from scalce_tpu.streams import names as names_stream
+from scalce_tpu.streams import qualities, seqs
+
+
+@partial(jax.jit, static_argnames=("k", "seed", "order"))
+def _device_encode(seq, qual, lengths, n_reads, exc_pos, k: int, seed: int,
+                   order: int):
+    """Fused per-block device stage.
+
+    exc_pos: int32 [E_pad] flat positions of non-ACGT bases, padded with
+    out-of-range sentinels (dropped by the scatter).
+    Returns (perm, packed seq, sorted lengths, qual sym/ctx grids,
+    context histogram).
+    """
+    B, L = seq.shape
+    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
+        True, mode="drop").reshape(B, L)
+    ck, cp = core_match.find_cores(seq, lengths, exc, k, seed)
+    keys = core_match.build_sort_keys(seq, lengths, ck, cp, n_reads)
+    perm = reorder.sort_permutation(keys)
+    seq_s, qual_s, len_s = reorder.apply_permutation(perm, seq, qual, lengths)
+    packed = pack_bases_u32(seq_s, axis=1)
+    sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
+    return perm, packed, len_s, sym, ctx, counts
+
+
+def _pad_exc(exc_pos: np.ndarray, sentinel: int) -> np.ndarray:
+    """Pad to a power-of-two length so jit recompiles stay bounded."""
+    n = max(64, len(exc_pos))
+    cap = 1 << (n - 1).bit_length()
+    out = np.full(cap, sentinel, np.int32)
+    out[: len(exc_pos)] = exc_pos
+    return out
+
+
+@dataclasses.dataclass
+class EncodedBlock:
+    block_id: int
+    n_reads: int
+    payloads: Dict[str, bytes]      # 'n' / 'r' / 'q'
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(len(p) for p in self.payloads.values())
+
+
+class BlockEncoder:
+    """Stateless per-block encoder (safe to drive from a host thread pool:
+    jit functions are pure; numpy work is per-block local)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+    def encode_block(self, block: ReadBlock) -> EncodedBlock:
+        cfg = self.cfg
+        B, L = block.seq.shape
+        perm, packed, len_s, sym, ctx, counts = _device_encode(
+            jnp.asarray(block.seq), jnp.asarray(block.qual),
+            jnp.asarray(block.lengths), jnp.int32(block.n_reads),
+            jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
+            cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+        perm_np = np.asarray(perm)
+
+        # quality stream (pass B needs host-built tables)
+        enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,
+                                            cfg.qual_context_order)
+        q_payload = qualities.payload(enc_q)
+
+        # exceptions into the reordered frame (host; exceptions are rare)
+        inv = np.empty(B, np.int64)
+        inv[perm_np] = np.arange(B)
+        if block.exc_pos.size:
+            rows, cols = block.exc_pos // L, block.exc_pos % L
+            new_pos = inv[rows] * L + cols
+            order_idx = np.argsort(new_pos, kind="stable")
+            exc_pos_s = new_pos[order_idx]
+            exc_byte_s = block.exc_byte[order_idx]
+        else:
+            exc_pos_s = block.exc_pos
+            exc_byte_s = block.exc_byte
+        r_payload = seqs.payload(np.asarray(packed), np.asarray(len_s),
+                                 block.n_reads, exc_pos_s, exc_byte_s)
+
+        # names (host ragged gather by the same permutation)
+        n_payload = self._encode_names(block, perm_np)
+
+        return EncodedBlock(block.block_id, block.n_reads, {
+            "n": n_payload, "r": r_payload, "q": q_payload})
+
+    def _encode_names(self, block: ReadBlock, perm: np.ndarray) -> bytes:
+        from scalce_tpu import container
+        n = block.n_reads
+        p = perm[:n]
+        arrays = {"n": np.asarray([n], np.int64)}
+        deflate = []
+        if self.cfg.name_lib is not None:
+            # template mode (-n): names discarded; decoder regenerates
+            arrays["template"] = np.asarray([1], np.uint8)
+        else:
+            names_s = _reorder_ragged(block.names, p)
+            blob = names_stream.encode(names_s, n)
+            arrays["names_blob"] = np.frombuffer(blob, np.uint8)
+        if block.plus is not None:
+            plus_s = _reorder_ragged(block.plus, p)
+            arrays["plus_cat"] = plus_s.cat
+            arrays["plus_lens"] = plus_s.lens.astype(np.uint32)
+            deflate += ["plus_cat", "plus_lens"]
+        return container.pack_arrays(arrays, deflate=deflate)
+
+
+def _reorder_ragged(r: Ragged, perm: np.ndarray) -> Ragged:
+    lens = r.lens[perm]
+    cat = ragged_gather(r.cat, r.offsets[:-1][perm], lens)
+    return Ragged(cat, lens_to_offsets(lens))
+
+
+def file_meta(cfg: Config) -> Dict:
+    """Per-file metadata shared by every block (static pipeline shape)."""
+    return {
+        "block_reads": cfg.block_reads,
+        "max_read_len": cfg.max_read_len,
+        "core_k": cfg.core_k,
+        "dict_seed": cfg.dict_seed,
+        "qual_order": cfg.qual_context_order,
+        "lossy_pct": cfg.lossy_pct,
+        "name_lib": cfg.name_lib,
+        "paired": cfg.paired,
+    }

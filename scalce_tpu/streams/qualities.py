@@ -77,10 +77,13 @@ def _ctx_from(prev1: jnp.ndarray, prev2: jnp.ndarray, pb: jnp.ndarray,
     return jnp.where(valid, ctx + U32(1), U32(0))
 
 
-@partial(jax.jit, static_argnames=("order",))
-def _sym_ctx_hist(qual: jnp.ndarray, lengths: jnp.ndarray, order: int
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Device pass A: symbol grid, context grid, (ctx,sym) histogram."""
+def sym_ctx_hist(qual: jnp.ndarray, lengths: jnp.ndarray, order: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device pass A: symbol grid, context grid, (ctx,sym) histogram.
+
+    Plain (un-jitted) so pipelines can fuse it into a larger jit; the
+    module-level ``_sym_ctx_hist`` wrapper jits it for standalone use.
+    """
     B, L = qual.shape
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = col < lengths[:, None]
@@ -93,6 +96,9 @@ def _sym_ctx_hist(qual: jnp.ndarray, lengths: jnp.ndarray, order: int
     counts = rans.context_histogram(sym.reshape(-1), ctx.reshape(-1),
                                     n_contexts(order), N_SYMS)
     return sym, ctx, counts
+
+
+_sym_ctx_hist = partial(jax.jit, static_argnames=("order",))(sym_ctx_hist)
 
 
 @partial(jax.jit, static_argnames=("T",))
@@ -154,10 +160,17 @@ class EncodedQuals:
 def encode(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
            T_target: int = 1024) -> EncodedQuals:
     """Encode one block's quality grid (uint8 [B, L], int32 [B])."""
-    B, L = qual.shape
-    T = pick_T(B, L, T_target)
     sym, ctx, counts = _sym_ctx_hist(jnp.asarray(qual), jnp.asarray(lengths),
                                      order)
+    B, L = qual.shape
+    return encode_from_grids(sym, ctx, counts, B, L, order, T_target)
+
+
+def encode_from_grids(sym, ctx, counts, B: int, L: int, order: int,
+                      T_target: int = 1024) -> EncodedQuals:
+    """Pass B given device grids from :func:`sym_ctx_hist` (pipelines fuse
+    pass A into their own jit and call this for the table+encode half)."""
+    T = pick_T(B, L, T_target)
     freq, cum, _ = entropy.tables_from_counts(np.asarray(counts),
                                               n_contexts(order), N_SYMS)
     states, packed, wcounts = _encode_pass(
@@ -194,3 +207,26 @@ def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
                         jnp.asarray(lut), jnp.asarray(lengths),
                         enc.order, enc.T, enc.B, enc.L)
     return np.asarray(qual)
+
+
+# ---------------------------------------------------------------------------
+# container payload
+
+def payload(enc: EncodedQuals, level: int = 6) -> bytes:
+    from scalce_tpu import container
+    return container.pack_arrays({
+        "dims": np.asarray([enc.B, enc.L, enc.T, enc.order], np.int64),
+        "freq": enc.freq.astype(np.uint16),
+        "states": enc.states,
+        "counts": enc.counts.astype(np.uint16),
+        "words": enc.words,
+    }, deflate=("freq", "counts"), level=level)
+
+
+def parse(blob: bytes) -> EncodedQuals:
+    from scalce_tpu import container
+    a = container.unpack_arrays(blob)
+    B, L, T, order = (int(x) for x in a["dims"])
+    return EncodedQuals(freq=a["freq"].astype(np.uint32),
+                        states=a["states"], counts=a["counts"].astype(np.int32),
+                        words=a["words"], B=B, L=L, T=T, order=order)

@@ -1,0 +1,117 @@
+"""End-to-end compress→decompress round-trip property tests through the
+public CLI/driver surface (SURVEY.md §5: sort-invariant multiset equality
+of records — the tool reorders by design, like the reference)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from scalce_tpu import cli
+from scalce_tpu.config import Config
+from scalce_tpu.pipeline import driver
+from scalce_tpu.utils.synth import synth_fastq
+
+
+def _records(payload: bytes):
+    lines = payload.decode().splitlines()
+    assert len(lines) % 4 == 0
+    recs = []
+    for i in range(0, len(lines), 4):
+        recs.append(tuple(lines[i:i + 4]))
+    return recs
+
+
+def _roundtrip(tmp_path, payload: bytes, gz=False, **cfg_kw):
+    inp = tmp_path / ("in.fastq.gz" if gz else "in.fastq")
+    inp.write_bytes(gzip.compress(payload) if gz else payload)
+    out_prefix = str(tmp_path / "out")
+    cfg = Config(mode="compress", inputs=(str(inp),), output=out_prefix,
+                 block_reads=1 << 10, **cfg_kw)
+    enc_stats = driver.compress(cfg)
+    dec_prefix = str(tmp_path / "dec")
+    dcfg = Config(mode="decompress", inputs=(out_prefix + ".00.scalcen",),
+                  output=dec_prefix, block_reads=1 << 10, **cfg_kw)
+    driver.decompress(dcfg)
+    got = (tmp_path / "dec.fastq").read_bytes()
+    return enc_stats, got
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_lossless_roundtrip_multiset(tmp_path, gz):
+    payload = synth_fastq(3000, 100, seed=11, var_len=True, n_rate=0.01)
+    stats, got = _roundtrip(tmp_path, payload, gz=gz)
+    assert stats.n_reads == 3000
+    assert sorted(_records(got)) == sorted(_records(payload))
+
+
+def test_roundtrip_compresses_vs_gzip(tmp_path):
+    # overlapping reads from a small genome: reorder + split must beat
+    # plain gzip of the FASTQ clearly
+    import zlib
+    payload = synth_fastq(8192, 100, seed=12, genome_len=50_000,
+                          n_rate=0.001)
+    stats, got = _roundtrip(tmp_path, payload)
+    assert sorted(_records(got)) == sorted(_records(payload))
+    gz_size = len(zlib.compress(payload, 6))
+    assert stats.output_bytes < gz_size, (stats.output_bytes, gz_size)
+
+
+def test_roundtrip_name_template(tmp_path):
+    payload = synth_fastq(500, 80, seed=13)
+    stats, got = _roundtrip(tmp_path, payload, name_lib="mylib")
+    recs = _records(got)
+    # names regenerated as @mylib.N in output order, 1-based contiguous
+    assert [r[0] for r in recs] == [f"@mylib.{i+1}" for i in range(len(recs))]
+    # seq/qual multiset preserved
+    assert sorted(r[1:] for r in recs) == sorted(
+        r[1:] for r in _records(payload))
+
+
+def test_roundtrip_part_splitting(tmp_path):
+    payload = synth_fastq(6000, 100, seed=14)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "out"), block_reads=1 << 10,
+                 part_size=100_000)
+    driver.compress(cfg)
+    parts = sorted(p.name for p in tmp_path.glob("out.*.scalcer"))
+    assert len(parts) > 1, parts
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "out.00.scalcen"),),
+                  output=str(tmp_path / "dec"), block_reads=1 << 10)
+    driver.decompress(dcfg)
+    got = (tmp_path / "dec.fastq").read_bytes()
+    assert sorted(_records(got)) == sorted(_records(payload))
+
+
+def test_cli_main_end_to_end(tmp_path):
+    payload = synth_fastq(1200, 96, seed=15, var_len=True)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    rc = cli.main([str(inp), "-o", str(tmp_path / "o"), "--stats-json",
+                   "--block-reads", "1024"])
+    assert rc == 0
+    rc = cli.main(["-d", str(tmp_path / "o.00.scalceq"), "-o",
+                   str(tmp_path / "d"), "--block-reads", "1024"])
+    assert rc == 0
+    got = (tmp_path / "d.fastq").read_bytes()
+    assert sorted(_records(got)) == sorted(_records(payload))
+
+
+def test_truncated_container_detected(tmp_path):
+    payload = synth_fastq(300, 80, seed=16)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "out"), block_reads=1 << 10)
+    driver.compress(cfg)
+    r = tmp_path / "out.00.scalcer"
+    data = r.read_bytes()
+    r.write_bytes(data[:-10])       # torn write
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "out.00.scalcen"),),
+                  output=str(tmp_path / "dec"), block_reads=1 << 10)
+    with pytest.raises(ValueError, match="torn|trunc|corrupt"):
+        driver.decompress(dcfg)
