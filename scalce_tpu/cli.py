@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--name-lib", default=None, metavar="LIB",
                    help="discard names; regenerate as LIB.N")
     p.add_argument("--backend", choices=("gz", "bz", "no"), default="gz")
+    p.add_argument("--keep-order", action="store_true",
+                   help="decompress in original read order (scalce_tpu "
+                        "extension; the reference cannot restore order)")
     p.add_argument("--block-reads", type=int, default=1 << 15)
     p.add_argument("--max-read-len", type=int, default=128)
     p.add_argument("--core-k", type=int, default=12)
@@ -65,6 +68,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         part_size=parse_size(args.part_size),
         name_lib=args.name_lib,
         backend=args.backend,
+        keep_order=args.keep_order,
         block_reads=args.block_reads,
         max_read_len=args.max_read_len,
         core_k=args.core_k,

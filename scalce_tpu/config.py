@@ -63,6 +63,9 @@ class Config:
     part_size: int = NO_PART_LIMIT     # -B ; max compressed bytes per part
     name_lib: Optional[str] = None     # -n ; regenerate names as "<lib>.N"
     backend: str = "gz"                # gz | bz | no  (generic byte backend)
+    keep_order: bool = False           # decompress in original read order
+                                       # (beyond reference parity: scalce
+                                       # cannot restore input order)
 
     # --- TPU pipeline shape --------------------------------------------
     block_reads: int = 1 << 15         # reads per device block (static shape)

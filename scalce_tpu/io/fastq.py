@@ -104,6 +104,13 @@ class Ragged:
         return Ragged(cat, lens_to_offsets(lens))
 
 
+def reorder_ragged(r: "Ragged", perm: np.ndarray) -> "Ragged":
+    """Gather ragged rows by ``perm`` (host-side row permutation)."""
+    lens = r.lens[perm]
+    cat = ragged_gather(r.cat, r.offsets[:-1][perm], lens)
+    return Ragged(cat, lens_to_offsets(lens))
+
+
 @dataclasses.dataclass
 class ReadBlock:
     """One fixed-shape batch of parsed FASTQ records.

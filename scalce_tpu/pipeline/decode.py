@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scalce_tpu import container
-from scalce_tpu.io.fastq import Ragged, lens_to_offsets
+from scalce_tpu.io.fastq import Ragged, lens_to_offsets, reorder_ragged
 from scalce_tpu.ops.bitops import unpack_bases_u32
 from scalce_tpu.streams import names as names_stream
 from scalce_tpu.streams import qualities, seqs
@@ -42,13 +42,14 @@ class DecodedBlock:
 
 
 class BlockDecoder:
-    def __init__(self, meta: Dict):
+    def __init__(self, meta: Dict, keep_order: bool = False):
         self.meta = meta
+        self.keep_order = keep_order
         self._name_counter = 1          # template-mode running index
 
     def decode_block(self, payloads: Dict[str, bytes]) -> DecodedBlock:
         B = int(self.meta["block_reads"])
-        packed, lengths, n_reads, exc_pos, exc_byte = seqs.parse(
+        packed, lengths, n_reads, exc_pos, exc_byte, perm = seqs.parse(
             payloads["r"], B)
         seq = np.asarray(_unpack_seq(jnp.asarray(packed)))
         L = seq.shape[1]
@@ -66,12 +67,38 @@ class BlockDecoder:
             lib = self.meta.get("name_lib") or "lib"
             names = names_stream.template_names(lib, self._name_counter, n)
             self._name_counter += n
+            names_orig_order = self.keep_order   # template: emit as-is
         else:
             names = names_stream.decode(na["names_blob"].tobytes())
+            names_orig_order = True              # stored in original order
         plus: Optional[Ragged] = None
         if "plus_cat" in na:
             plus = Ragged(na["plus_cat"].copy(),
                           lens_to_offsets(na["plus_lens"].astype(np.int64)))
+
+        if self.keep_order:
+            # restore arrival order: reordered row i came from perm[i]
+            inv = np.zeros(n_reads, np.int64)
+            inv[perm] = np.arange(n_reads)
+            seq2, qual2 = np.zeros_like(seq), np.zeros_like(qual)
+            seq2[:n_reads] = seq[inv]
+            qual2[:n_reads] = qual[inv]
+            seq, qual = seq2, qual2
+            lengths2 = np.zeros_like(lengths)
+            lengths2[:n_reads] = lengths[inv]
+            lengths = lengths2
+            if exc_pos.size:
+                rows, cols = exc_pos // L, exc_pos % L
+                new_pos = perm[rows] * L + cols
+                o = np.argsort(new_pos, kind="stable")
+                exc_pos, exc_byte = new_pos[o], exc_byte[o]
+            # names/plus are stored in original order already
+        else:
+            # align original-order names/plus with the reordered reads
+            if names_orig_order and "template" not in na:
+                names = reorder_ragged(names, perm[:n_reads])
+            if plus is not None:
+                plus = reorder_ragged(plus, perm[:n_reads])
         return DecodedBlock(seq=seq, qual=qual, lengths=lengths,
                             n_reads=n_reads, exc_pos=exc_pos,
                             exc_byte=exc_byte, names=names, plus=plus)

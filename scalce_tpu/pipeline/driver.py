@@ -79,7 +79,7 @@ def decompress(cfg: Config) -> RunStats:
     meta = reader.meta
     if meta.get("paired"):
         raise NotImplementedError("paired-end decode lands with name-sync")
-    dec = BlockDecoder(meta)
+    dec = BlockDecoder(meta, keep_order=cfg.keep_order)
     out_path = cfg.output if cfg.output.endswith(".fastq") \
         else cfg.output + ".fastq"
     with open(out_path, "wb") as out:

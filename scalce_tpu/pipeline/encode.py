@@ -20,8 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scalce_tpu.config import Config
-from scalce_tpu.io.fastq import Ragged, ReadBlock, lens_to_offsets, \
-    ragged_gather
+from scalce_tpu.io.fastq import ReadBlock
 from scalce_tpu.ops import core_match, reorder
 from scalce_tpu.ops.bitops import pack_bases_u32
 from scalce_tpu.streams import names as names_stream
@@ -105,39 +104,32 @@ class BlockEncoder:
             exc_pos_s = block.exc_pos
             exc_byte_s = block.exc_byte
         r_payload = seqs.payload(np.asarray(packed), np.asarray(len_s),
-                                 block.n_reads, exc_pos_s, exc_byte_s)
+                                 block.n_reads, exc_pos_s, exc_byte_s,
+                                 perm_np)
 
-        # names (host ragged gather by the same permutation)
-        n_payload = self._encode_names(block, perm_np)
+        # names stay in ORIGINAL order (numeric deltas are tiny there);
+        # the stored permutation re-aligns them with reads at decode time
+        n_payload = self._encode_names(block)
 
         return EncodedBlock(block.block_id, block.n_reads, {
             "n": n_payload, "r": r_payload, "q": q_payload})
 
-    def _encode_names(self, block: ReadBlock, perm: np.ndarray) -> bytes:
+    def _encode_names(self, block: ReadBlock) -> bytes:
         from scalce_tpu import container
         n = block.n_reads
-        p = perm[:n]
         arrays = {"n": np.asarray([n], np.int64)}
         deflate = []
         if self.cfg.name_lib is not None:
             # template mode (-n): names discarded; decoder regenerates
             arrays["template"] = np.asarray([1], np.uint8)
         else:
-            names_s = _reorder_ragged(block.names, p)
-            blob = names_stream.encode(names_s, n)
+            blob = names_stream.encode(block.names, n)
             arrays["names_blob"] = np.frombuffer(blob, np.uint8)
         if block.plus is not None:
-            plus_s = _reorder_ragged(block.plus, p)
-            arrays["plus_cat"] = plus_s.cat
-            arrays["plus_lens"] = plus_s.lens.astype(np.uint32)
+            arrays["plus_cat"] = block.plus.cat
+            arrays["plus_lens"] = block.plus.lens.astype(np.uint32)
             deflate += ["plus_cat", "plus_lens"]
         return container.pack_arrays(arrays, deflate=deflate)
-
-
-def _reorder_ragged(r: Ragged, perm: np.ndarray) -> Ragged:
-    lens = r.lens[perm]
-    cat = ragged_gather(r.cat, r.offsets[:-1][perm], lens)
-    return Ragged(cat, lens_to_offsets(lens))
 
 
 def file_meta(cfg: Config) -> Dict:

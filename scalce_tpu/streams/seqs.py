@@ -25,11 +25,15 @@ from scalce_tpu import container
 
 def payload(packed: np.ndarray, lengths: np.ndarray, n_reads: int,
             exc_pos: np.ndarray, exc_byte: np.ndarray,
-            level: int = 6) -> bytes:
+            perm: np.ndarray, level: int = 6) -> bytes:
     """Assemble the per-block ``.scalcer`` payload.
 
     packed: uint32 ``[B, W]`` device-packed codes (only first n_reads
     rows are stored).  exc_pos/exc_byte: reordered-frame exceptions.
+    perm: the block's sort permutation (reordered row i came from
+    original row perm[i]).  Storing it lets name columns stay in
+    original order (where numeric deltas are tiny) and enables
+    order-restoring decompression — which the reference cannot do.
     """
     arrays = {
         "n_reads": np.asarray([n_reads], np.int64),
@@ -37,16 +41,17 @@ def payload(packed: np.ndarray, lengths: np.ndarray, n_reads: int,
         "lengths": lengths[:n_reads].astype(np.uint16),
         "exc_pos": exc_pos.astype(np.uint64),
         "exc_byte": exc_byte.astype(np.uint8),
+        "perm": perm[:n_reads].astype(np.uint32),
     }
     return container.pack_arrays(
-        arrays, deflate=("packed", "lengths", "exc_pos", "exc_byte"),
+        arrays, deflate=("packed", "lengths", "exc_pos", "exc_byte", "perm"),
         level=level)
 
 
 def parse(blob: bytes, B: int) -> Tuple[np.ndarray, np.ndarray, int,
-                                        np.ndarray, np.ndarray]:
+                                        np.ndarray, np.ndarray, np.ndarray]:
     """Payload -> (packed u32 [B, W] zero-padded, lengths i32 [B],
-    n_reads, exc_pos, exc_byte)."""
+    n_reads, exc_pos, exc_byte, perm)."""
     a = container.unpack_arrays(blob)
     n_reads = int(a["n_reads"][0])
     stored = a["packed"]
@@ -56,4 +61,4 @@ def parse(blob: bytes, B: int) -> Tuple[np.ndarray, np.ndarray, int,
     lengths = np.zeros(B, np.int32)
     lengths[:n_reads] = a["lengths"].astype(np.int32)
     return packed, lengths, n_reads, a["exc_pos"].astype(np.int64), \
-        a["exc_byte"]
+        a["exc_byte"], a["perm"].astype(np.int64)

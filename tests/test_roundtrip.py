@@ -115,3 +115,27 @@ def test_truncated_container_detected(tmp_path):
                   output=str(tmp_path / "dec"), block_reads=1 << 10)
     with pytest.raises(ValueError, match="torn|trunc|corrupt"):
         driver.decompress(dcfg)
+
+
+def test_keep_order_byte_exact(tmp_path):
+    """--keep-order restores the EXACT input bytes (beyond ref parity)."""
+    payload = synth_fastq(2500, 100, seed=17, var_len=True, n_rate=0.01)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "out"), block_reads=1 << 10)
+    driver.compress(cfg)
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "out.00.scalcer"),),
+                  output=str(tmp_path / "dec"), block_reads=1 << 10,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "dec.fastq").read_bytes() == payload
+
+
+def test_name_stream_is_small_for_structured_names(tmp_path):
+    payload = synth_fastq(4096, 100, seed=18)      # SRA-style names
+    stats, got = _roundtrip(tmp_path, payload)
+    assert sorted(_records(got)) == sorted(_records(payload))
+    # original-order numeric deltas: name stream well under 1 B/read
+    assert stats.stream_bytes["n"] < 4096, stats.stream_bytes
