@@ -40,19 +40,51 @@ class RunStats:
         return json.dumps(d, sort_keys=True)
 
 
+def _lossy_preamble(cfg: Config, block_iter):
+    """Sample the first ``-S`` reads for the lossy histogram, returning
+    (qual_map, buffered_blocks, block_iter) — the reference's sampling
+    pass (SURVEY.md §4.4) without re-reading the input: sampled blocks
+    are buffered and encoded first.
+
+    Multi-host note: when sharded, this histogram must be all-reduced
+    across hosts before map construction so every host applies the same
+    table (SURVEY.md §6 "Distributed communication backend").
+    """
+    from scalce_tpu.models import lossy
+    if cfg.lossy_pct <= 0:
+        return lossy.identity_map(), [], block_iter
+    hist = np.zeros(0, np.int64)
+    buffered = []
+    sampled = 0
+    for block in block_iter:
+        b = block[0] if isinstance(block, tuple) else block
+        h = lossy.sample_histogram(b.qual, b.lengths, b.n_reads)
+        hist = h if hist.size == 0 else hist + h
+        buffered.append(block)
+        sampled += b.n_reads
+        if sampled >= cfg.sample_size:
+            break
+    qual_map = lossy.build_quant_map(hist, cfg.lossy_pct) \
+        if hist.size else lossy.identity_map()
+    return qual_map, buffered, block_iter
+
+
 def compress(cfg: Config) -> RunStats:
     t0 = time.monotonic()
     stats = RunStats(mode="compress")
     meta = file_meta(cfg)
-    enc = BlockEncoder(cfg)
 
     if cfg.paired:
         return _compress_paired(cfg, stats, meta, t0)
 
     (path,) = cfg.inputs
+    block_iter = fastq.iter_blocks(path, cfg.block_reads, cfg.max_read_len)
+    qual_map, buffered, block_iter = _lossy_preamble(cfg, block_iter)
+    enc = BlockEncoder(cfg, qual_map)
     writer = container.TripletWriter(cfg.output, meta,
                                      part_size=cfg.part_size, mate=None)
-    for block in fastq.iter_blocks(path, cfg.block_reads, cfg.max_read_len):
+    import itertools
+    for block in itertools.chain(buffered, block_iter):
         eb = enc.encode_block(block)
         writer.add_block(eb.block_id, eb.payloads, eb.n_reads)
         stats.n_blocks += 1

@@ -28,12 +28,15 @@ from scalce_tpu.streams import qualities, seqs
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "order"))
-def _device_encode(seq, qual, lengths, n_reads, exc_pos, k: int, seed: int,
-                   order: int):
+def _device_encode(seq, qual, lengths, n_reads, exc_pos, qual_map,
+                   k: int, seed: int, order: int):
     """Fused per-block device stage.
 
     exc_pos: int32 [E_pad] flat positions of non-ACGT bases, padded with
     out-of-range sentinels (dropped by the scatter).
+    qual_map: uint8 [256] quality remap LUT — identity when lossless,
+    the lossy quantizer's merge table under ``-p`` (SURVEY.md §4.4:
+    "mapping applied per quality byte inside hot loop #1").
     Returns (perm, packed seq, sorted lengths, qual sym/ctx grids,
     context histogram).
     """
@@ -44,6 +47,7 @@ def _device_encode(seq, qual, lengths, n_reads, exc_pos, k: int, seed: int,
     keys = core_match.build_sort_keys(seq, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     seq_s, qual_s, len_s = reorder.apply_permutation(perm, seq, qual, lengths)
+    qual_s = qual_map[qual_s]
     packed = pack_bases_u32(seq_s, axis=1)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
     return perm, packed, len_s, sym, ctx, counts
@@ -73,8 +77,12 @@ class BlockEncoder:
     """Stateless per-block encoder (safe to drive from a host thread pool:
     jit functions are pure; numpy work is per-block local)."""
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, qual_map: Optional[np.ndarray] = None):
         self.cfg = cfg
+        if qual_map is None:
+            from scalce_tpu.models import lossy
+            qual_map = lossy.identity_map()
+        self.qual_map = jnp.asarray(qual_map)
 
     def encode_block(self, block: ReadBlock) -> EncodedBlock:
         cfg = self.cfg
@@ -83,6 +91,7 @@ class BlockEncoder:
             jnp.asarray(block.seq), jnp.asarray(block.qual),
             jnp.asarray(block.lengths), jnp.int32(block.n_reads),
             jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
+            self.qual_map,
             cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
         perm_np = np.asarray(perm)
 
