@@ -57,11 +57,12 @@ def _lossy_preamble(cfg: Config, block_iter):
     buffered = []
     sampled = 0
     for block in block_iter:
-        b = block[0] if isinstance(block, tuple) else block
-        h = lossy.sample_histogram(b.qual, b.lengths, b.n_reads)
-        hist = h if hist.size == 0 else hist + h
+        bs = block if isinstance(block, tuple) else (block,)
+        for b in bs:
+            h = lossy.sample_histogram(b.qual, b.lengths, b.n_reads)
+            hist = h if hist.size == 0 else hist + h
+            sampled += b.n_reads
         buffered.append(block)
-        sampled += b.n_reads
         if sampled >= cfg.sample_size:
             break
     qual_map = lossy.build_quant_map(hist, cfg.lossy_pct) \
@@ -100,7 +101,33 @@ def compress(cfg: Config) -> RunStats:
 
 def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
                      t0: float) -> RunStats:
-    raise NotImplementedError("paired-end lands with the name-sync milestone")
+    """Paired-end compression: mate 2 follows mate 1's permutation;
+    separate ``_1``/``_2`` output triplets (SURVEY.md §2 "Paired-end
+    sync")."""
+    import itertools
+    path1, path2 = cfg.inputs
+    block_iter = fastq.iter_paired_blocks(path1, path2, cfg.block_reads,
+                                          cfg.max_read_len)
+    qual_map, buffered, block_iter = _lossy_preamble(cfg, block_iter)
+    enc = BlockEncoder(cfg, qual_map)
+    w1 = container.TripletWriter(cfg.output, meta, part_size=cfg.part_size,
+                                 mate=1)
+    w2 = container.TripletWriter(cfg.output, meta, part_size=cfg.part_size,
+                                 mate=2)
+    for b1, b2 in itertools.chain(buffered, block_iter):
+        e1, e2 = enc.encode_block_pair(b1, b2)
+        w1.add_block(e1.block_id, e1.payloads, e1.n_reads)
+        w2.add_block(e2.block_id, e2.payloads, e2.n_reads)
+        stats.n_blocks += 1
+        stats.n_reads += e1.n_reads + e2.n_reads
+        for k in "nrq":
+            stats.stream_bytes[k] += len(e1.payloads[k]) + len(e2.payloads[k])
+    w1.close()
+    w2.close()
+    stats.input_bytes = _file_size(path1) + _file_size(path2)
+    stats.output_bytes = sum(stats.stream_bytes.values())
+    stats.wall_s = time.monotonic() - t0
+    return stats
 
 
 def decompress(cfg: Config) -> RunStats:
@@ -110,7 +137,7 @@ def decompress(cfg: Config) -> RunStats:
     reader = container.TripletReader(path)
     meta = reader.meta
     if meta.get("paired"):
-        raise NotImplementedError("paired-end decode lands with name-sync")
+        return _decompress_paired(cfg, stats, reader, meta, t0)
     dec = BlockDecoder(meta, keep_order=cfg.keep_order)
     out_path = cfg.output if cfg.output.endswith(".fastq") \
         else cfg.output + ".fastq"
@@ -123,6 +150,41 @@ def decompress(cfg: Config) -> RunStats:
             stats.n_blocks += 1
             stats.n_reads += b.n_reads
     stats.output_bytes = _file_size(out_path)
+    stats.wall_s = time.monotonic() - t0
+    return stats
+
+
+def _decompress_paired(cfg: Config, stats: RunStats,
+                       reader: container.TripletReader, meta: Dict,
+                       t0: float) -> RunStats:
+    """Decode both mates in lockstep: record i of ``<out>_1.fastq`` pairs
+    with record i of ``<out>_2.fastq`` (the reference's pair-sync
+    invariant, SURVEY.md §1 item 6)."""
+    prefix = reader.prefix
+    r1 = reader if reader.mate == 1 else container.TripletReader(
+        container.part_paths(prefix, 0, 1)["r"])
+    r2 = container.TripletReader(container.part_paths(prefix, 0, 2)["r"])
+    d1 = BlockDecoder(meta, keep_order=cfg.keep_order)
+    d2 = BlockDecoder(meta, keep_order=cfg.keep_order)
+    out1 = open(f"{cfg.output}_1.fastq", "wb")
+    out2 = open(f"{cfg.output}_2.fastq", "wb")
+    try:
+        for (bid1, p1), (bid2, p2) in zip(r1.iter_blocks(),
+                                          r2.iter_blocks()):
+            if bid1 != bid2:
+                raise ValueError("mate triplets disagree on block order")
+            for dec, payloads, out in ((d1, p1, out1), (d2, p2, out2)):
+                b = dec.decode_block(payloads)
+                fastq.write_fastq_records(out, b.seq, b.qual, b.lengths,
+                                          b.n_reads, b.exc_pos, b.exc_byte,
+                                          b.names, b.plus)
+                stats.n_reads += b.n_reads
+            stats.n_blocks += 1
+    finally:
+        out1.close()
+        out2.close()
+    stats.output_bytes = (_file_size(f"{cfg.output}_1.fastq")
+                          + _file_size(f"{cfg.output}_2.fastq"))
     stats.wall_s = time.monotonic() - t0
     return stats
 

@@ -53,6 +53,19 @@ def _device_encode(seq, qual, lengths, n_reads, exc_pos, qual_map,
     return perm, packed, len_s, sym, ctx, counts
 
 
+@partial(jax.jit, static_argnames=("order",))
+def _device_encode_mate2(seq, qual, lengths, perm, qual_map, order: int):
+    """Mate-2 device stage: no core matching — mate 2 follows mate 1's
+    permutation so pairs stay line-synchronized (SURVEY.md §2
+    "Paired-end sync": "apply the SAME device permutation to both
+    mates' tensors")."""
+    seq_s, qual_s, len_s = reorder.apply_permutation(perm, seq, qual, lengths)
+    qual_s = qual_map[qual_s]
+    packed = pack_bases_u32(seq_s, axis=1)
+    sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
+    return packed, len_s, sym, ctx, counts
+
+
 def _pad_exc(exc_pos: np.ndarray, sentinel: int) -> np.ndarray:
     """Pad to a power-of-two length so jit recompiles stay bounded."""
     n = max(64, len(exc_pos))
@@ -93,8 +106,33 @@ class BlockEncoder:
             jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
             self.qual_map,
             cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
-        perm_np = np.asarray(perm)
+        return self._assemble(block, np.asarray(perm), packed, len_s,
+                              sym, ctx, counts)
 
+    def encode_block_pair(self, b1: ReadBlock, b2: ReadBlock
+                          ) -> Tuple[EncodedBlock, EncodedBlock]:
+        """Paired-end: mate 1 defines the permutation, mate 2 follows."""
+        cfg = self.cfg
+        B, L = b1.seq.shape
+        perm, packed, len_s, sym, ctx, counts = _device_encode(
+            jnp.asarray(b1.seq), jnp.asarray(b1.qual),
+            jnp.asarray(b1.lengths), jnp.int32(b1.n_reads),
+            jnp.asarray(_pad_exc(b1.exc_pos.astype(np.int32), B * L)),
+            self.qual_map,
+            cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+        perm_np = np.asarray(perm)
+        eb1 = self._assemble(b1, perm_np, packed, len_s, sym, ctx, counts)
+        packed2, len2, sym2, ctx2, counts2 = _device_encode_mate2(
+            jnp.asarray(b2.seq), jnp.asarray(b2.qual),
+            jnp.asarray(b2.lengths), jnp.asarray(perm_np.astype(np.int32)),
+            self.qual_map, cfg.qual_context_order)
+        eb2 = self._assemble(b2, perm_np, packed2, len2, sym2, ctx2, counts2)
+        return eb1, eb2
+
+    def _assemble(self, block: ReadBlock, perm_np: np.ndarray, packed,
+                  len_s, sym, ctx, counts) -> EncodedBlock:
+        cfg = self.cfg
+        B, L = block.seq.shape
         # quality stream (pass B needs host-built tables)
         enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,
                                             cfg.qual_context_order)
