@@ -1,0 +1,67 @@
+"""Benchmark harness: end-to-end FASTQ encode throughput on the local
+device (the driver runs this on real TPU hardware).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline assumption (documented because the reference's numbers are not
+retrievable offline — BASELINE.md): reference SCALCE is a single-node C
+tool that is "faster than gzip"; single-thread gzip-class FASTQ
+throughput is ~60 MB/s, so the reference baseline is pinned at
+0.06 GB/s.  vs_baseline = our GB/s / 0.06.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_GBPS = 0.06
+
+
+def main() -> None:
+    n_reads = int(os.environ.get("BENCH_READS", 1 << 18))
+    block_reads = int(os.environ.get("BENCH_BLOCK_READS", 1 << 15))
+
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    from scalce_tpu.utils.synth import synth_fastq
+
+    tmp = tempfile.mkdtemp(prefix="scalce_bench_")
+    path = os.path.join(tmp, "bench.fastq")
+    payload = synth_fastq(n_reads, 100, seed=42, genome_len=1_000_000,
+                          n_rate=0.001)
+    with open(path, "wb") as f:
+        f.write(payload)
+    input_bytes = len(payload)
+
+    def run(out_name: str):
+        cfg = Config(mode="compress", inputs=(path,),
+                     output=os.path.join(tmp, out_name),
+                     block_reads=block_reads)
+        t0 = time.monotonic()
+        stats = driver.compress(cfg)
+        return time.monotonic() - t0, stats
+
+    # warm-up: compile every jit in the pipeline
+    run("warm")
+    wall, stats = run("bench")
+
+    gbps = input_bytes / wall / 1e9
+    result = {
+        "metric": "encode_throughput",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / REFERENCE_GBPS, 2),
+    }
+    print(json.dumps(result))
+    # secondary detail on stderr for humans
+    print(f"[bench] {n_reads} reads, {input_bytes/1e6:.1f} MB in "
+          f"{wall:.2f}s; ratio {stats.input_bytes/stats.output_bytes:.2f}x; "
+          f"streams {stats.stream_bytes}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

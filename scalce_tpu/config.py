@@ -80,6 +80,13 @@ class Config:
     rans_prob_bits: int = 12           # M = 1 << prob_bits
     qual_context_order: int = 1        # 1 or 2 (prev-symbol contexts)
 
+    # --- multi-host data parallelism ------------------------------------
+    n_hosts: int = 1                   # total hosts in the job
+    host_id: int = 0                   # this host's rank
+                                       # (host h encodes blocks with
+                                       #  block_id % n_hosts == h; outputs
+                                       #  merge deterministically)
+
     # --- misc -----------------------------------------------------------
     stats_json: bool = False           # emit machine-readable stats
     verbose: bool = False
@@ -106,3 +113,5 @@ class Config:
             raise ValueError("rans_prob_bits must be in [8, 14]")
         if self.qual_context_order not in (1, 2):
             raise ValueError("qual_context_order must be 1 or 2")
+        if not (0 <= self.host_id < self.n_hosts):
+            raise ValueError("host_id must be in [0, n_hosts)")

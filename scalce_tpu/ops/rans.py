@@ -112,7 +112,9 @@ def rans_encode(sym: jnp.ndarray, ctx: jnp.ndarray,
         x = (q << PROB_BITS) + r + cum
         return x, (word, emit)
 
-    x0 = jnp.full((N,), RANS_L, dtype=U32)
+    # derive the carry from an input so its sharding "varying" axes match
+    # the scanned operands under shard_map (zero-cost after fusion)
+    x0 = (sym_t[0] & U32(0)) + RANS_L
     # encoder walks t = T-1 .. 0 (reverse data order)
     xs = (sym_t[::-1], ctx_t[::-1])
     x_fin, (words, emits) = jax.lax.scan(step, x0, xs)
@@ -174,8 +176,8 @@ def rans_decode(states: jnp.ndarray, words_padded: jnp.ndarray,
         cursor = cursor + need.astype(I32)
         return (x, cursor, s, prev1), s
 
-    carry0 = (states, jnp.zeros(N, dtype=I32),
-              jnp.zeros(N, dtype=U32), jnp.zeros(N, dtype=U32))
+    zero_u = states & U32(0)            # varying-axes-matched zeros
+    carry0 = (states, zero_u.astype(I32), zero_u, zero_u)
     (x_end, _, _, _), syms = jax.lax.scan(step, carry0, aux)
     # invariant: fully-drained lanes return to the lower bound
     del x_end

@@ -82,10 +82,15 @@ def compress(cfg: Config) -> RunStats:
     block_iter = fastq.iter_blocks(path, cfg.block_reads, cfg.max_read_len)
     qual_map, buffered, block_iter = _lossy_preamble(cfg, block_iter)
     enc = BlockEncoder(cfg, qual_map)
-    writer = container.TripletWriter(cfg.output, meta,
-                                     part_size=cfg.part_size, mate=None)
+    out_prefix, multihost = _host_output(cfg)
+    writer = container.TripletWriter(
+        out_prefix, meta,
+        part_size=0 if multihost else cfg.part_size, mate=None)
     import itertools
+    from scalce_tpu.parallel.merge import owns_block
     for block in itertools.chain(buffered, block_iter):
+        if not owns_block(block.block_id, cfg.host_id, cfg.n_hosts):
+            continue
         eb = enc.encode_block(block)
         writer.add_block(eb.block_id, eb.payloads, eb.n_reads)
         stats.n_blocks += 1
@@ -99,6 +104,27 @@ def compress(cfg: Config) -> RunStats:
     return stats
 
 
+def _host_output(cfg: Config):
+    """Multi-host runs write per-host intermediates; ``merge_hosts``
+    interleaves them into the final triplet (SURVEY.md §3 multi-host DP:
+    "deterministic ordered gather/merge")."""
+    if cfg.n_hosts > 1:
+        from scalce_tpu.parallel.merge import host_prefix
+        return host_prefix(cfg.output, cfg.host_id), True
+    return cfg.output, False
+
+
+def merge_hosts(cfg: Config) -> int:
+    """Rank-0 post-step: merge every host's triplet into the final one."""
+    from scalce_tpu.parallel.merge import merge_host_outputs
+    mates = (1, 2) if cfg.paired else (None,)
+    n = 0
+    for mate in mates:
+        n = merge_host_outputs(cfg.output, cfg.n_hosts,
+                               part_size=cfg.part_size, mate=mate)
+    return n
+
+
 def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
                      t0: float) -> RunStats:
     """Paired-end compression: mate 2 follows mate 1's permutation;
@@ -110,11 +136,14 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
                                           cfg.max_read_len)
     qual_map, buffered, block_iter = _lossy_preamble(cfg, block_iter)
     enc = BlockEncoder(cfg, qual_map)
-    w1 = container.TripletWriter(cfg.output, meta, part_size=cfg.part_size,
-                                 mate=1)
-    w2 = container.TripletWriter(cfg.output, meta, part_size=cfg.part_size,
-                                 mate=2)
+    out_prefix, multihost = _host_output(cfg)
+    psize = 0 if multihost else cfg.part_size
+    w1 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=1)
+    w2 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=2)
+    from scalce_tpu.parallel.merge import owns_block
     for b1, b2 in itertools.chain(buffered, block_iter):
+        if not owns_block(b1.block_id, cfg.host_id, cfg.n_hosts):
+            continue
         e1, e2 = enc.encode_block_pair(b1, b2)
         w1.add_block(e1.block_id, e1.payloads, e1.n_reads)
         w2.add_block(e2.block_id, e2.payloads, e2.n_reads)

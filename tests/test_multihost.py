@@ -1,0 +1,62 @@
+"""Multi-host determinism: N-host encode + ordered merge must be
+byte-identical to the 1-host output (SURVEY.md §5), simulated as N
+sequential driver invocations in one process."""
+
+import pytest
+
+from scalce_tpu.config import Config
+from scalce_tpu.pipeline import driver
+from scalce_tpu.utils.synth import synth_fastq
+
+
+def _triplet_bytes(tmp_path, prefix):
+    out = {}
+    for ext in (".scalcen", ".scalcer", ".scalceq"):
+        part = 0
+        chunks = []
+        while (tmp_path / f"{prefix}.{part:02d}{ext}").exists():
+            chunks.append((tmp_path / f"{prefix}.{part:02d}{ext}"
+                           ).read_bytes())
+            part += 1
+        out[ext] = chunks
+    return out
+
+
+@pytest.mark.parametrize("part_size", [0, 120_000])
+def test_three_host_output_byte_identical(tmp_path, part_size):
+    payload = synth_fastq(7000, 100, seed=40, var_len=True, n_rate=0.003)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+
+    base = dict(mode="compress", inputs=(str(inp),), block_reads=1 << 10,
+                part_size=part_size)
+    # single host
+    driver.compress(Config(output=str(tmp_path / "one"), **base))
+
+    # three simulated hosts + merge
+    n_hosts = 3
+    for h in range(n_hosts):
+        driver.compress(Config(output=str(tmp_path / "multi"),
+                               n_hosts=n_hosts, host_id=h, **base))
+    n = driver.merge_hosts(Config(output=str(tmp_path / "multi"),
+                                  n_hosts=n_hosts, **base))
+    assert n == 7            # ceil(7000 / 1024)
+
+    one = _triplet_bytes(tmp_path, "one")
+    multi = _triplet_bytes(tmp_path, "multi")
+    assert one == multi, "multi-host merge is not byte-identical"
+    # intermediates cleaned up
+    assert not list(tmp_path.glob("multi.host*"))
+
+
+def test_merge_detects_missing_host_blocks(tmp_path):
+    payload = synth_fastq(4000, 100, seed=41)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    base = dict(mode="compress", inputs=(str(inp),), block_reads=1 << 10)
+    # host 1 of 2 never runs
+    driver.compress(Config(output=str(tmp_path / "m"), n_hosts=2,
+                           host_id=0, **base))
+    with pytest.raises((ValueError, FileNotFoundError)):
+        driver.merge_hosts(Config(output=str(tmp_path / "m"), n_hosts=2,
+                                  **base))

@@ -1,0 +1,105 @@
+"""Sharded data-parallel pipeline tests on the 8-device CPU mesh
+(SURVEY.md §5: multi-host-style testing without a cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scalce_tpu.models import entropy
+from scalce_tpu.parallel import mesh as pmesh
+from scalce_tpu.streams import qualities
+
+
+def _make_blocks(D, B, L, seed=0):
+    rng = np.random.default_rng(seed)
+    seq = rng.integers(0, 4, size=(D, B, L), dtype=np.uint8)
+    qual = rng.integers(35, 70, size=(D, B, L), dtype=np.uint8)
+    lengths = np.full((D, B), L, np.int32)
+    n_reads = np.full((D,), B, np.int32)
+    exc = np.zeros((D, B, L), bool)
+    return seq, qual, lengths, n_reads, exc
+
+
+def test_sharded_stage1_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    D, B, L = 8, 64, 48
+    seq, qual, lengths, n_reads, exc = _make_blocks(D, B, L)
+    m = pmesh.local_mesh(8)
+    stage1 = pmesh.make_sharded_stage1(m, k=8, seed=7, order=1)
+    qm = jnp.arange(256, dtype=jnp.uint8)
+    perm, packed, len_s, sym, ctx, counts = stage1(
+        jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+        jnp.asarray(n_reads), jnp.asarray(exc), qm)
+
+    # reference: run each block through the unsharded path
+    for d in range(D):
+        p_ref, pk_ref, ls_ref, sym_ref, ctx_ref, cnt_ref = \
+            pmesh._block_stage1(jnp.asarray(seq[d]), jnp.asarray(qual[d]),
+                                jnp.asarray(lengths[d]),
+                                jnp.int32(n_reads[d]), jnp.asarray(exc[d]),
+                                qm, k=8, seed=7, order=1)
+        np.testing.assert_array_equal(np.asarray(perm)[d], np.asarray(p_ref))
+        np.testing.assert_array_equal(np.asarray(packed)[d],
+                                      np.asarray(pk_ref))
+        np.testing.assert_array_equal(np.asarray(counts)[d],
+                                      np.asarray(cnt_ref))
+
+
+def test_sharded_qual_encode_roundtrips():
+    D, B, L = 8, 32, 32
+    seq, qual, lengths, n_reads, exc = _make_blocks(D, B, L, seed=1)
+    m = pmesh.local_mesh(8)
+    stage1 = pmesh.make_sharded_stage1(m, k=8, seed=7, order=1)
+    qm = jnp.arange(256, dtype=jnp.uint8)
+    _, _, len_s, sym, ctx, counts = stage1(
+        jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+        jnp.asarray(n_reads), jnp.asarray(exc), qm)
+
+    T = qualities.pick_T(B, L)
+    C = qualities.n_contexts(1)
+    freqs, cums, luts = [], [], []
+    for d in range(D):
+        f, c, lut = entropy.tables_from_counts(np.asarray(counts)[d], C,
+                                               qualities.N_SYMS)
+        freqs.append(f.reshape(-1))
+        cums.append(c.reshape(-1))
+        luts.append(lut)
+    enc = pmesh.make_sharded_qual_encode(m, qualities.N_SYMS, T)
+    states, packed_w, wcounts = enc(sym, ctx,
+                                    jnp.asarray(np.stack(freqs)),
+                                    jnp.asarray(np.stack(cums)))
+    # decode every block with the single-device path and compare
+    for d in range(D):
+        eq = qualities.EncodedQuals(
+            freq=np.asarray(freqs[d]).reshape(C, qualities.N_SYMS),
+            states=np.asarray(states)[d],
+            counts=np.asarray(wcounts)[d],
+            words=_flatten(np.asarray(packed_w)[d], np.asarray(wcounts)[d]),
+            B=B, L=L, T=T, order=1)
+        got = qualities.decode(eq, np.asarray(len_s)[d])
+        # expected: remapped-sorted qual grid; recompute via sym grid
+        exp = np.where(np.asarray(sym)[d] > 0,
+                       np.asarray(sym)[d] + qualities.QUAL_OFFSET,
+                       np.asarray(sym)[d] + qualities.QUAL_OFFSET)
+        exp = (np.asarray(sym)[d] + qualities.QUAL_OFFSET).astype(np.uint8)
+        valid = np.arange(L)[None, :] < np.asarray(len_s)[d][:, None]
+        exp = np.where(valid, exp, 0).astype(np.uint8)
+        np.testing.assert_array_equal(got, exp)
+
+
+def _flatten(packed, counts):
+    return np.concatenate([packed[n, :c] for n, c in enumerate(counts)]) \
+        if counts.sum() else np.empty(0, np.uint16)
+
+
+def test_lossy_hist_allreduce_matches_global():
+    D, B, L = 8, 16, 32
+    _, qual, lengths, _, _ = _make_blocks(D, B, L, seed=2)
+    m = pmesh.local_mesh(8)
+    hist_fn = pmesh.make_lossy_hist_allreduce(m, qualities.N_SYMS)
+    h = np.asarray(hist_fn(jnp.asarray(qual), jnp.asarray(lengths)))
+    sym = np.clip(qual.astype(np.int64) - qualities.QUAL_OFFSET, 0,
+                  qualities.N_SYMS - 1)
+    ref = np.bincount(sym.reshape(-1), minlength=qualities.N_SYMS)
+    np.testing.assert_array_equal(h, ref)
