@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--paired", action="store_true",
                    help="paired-end mode (two inputs)")
     p.add_argument("-o", "--output", default="out", help="output prefix")
-    p.add_argument("-T", "--threads", type=int, default=1)
+    p.add_argument("-T", "--threads", type=int, default=4)
     p.add_argument("-p", "--lossy", type=int, default=0, metavar="PCT",
                    help="lossy quality quantization percentage")
     p.add_argument("-S", "--sample-size", type=int, default=100_000)

@@ -57,7 +57,7 @@ class Config:
     inputs: Tuple[str, ...] = ()       # 1 file, or 2 when paired
     output: str = "out"                # -o output prefix
     paired: bool = False               # -r
-    threads: int = 1                   # -T (host-side backend workers)
+    threads: int = 4                   # -T (host-side assembly workers)
     lossy_pct: int = 0                 # -p ; 0 = lossless qualities
     sample_size: int = 100_000         # -S ; reads sampled for lossy histogram
     part_size: int = NO_PART_LIMIT     # -B ; max compressed bytes per part

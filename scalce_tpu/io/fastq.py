@@ -38,13 +38,24 @@ CODE_TO_BASE = np.frombuffer(b"ACGT", dtype=np.uint8).copy()
 _CHUNK_BYTES = 32 << 20  # streaming read granularity
 _EMPTY_U8 = np.empty(0, np.uint8)
 
+try:  # native memcpy paths (scalce_tpu/native); NumPy fallback below
+    from scalce_tpu import native as _native
+    _NATIVE = _native.AVAILABLE
+except Exception:  # pragma: no cover - toolchain-less environments
+    _native = None
+    _NATIVE = False
+
 
 def ragged_gather(buf: np.ndarray, starts: np.ndarray,
                   lens: np.ndarray) -> np.ndarray:
-    """Concatenate ``buf[starts[i]:starts[i]+lens[i]]`` fully vectorized."""
+    """Concatenate ``buf[starts[i]:starts[i]+lens[i]]``, vectorized
+    (native memcpy loop when the C extension is available)."""
     total = int(lens.sum())
     if total == 0:
         return buf[:0]
+    if _NATIVE and buf.dtype == np.uint8 and buf.flags.c_contiguous:
+        return _native.ragged_gather_u8(buf, starts.astype(np.int64),
+                                        lens.astype(np.int64))
     off = np.concatenate(([0], np.cumsum(lens)[:-1]))
     idx = np.repeat(starts - off, lens) + np.arange(total, dtype=np.int64)
     return buf[idx]
@@ -55,6 +66,12 @@ def ragged_scatter(dst: np.ndarray, dst_starts: np.ndarray,
     """Inverse of :func:`ragged_gather`: write concatenated rows into dst."""
     total = int(lens.sum())
     if total == 0:
+        return
+    if (_NATIVE and dst.dtype == np.uint8 and dst.flags.c_contiguous
+            and src_cat.dtype == np.uint8):
+        _native.ragged_scatter_u8(dst, dst_starts.astype(np.int64),
+                                  np.ascontiguousarray(src_cat),
+                                  lens.astype(np.int64))
         return
     off = np.concatenate(([0], np.cumsum(lens)[:-1]))
     idx = np.repeat(dst_starts - off, lens) + np.arange(total, dtype=np.int64)
@@ -325,7 +342,13 @@ def _records_to_block(rec: _RawRecords, capacity: int, max_len: int,
     lengths = np.zeros(capacity, dtype=np.int32)
     lengths[:n] = lens
 
-    if n:
+    if n and _NATIVE:
+        # one native pass: scatter + base translation + exception capture
+        exc_pos, exc_byte = _native.fill_block(
+            rec.seq.cat, rec.seq.offsets[:-1],
+            rec.qual.cat, rec.qual.offsets[:-1],
+            lens, max_len, BASE_TO_CODE, seq, qual)
+    elif n:
         # scatter ragged cats into padded rows, vectorized
         flat_starts = np.arange(n, dtype=np.int64) * max_len
         flat_seq = seq.reshape(-1)
@@ -415,6 +438,20 @@ def write_fastq_records(out: IO[bytes], seq: np.ndarray, qual: np.ndarray,
     rec_lens = 1 + name_lens + 1 + lens + 1 + 1 + plus_lens + 1 + lens + 1
     rec_off = lens_to_offsets(rec_lens)
     buf = np.empty(int(rec_off[-1]), dtype=np.uint8)
+
+    if _NATIVE:
+        _native.render_fastq(
+            np.ascontiguousarray(bases), np.ascontiguousarray(
+                qual[:n_reads]).reshape(-1),
+            lens, max_len,
+            names.cat[: int(names.offsets[n_reads])],
+            names.offsets[: n_reads + 1] - names.offsets[0],
+            plus_cat if plus is not None else None,
+            (plus.offsets[: n_reads + 1] - plus.offsets[0])
+            if plus is not None else None,
+            buf, rec_off)
+        out.write(buf.tobytes())
+        return
 
     at = rec_off[:-1]
     buf[at] = ord("@")

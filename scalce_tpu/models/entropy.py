@@ -105,10 +105,15 @@ def payload_to_freq(payload: bytes, n_ctx: int, n_syms: int) -> np.ndarray:
     return freq
 
 
-def tables_from_counts(counts: np.ndarray, n_ctx: int, n_syms: int
+def tables_from_counts(counts: np.ndarray, n_ctx: int, n_syms: int,
+                       build_lut: bool = True
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """counts (flat or [C,S]) -> (freq [C,S], cum [C,S], decode_lut flat)."""
+    """counts (flat or [C,S]) -> (freq [C,S], cum [C,S], decode_lut flat).
+
+    build_lut=False skips the decode LUT (encode paths never need it —
+    it is rebuilt from the stored freq table at decode time)."""
     counts = np.asarray(counts).reshape(n_ctx, n_syms)
     freq = normalize_freqs(counts, n_syms)
     cum = freq_to_cum(freq)
-    return freq, cum, build_decode_lut(freq, cum)
+    lut = build_decode_lut(freq, cum) if build_lut else None
+    return freq, cum, lut

@@ -1,0 +1,131 @@
+"""ctypes binding for the native host library (see host_ops.c).
+
+Compiled on first import with the system C compiler (no pip, no
+pybind11); a missing/failed toolchain degrades gracefully to the NumPy
+fallbacks in ``io/fastq.py`` (``AVAILABLE`` stays False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+from typing import Optional
+
+import numpy as np
+from numpy.ctypeslib import ndpointer
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_ops.c")
+_SO = os.path.join(_DIR, f"_host_ops_{sys.implementation.cache_tag}.so")
+
+_lib: Optional[ctypes.CDLL] = None
+AVAILABLE = False
+
+
+def _build() -> bool:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) > os.path.getmtime(_SRC):
+        return True
+    cc = os.environ.get("CC", "cc")
+    try:
+        # build into a temp file then atomically rename (parallel-safe)
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+        os.close(fd)
+        subprocess.run(
+            [cc, "-O3", "-shared", "-fPIC", "-fvisibility=hidden",
+             "-o", tmp, _SRC],
+            check=True, capture_output=True)
+        os.replace(tmp, _SO)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+
+
+_i64p = ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u8p = ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _bind() -> None:
+    global _lib, AVAILABLE
+    if not _build():
+        return
+    lib = ctypes.CDLL(_SO)
+    lib.ragged_gather_u8.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                     _u8p]
+    lib.ragged_gather_u8.restype = None
+    lib.ragged_scatter_u8.argtypes = [_u8p, _i64p, _u8p, _i64p,
+                                      ctypes.c_int64]
+    lib.ragged_scatter_u8.restype = None
+    lib.fill_block.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p,
+                               ctypes.c_int64, ctypes.c_int64, _u8p, _u8p,
+                               _u8p, _i64p, _u8p, ctypes.c_int64]
+    lib.fill_block.restype = ctypes.c_int64
+    lib.render_fastq.argtypes = [_u8p, _u8p, _i64p, ctypes.c_int64,
+                                 ctypes.c_int64, _u8p, _i64p,
+                                 ctypes.c_void_p, ctypes.c_void_p,
+                                 _u8p, _i64p]
+    lib.render_fastq.restype = None
+    _lib = lib
+    AVAILABLE = True
+
+
+_bind()
+
+
+def ragged_gather_u8(buf: np.ndarray, starts: np.ndarray,
+                     lens: np.ndarray) -> np.ndarray:
+    out = np.empty(int(lens.sum()), np.uint8)
+    _lib.ragged_gather_u8(buf, np.ascontiguousarray(starts),
+                          np.ascontiguousarray(lens), len(starts), out)
+    return out
+
+
+def ragged_scatter_u8(dst: np.ndarray, dst_starts: np.ndarray,
+                      src: np.ndarray, lens: np.ndarray) -> None:
+    _lib.ragged_scatter_u8(dst, np.ascontiguousarray(dst_starts),
+                           np.ascontiguousarray(src),
+                           np.ascontiguousarray(lens), len(dst_starts))
+
+
+def fill_block(seq_buf: np.ndarray, seq_starts: np.ndarray,
+               qual_buf: np.ndarray, qual_starts: np.ndarray,
+               lens: np.ndarray, L: int,
+               base2code: np.ndarray, seq_out: np.ndarray,
+               qual_out: np.ndarray):
+    """Returns (exc_pos, exc_byte); grows the exception buffer on demand."""
+    n = len(lens)
+    cap = 1024
+    while True:
+        exc_pos = np.empty(cap, np.int64)
+        exc_byte = np.empty(cap, np.uint8)
+        got = _lib.fill_block(np.ascontiguousarray(seq_buf),
+                              np.ascontiguousarray(seq_starts),
+                              np.ascontiguousarray(qual_buf),
+                              np.ascontiguousarray(qual_starts),
+                              np.ascontiguousarray(lens), n, L,
+                              base2code, seq_out.reshape(-1),
+                              qual_out.reshape(-1), exc_pos, exc_byte, cap)
+        if got >= 0:
+            return exc_pos[:got], exc_byte[:got]
+        cap *= 8
+
+
+def render_fastq(bases: np.ndarray, qual: np.ndarray, lens: np.ndarray,
+                 L: int, name_cat: np.ndarray, name_off: np.ndarray,
+                 plus_cat: Optional[np.ndarray],
+                 plus_off: Optional[np.ndarray],
+                 out: np.ndarray, rec_off: np.ndarray) -> None:
+    n = len(lens)
+    pc = plus_cat.ctypes.data if plus_cat is not None else None
+    po = plus_off.ctypes.data if plus_off is not None else None
+    _lib.render_fastq(bases.reshape(-1), qual.reshape(-1),
+                      np.ascontiguousarray(lens), n, L,
+                      np.ascontiguousarray(name_cat),
+                      np.ascontiguousarray(name_off), pc, po,
+                      out, np.ascontiguousarray(rec_off))

@@ -5,11 +5,16 @@ reference's stderr prints)."""
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures as _fut
 import dataclasses
+import itertools
 import json
+import queue as _queue
 import sys
+import threading
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -70,6 +75,61 @@ def _lossy_preamble(cfg: Config, block_iter):
     return qual_map, buffered, block_iter
 
 
+def _prefetch(it: Iterator, depth: int = 3) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue —
+    overlaps host FASTQ parsing with device encode (the H2D boundary of
+    SURVEY.md §4: parse feeds the device asynchronously)."""
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    _END = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:           # propagate parse errors
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def _run_pipelined(blocks: Iterator, encode_device, assemble, emit,
+                   workers: int) -> None:
+    """Three-stage block pipeline.
+
+    main thread:   device dispatch per block (stays in submission order)
+    worker pool:   assemble (D2H + tables + rANS pass B + deflate)
+    emit:          called in block order with each finished result
+    """
+    if workers <= 1:
+        for item in blocks:
+            emit(assemble(item, encode_device(item)))
+        return
+    pool = _fut.ThreadPoolExecutor(max_workers=workers)
+    pending: collections.deque = collections.deque()
+    max_pending = workers + 2
+    try:
+        for item in blocks:
+            devout = encode_device(item)
+            pending.append(pool.submit(assemble, item, devout))
+            while len(pending) >= max_pending:
+                emit(pending.popleft().result())
+        while pending:
+            emit(pending.popleft().result())
+    finally:
+        pool.shutdown(wait=True)
+
+
 def compress(cfg: Config) -> RunStats:
     t0 = time.monotonic()
     stats = RunStats(mode="compress")
@@ -86,17 +146,19 @@ def compress(cfg: Config) -> RunStats:
     writer = container.TripletWriter(
         out_prefix, meta,
         part_size=0 if multihost else cfg.part_size, mate=None)
-    import itertools
     from scalce_tpu.parallel.merge import owns_block
-    for block in itertools.chain(buffered, block_iter):
-        if not owns_block(block.block_id, cfg.host_id, cfg.n_hosts):
-            continue
-        eb = enc.encode_block(block)
+    owned = (b for b in itertools.chain(buffered, block_iter)
+             if owns_block(b.block_id, cfg.host_id, cfg.n_hosts))
+
+    def emit(eb):
         writer.add_block(eb.block_id, eb.payloads, eb.n_reads)
         stats.n_blocks += 1
         stats.n_reads += eb.n_reads
         for k, p in eb.payloads.items():
             stats.stream_bytes[k] += len(p)
+
+    _run_pipelined(_prefetch(owned), enc.encode_device, enc.assemble,
+                   emit, cfg.threads)
     writer.close()
     stats.input_bytes = _file_size(path)
     stats.output_bytes = sum(stats.stream_bytes.values())
@@ -130,7 +192,6 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     """Paired-end compression: mate 2 follows mate 1's permutation;
     separate ``_1``/``_2`` output triplets (SURVEY.md §2 "Paired-end
     sync")."""
-    import itertools
     path1, path2 = cfg.inputs
     block_iter = fastq.iter_paired_blocks(path1, path2, cfg.block_reads,
                                           cfg.max_read_len)
@@ -141,16 +202,22 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     w1 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=1)
     w2 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=2)
     from scalce_tpu.parallel.merge import owns_block
-    for b1, b2 in itertools.chain(buffered, block_iter):
-        if not owns_block(b1.block_id, cfg.host_id, cfg.n_hosts):
-            continue
-        e1, e2 = enc.encode_block_pair(b1, b2)
+    owned = (p for p in itertools.chain(buffered, block_iter)
+             if owns_block(p[0].block_id, cfg.host_id, cfg.n_hosts))
+
+    def emit(pair):
+        e1, e2 = pair
         w1.add_block(e1.block_id, e1.payloads, e1.n_reads)
         w2.add_block(e2.block_id, e2.payloads, e2.n_reads)
         stats.n_blocks += 1
         stats.n_reads += e1.n_reads + e2.n_reads
         for k in "nrq":
             stats.stream_bytes[k] += len(e1.payloads[k]) + len(e2.payloads[k])
+
+    _run_pipelined(_prefetch(owned),
+                   lambda p: enc.encode_device_pair(*p),
+                   lambda p, d: enc.assemble_pair(p[0], p[1], d),
+                   emit, cfg.threads)
     w1.close()
     w2.close()
     stats.input_bytes = _file_size(path1) + _file_size(path2)

@@ -97,37 +97,52 @@ class BlockEncoder:
             qual_map = lossy.identity_map()
         self.qual_map = jnp.asarray(qual_map)
 
-    def encode_block(self, block: ReadBlock) -> EncodedBlock:
+    # -- stage split: ``encode_device`` runs only device dispatches (kept
+    # on the driver's main thread so device work pipelines in submission
+    # order); ``assemble`` does D2H + tables + payload bytes and is safe
+    # to run on a host worker thread (the reference's -T concurrency,
+    # SURVEY.md §2 "Threading", moved to where the host time actually is)
+
+    def encode_device(self, block: ReadBlock):
         cfg = self.cfg
         B, L = block.seq.shape
-        perm, packed, len_s, sym, ctx, counts = _device_encode(
+        return _device_encode(
             jnp.asarray(block.seq), jnp.asarray(block.qual),
             jnp.asarray(block.lengths), jnp.int32(block.n_reads),
             jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
             self.qual_map,
             cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+
+    def assemble(self, block: ReadBlock, devout) -> EncodedBlock:
+        perm, packed, len_s, sym, ctx, counts = devout
         return self._assemble(block, np.asarray(perm), packed, len_s,
                               sym, ctx, counts)
+
+    def encode_block(self, block: ReadBlock) -> EncodedBlock:
+        return self.assemble(block, self.encode_device(block))
+
+    def encode_device_pair(self, b1: ReadBlock, b2: ReadBlock):
+        cfg = self.cfg
+        out1 = self.encode_device(b1)
+        perm = out1[0]
+        out2 = _device_encode_mate2(
+            jnp.asarray(b2.seq), jnp.asarray(b2.qual),
+            jnp.asarray(b2.lengths), perm.astype(jnp.int32),
+            self.qual_map, cfg.qual_context_order)
+        return out1, out2
+
+    def assemble_pair(self, b1: ReadBlock, b2: ReadBlock, devout
+                      ) -> Tuple[EncodedBlock, EncodedBlock]:
+        out1, out2 = devout
+        perm_np = np.asarray(out1[0])
+        eb1 = self._assemble(b1, perm_np, *out1[1:])
+        eb2 = self._assemble(b2, perm_np, *out2)
+        return eb1, eb2
 
     def encode_block_pair(self, b1: ReadBlock, b2: ReadBlock
                           ) -> Tuple[EncodedBlock, EncodedBlock]:
         """Paired-end: mate 1 defines the permutation, mate 2 follows."""
-        cfg = self.cfg
-        B, L = b1.seq.shape
-        perm, packed, len_s, sym, ctx, counts = _device_encode(
-            jnp.asarray(b1.seq), jnp.asarray(b1.qual),
-            jnp.asarray(b1.lengths), jnp.int32(b1.n_reads),
-            jnp.asarray(_pad_exc(b1.exc_pos.astype(np.int32), B * L)),
-            self.qual_map,
-            cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
-        perm_np = np.asarray(perm)
-        eb1 = self._assemble(b1, perm_np, packed, len_s, sym, ctx, counts)
-        packed2, len2, sym2, ctx2, counts2 = _device_encode_mate2(
-            jnp.asarray(b2.seq), jnp.asarray(b2.qual),
-            jnp.asarray(b2.lengths), jnp.asarray(perm_np.astype(np.int32)),
-            self.qual_map, cfg.qual_context_order)
-        eb2 = self._assemble(b2, perm_np, packed2, len2, sym2, ctx2, counts2)
-        return eb1, eb2
+        return self.assemble_pair(b1, b2, self.encode_device_pair(b1, b2))
 
     def _assemble(self, block: ReadBlock, perm_np: np.ndarray, packed,
                   len_s, sym, ctx, counts) -> EncodedBlock:

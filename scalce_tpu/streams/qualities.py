@@ -166,18 +166,31 @@ def encode(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
     return encode_from_grids(sym, ctx, counts, B, L, order, T_target)
 
 
+@partial(jax.jit, static_argnames=("W",))
+def _slice_words(packed: jnp.ndarray, W: int) -> jnp.ndarray:
+    return packed[:, :W]
+
+
 def encode_from_grids(sym, ctx, counts, B: int, L: int, order: int,
                       T_target: int = 1024) -> EncodedQuals:
     """Pass B given device grids from :func:`sym_ctx_hist` (pipelines fuse
     pass A into their own jit and call this for the table+encode half)."""
     T = pick_T(B, L, T_target)
     freq, cum, _ = entropy.tables_from_counts(np.asarray(counts),
-                                              n_contexts(order), N_SYMS)
+                                              n_contexts(order), N_SYMS,
+                                              build_lut=False)
     states, packed, wcounts = _encode_pass(
         sym, ctx, jnp.asarray(freq.reshape(-1)),
         jnp.asarray(entropy.freq_to_cum(freq).reshape(-1)), T)
-    packed = np.asarray(packed)
     wcounts = np.asarray(wcounts).astype(np.int64)
+    # slice the padded word matrix to a power-of-two bucket ON DEVICE
+    # before download: D2H is the scarce resource (the padded [N, T]
+    # matrix is ~6x larger than the real words)
+    W = 64
+    wmax = int(wcounts.max()) if wcounts.size else 0
+    while W < wmax:
+        W <<= 1
+    packed = np.asarray(_slice_words(packed, min(W, packed.shape[1])))
     # per-lane compaction to a flat stream (decode order preserved),
     # vectorized via the shared ragged gather
     from scalce_tpu.io.fastq import ragged_gather
