@@ -66,6 +66,16 @@ def _bind() -> None:
                                ctypes.c_int64, ctypes.c_int64, _u8p, _u8p,
                                _u8p, _i64p, _u8p, ctypes.c_int64]
     lib.fill_block.restype = ctypes.c_int64
+    lib.pack2bit_u32.argtypes = [_u8p, ctypes.c_int64,
+                                 ndpointer(np.uint32,
+                                           flags="C_CONTIGUOUS")]
+    lib.pack2bit_u32.restype = None
+    lib.reconstruct_delta.argtypes = [_u8p,
+                                      ndpointer(np.int16,
+                                                flags="C_CONTIGUOUS"),
+                                      _u8p, _i64p, ctypes.c_int64,
+                                      ctypes.c_int64, _u8p]
+    lib.reconstruct_delta.restype = None
     lib.render_fastq.argtypes = [_u8p, _u8p, _i64p, ctypes.c_int64,
                                  ctypes.c_int64, _u8p, _i64p,
                                  ctypes.c_void_p, ctypes.c_void_p,
@@ -114,6 +124,24 @@ def fill_block(seq_buf: np.ndarray, seq_starts: np.ndarray,
         if got >= 0:
             return exc_pos[:got], exc_byte[:got]
         cap *= 8
+
+
+def pack2bit(codes: np.ndarray) -> np.ndarray:
+    """codes uint8 [..., n*16] -> uint32 [..., n], big-endian in-word."""
+    flat = np.ascontiguousarray(codes).reshape(-1)
+    n_words = flat.size // 16
+    out = np.empty(n_words, np.uint32)
+    _lib.pack2bit_u32(flat, n_words, out)
+    return out.reshape(codes.shape[:-1] + (codes.shape[-1] // 16,))
+
+
+def reconstruct_delta(mask_bits: np.ndarray, shifts: np.ndarray,
+                      lits: np.ndarray, lens: np.ndarray, L: int,
+                      out: np.ndarray) -> None:
+    _lib.reconstruct_delta(mask_bits, shifts,
+                           np.ascontiguousarray(lits),
+                           np.ascontiguousarray(lens), len(lens), L,
+                           out.reshape(-1))
 
 
 def render_fastq(bases: np.ndarray, qual: np.ndarray, lens: np.ndarray,

@@ -83,6 +83,52 @@ EXPORT int64_t fill_block(const uint8_t *seq_buf,
     return n_exc;
 }
 
+/* Pack 2-bit base codes 16-per-u32, big-endian within the word (first
+ * base in the highest bits) — must match ops/bitops.py pack_bases_u32.
+ * codes length = n_words * 16.  Packing on host shrinks the H2D
+ * transfer 4x (the tunnel/PCIe link is the scarce resource).
+ */
+EXPORT void pack2bit_u32(const uint8_t *codes, int64_t n_words,
+                         uint32_t *out)
+{
+    for (int64_t w = 0; w < n_words; w++) {
+        const uint8_t *c = codes + w * 16;
+        uint32_t v = 0;
+        for (int j = 0; j < 16; j++)
+            v = (v << 2) | (uint32_t)(c[j] & 3);
+        out[w] = v;
+    }
+}
+
+/* Rebuild delta-coded sequence rows.  Row i copies bit-masked positions
+ * from row i-1 at a column shift; the rest come from the literal
+ * stream.  Mask bits are LSB-first within each byte (bit j of byte b
+ * covers column b*8+j), matching the device-side packing in
+ * pipeline/encode.py::_delta_seq.
+ */
+EXPORT void reconstruct_delta(const uint8_t *mask_bits, /* [n, L/8] */
+                              const int16_t *shifts,    /* [n] */
+                              const uint8_t *lits,
+                              const int64_t *lens, int64_t n, int64_t L,
+                              uint8_t *out /* [>=n, L], zeroed */)
+{
+    int64_t stride = L / 8;
+    int64_t lit_off = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t l = lens[i];
+        const uint8_t *mb = mask_bits + i * stride;
+        const uint8_t *prev = out + (i - 1) * L;
+        uint8_t *row = out + i * L;
+        int64_t sh = shifts[i];
+        for (int64_t j = 0; j < l; j++) {
+            if (mb[j >> 3] & (1u << (j & 7)))
+                row[j] = prev[j + sh];
+            else
+                row[j] = lits[lit_off++];
+        }
+    }
+}
+
 /* Inverse: rebuild FASTQ text. For each record write
  *   '@' name '\n' bases '\n' '+' plus '\n' qual '\n'
  * bases come from code2base[seq_codes]; exceptions are pre-applied by

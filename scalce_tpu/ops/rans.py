@@ -117,9 +117,10 @@ def rans_encode(sym: jnp.ndarray, ctx: jnp.ndarray,
     # derive the carry from an input so its sharding "varying" axes match
     # the scanned operands under shard_map (zero-cost after fusion)
     x0 = (f_all[0] & U32(0)) + RANS_L
-    # encoder walks t = T-1 .. 0 (reverse data order)
+    # encoder walks t = T-1 .. 0 (reverse data order); unroll amortizes
+    # the per-step scan overhead (dominant once gathers are hoisted)
     xs = (f_all[::-1], c_all[::-1])
-    x_fin, (words, emits) = jax.lax.scan(step, x0, xs)
+    x_fin, (words, emits) = jax.lax.scan(step, x0, xs, unroll=8)
     return x_fin, words[::-1], emits[::-1]
 
 
@@ -134,13 +135,14 @@ def compact_emissions(words: jnp.ndarray, emits: jnp.ndarray
     T, N = words.shape
     pos = jnp.cumsum(emits.astype(I32), axis=0) - 1      # [T, N]
     lane = jnp.broadcast_to(jnp.arange(N, dtype=I32)[None, :], (T, N))
-    # route non-emissions to a trash slot (index T) per lane
+    # flat 1-D scatter (2-D scatter indexing lowers poorly); route
+    # non-emissions to a per-lane trash slot at column T
     slot = jnp.where(emits, pos, T)
-    packed = jnp.zeros((N, T + 1), dtype=jnp.uint16)
-    packed = packed.at[lane.reshape(-1), slot.reshape(-1)].set(
-        words.reshape(-1), mode="drop")
+    flat_idx = (lane * (T + 1) + slot).reshape(-1)
+    packed = jnp.zeros(N * (T + 1), dtype=jnp.uint16)
+    packed = packed.at[flat_idx].set(words.reshape(-1), mode="drop")
     counts = jnp.sum(emits.astype(I32), axis=0)
-    return packed[:, :T], counts
+    return packed.reshape(N, T + 1)[:, :T], counts
 
 
 def rans_decode(states: jnp.ndarray, words_padded: jnp.ndarray,
@@ -180,7 +182,7 @@ def rans_decode(states: jnp.ndarray, words_padded: jnp.ndarray,
 
     zero_u = states & U32(0)            # varying-axes-matched zeros
     carry0 = (states, zero_u.astype(I32), zero_u, zero_u)
-    (x_end, _, _, _), syms = jax.lax.scan(step, carry0, aux)
+    (x_end, _, _, _), syms = jax.lax.scan(step, carry0, aux, unroll=4)
     # invariant: fully-drained lanes return to the lower bound
     del x_end
     return syms

@@ -34,15 +34,11 @@ def local_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 def _block_stage1(seq, qual, lengths, n_reads, exc_mask, qual_map,
                   k: int, seed: int, order: int):
-    """Single-block encode stage (the body shard_map maps over blocks)."""
-    ck, cp = core_match.find_cores(seq, lengths, exc_mask, k, seed)
-    keys = core_match.build_sort_keys(seq, lengths, ck, cp, n_reads)
-    perm = reorder.sort_permutation(keys)
-    seq_s, qual_s, len_s = reorder.apply_permutation(perm, seq, qual, lengths)
-    qual_s = qual_map[qual_s]
-    packed = pack_bases_u32(seq_s, axis=1)
-    sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
-    return perm, packed, len_s, sym, ctx, counts
+    """Single-block encode stage (the body shard_map maps over blocks);
+    delegates to the same core as the single-device pipeline."""
+    from scalce_tpu.pipeline.encode import _encode_core
+    return _encode_core(seq, pack_bases_u32(seq, axis=1), qual, lengths,
+                        n_reads, exc_mask, qual_map, k, seed, order)
 
 
 def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):

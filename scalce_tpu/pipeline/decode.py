@@ -19,14 +19,8 @@ import numpy as np
 
 from scalce_tpu import container
 from scalce_tpu.io.fastq import Ragged, lens_to_offsets, reorder_ragged
-from scalce_tpu.ops.bitops import unpack_bases_u32
 from scalce_tpu.streams import names as names_stream
 from scalce_tpu.streams import qualities, seqs
-
-
-@jax.jit
-def _unpack_seq(packed: jnp.ndarray) -> jnp.ndarray:
-    return unpack_bases_u32(packed, axis=1)
 
 
 @dataclasses.dataclass
@@ -49,12 +43,9 @@ class BlockDecoder:
 
     def decode_block(self, payloads: Dict[str, bytes]) -> DecodedBlock:
         B = int(self.meta["block_reads"])
-        packed, lengths, n_reads, exc_pos, exc_byte, perm = seqs.parse(
-            payloads["r"], B)
-        seq = np.asarray(_unpack_seq(jnp.asarray(packed)))
-        L = seq.shape[1]
-        if L != int(self.meta["max_read_len"]):
-            raise ValueError("stream max_read_len mismatch")
+        L = int(self.meta["max_read_len"])
+        seq, lengths, n_reads, exc_pos, exc_byte, perm = seqs.parse(
+            payloads["r"], B, L)
 
         enc_q = qualities.parse(payloads["q"])
         qual = qualities.decode(enc_q, lengths)

@@ -27,43 +27,143 @@ from scalce_tpu.streams import names as names_stream
 from scalce_tpu.streams import qualities, seqs
 
 
-@partial(jax.jit, static_argnames=("k", "seed", "order"))
-def _device_encode(seq, qual, lengths, n_reads, exc_pos, qual_map,
-                   k: int, seed: int, order: int):
-    """Fused per-block device stage.
+def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
+                 k: int, seed: int, order: int):
+    """Shared per-block device stage (codes + its packed image in sync).
 
+    The sequence stream comes out DELTA-CODED against the aligned
+    predecessor: after the core sort, neighbouring reads overlap at
+    their shared core, so most bases equal the previous read's base at
+    a fixed column shift.  The reference leaves this redundancy for
+    gzip's LZ window to find [SURVEY.md §1 item 2]; computing the match
+    mask explicitly on device is both smaller (~30% on the seq stream)
+    and removes the byte-alignment sensitivity of LZ on packed codes.
+
+    Returns (perm, delta dict, sorted lengths, qual sym/ctx grids,
+    context histogram).
+    """
+    del seq_packed
+    B, L = codes.shape
+    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed)
+    keys = core_match.build_sort_keys(codes, lengths, ck, cp, n_reads)
+    perm = reorder.sort_permutation(keys)
+    codes_s, qual_s, len_s, ck_s, cp_s = reorder.apply_permutation(
+        perm, codes, qual, lengths, ck, cp)
+    qual_s = qual_map[qual_s]
+    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
+    return perm, delta, len_s, sym, ctx, counts
+
+
+def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
+    """Aligned-predecessor delta over the sorted block (all vectorized).
+
+    Returns dict with:
+      mask_bits u8 [B, L//8]  per-position "copy from predecessor" bits
+      shifts    i16 [B]       column shift into the predecessor row
+      lit_packed u32 [B*L//16] literals (non-matching bases), compacted
+                               row-major then 2-bit packed (padded)
+      n_lits    i32 []        number of literal bases
+    """
+    B, L = codes_s.shape
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    row = jnp.arange(B, dtype=jnp.int32)
+    valid = col < len_s[:, None]
+
+    prev_codes = jnp.roll(codes_s, 1, axis=0)
+    prev_len = jnp.roll(len_s, 1)
+    same = (ck_s == jnp.roll(ck_s, 1)) & (ck_s != core_match.NO_CORE)
+    same = same & (row >= 1) & (row < n_reads)
+    shift = (jnp.roll(cp_s, 1) - cp_s).astype(jnp.int32)
+    shift = jnp.where(same, shift, 0)
+
+    pidx = col + shift[:, None]
+    inb = (pidx >= 0) & (pidx < prev_len[:, None])
+    aligned = jnp.take_along_axis(prev_codes, jnp.clip(pidx, 0, L - 1),
+                                  axis=1)
+    match = (same[:, None] & inb & (aligned == codes_s) & valid)
+
+    # literals: row-major compaction of non-matching valid bases
+    lit_mask = (~match) & valid
+    order_idx = jnp.cumsum(lit_mask.reshape(-1).astype(jnp.int32)) - 1
+    n_lits = order_idx[-1] + 1
+    flat = jnp.where(lit_mask.reshape(-1), order_idx, B * L)
+    lits = jnp.zeros(B * L, jnp.uint8).at[flat].set(
+        codes_s.reshape(-1), mode="drop")
+    lit_packed = pack_bases_u32(lits.reshape(B * L // 16, 16), axis=1
+                                ).reshape(-1)
+
+    bit_w = jnp.left_shift(jnp.uint8(1),
+                           jnp.arange(8, dtype=jnp.uint8)[None, None, :])
+    mask_bits = jnp.sum(
+        match.reshape(B, L // 8, 8).astype(jnp.uint8) * bit_w, axis=2,
+        dtype=jnp.uint8)
+    return {"mask_bits": mask_bits, "shifts": shift.astype(jnp.int16),
+            "lit_packed": lit_packed, "n_lits": n_lits}
+
+
+@partial(jax.jit, static_argnames=("k", "seed", "order"))
+def _device_encode(seq_packed, qual, lengths, n_reads, exc_pos, qual_map,
+                   k: int, seed: int, order: int):
+    """Fused per-block device stage (packed-input wrapper).
+
+    seq_packed: uint32 [B, L//16] host-packed 2-bit codes — packed on
+    host (native pack2bit) to quarter the H2D transfer; codes are
+    re-expanded on device where bandwidth is free.
     exc_pos: int32 [E_pad] flat positions of non-ACGT bases, padded with
     out-of-range sentinels (dropped by the scatter).
     qual_map: uint8 [256] quality remap LUT — identity when lossless,
     the lossy quantizer's merge table under ``-p`` (SURVEY.md §4.4:
     "mapping applied per quality byte inside hot loop #1").
-    Returns (perm, packed seq, sorted lengths, qual sym/ctx grids,
-    context histogram).
     """
-    B, L = seq.shape
+    from scalce_tpu.ops.bitops import unpack_bases_u32
+    codes = unpack_bases_u32(seq_packed, axis=1)
+    B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
-    ck, cp = core_match.find_cores(seq, lengths, exc, k, seed)
-    keys = core_match.build_sort_keys(seq, lengths, ck, cp, n_reads)
-    perm = reorder.sort_permutation(keys)
-    seq_s, qual_s, len_s = reorder.apply_permutation(perm, seq, qual, lengths)
-    qual_s = qual_map[qual_s]
-    packed = pack_bases_u32(seq_s, axis=1)
-    sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
-    return perm, packed, len_s, sym, ctx, counts
+    return _encode_core(codes, seq_packed, qual, lengths, n_reads, exc,
+                        qual_map, k, seed, order)
 
 
-@partial(jax.jit, static_argnames=("order",))
-def _device_encode_mate2(seq, qual, lengths, perm, qual_map, order: int):
-    """Mate-2 device stage: no core matching — mate 2 follows mate 1's
-    permutation so pairs stay line-synchronized (SURVEY.md §2
-    "Paired-end sync": "apply the SAME device permutation to both
-    mates' tensors")."""
-    seq_s, qual_s, len_s = reorder.apply_permutation(perm, seq, qual, lengths)
+@partial(jax.jit, static_argnames=("k", "seed", "order"))
+def _device_encode_mate2(seq_packed, qual, lengths, n_reads, exc_pos, perm,
+                         qual_map, k: int, seed: int, order: int):
+    """Mate-2 device stage: mate 2 follows mate 1's permutation so pairs
+    stay line-synchronized (SURVEY.md §2 "Paired-end sync").  Its own
+    cores are still computed — not for sorting, but to align the
+    predecessor-delta (adjacent pairs usually overlap on mate 2 as
+    well)."""
+    from scalce_tpu.ops.bitops import unpack_bases_u32
+    codes = unpack_bases_u32(seq_packed, axis=1)
+    B, L = codes.shape
+    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
+        True, mode="drop").reshape(B, L)
+    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed)
+    codes_s, qual_s, len_s, ck_s, cp_s = reorder.apply_permutation(
+        perm, codes, qual, lengths, ck, cp)
     qual_s = qual_map[qual_s]
-    packed = pack_bases_u32(seq_s, axis=1)
+    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
-    return packed, len_s, sym, ctx, counts
+    return delta, len_s, sym, ctx, counts
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _slice_flat(arr: jnp.ndarray, W: int) -> jnp.ndarray:
+    return arr[:W]
+
+
+def _host_pack(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack on host (native when available) for the H2D transfer."""
+    try:
+        from scalce_tpu import native
+        if native.AVAILABLE:
+            return native.pack2bit(codes)
+    except Exception:
+        pass
+    B, L = codes.shape
+    grouped = codes.reshape(B, L // 16, 16).astype(np.uint32)
+    shifts = (2 * np.arange(15, -1, -1)).astype(np.uint32)
+    return (grouped << shifts).sum(axis=2, dtype=np.uint32)
 
 
 def _pad_exc(exc_pos: np.ndarray, sentinel: int) -> np.ndarray:
@@ -107,15 +207,15 @@ class BlockEncoder:
         cfg = self.cfg
         B, L = block.seq.shape
         return _device_encode(
-            jnp.asarray(block.seq), jnp.asarray(block.qual),
+            jnp.asarray(_host_pack(block.seq)), jnp.asarray(block.qual),
             jnp.asarray(block.lengths), jnp.int32(block.n_reads),
             jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
             self.qual_map,
             cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
 
     def assemble(self, block: ReadBlock, devout) -> EncodedBlock:
-        perm, packed, len_s, sym, ctx, counts = devout
-        return self._assemble(block, np.asarray(perm), packed, len_s,
+        perm, delta, len_s, sym, ctx, counts = devout
+        return self._assemble(block, np.asarray(perm), delta, len_s,
                               sym, ctx, counts)
 
     def encode_block(self, block: ReadBlock) -> EncodedBlock:
@@ -125,10 +225,13 @@ class BlockEncoder:
         cfg = self.cfg
         out1 = self.encode_device(b1)
         perm = out1[0]
+        B, L = b2.seq.shape
         out2 = _device_encode_mate2(
-            jnp.asarray(b2.seq), jnp.asarray(b2.qual),
-            jnp.asarray(b2.lengths), perm.astype(jnp.int32),
-            self.qual_map, cfg.qual_context_order)
+            jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.qual),
+            jnp.asarray(b2.lengths), jnp.int32(b2.n_reads),
+            jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
+            perm.astype(jnp.int32), self.qual_map,
+            cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
         return out1, out2
 
     def assemble_pair(self, b1: ReadBlock, b2: ReadBlock, devout
@@ -144,7 +247,7 @@ class BlockEncoder:
         """Paired-end: mate 1 defines the permutation, mate 2 follows."""
         return self.assemble_pair(b1, b2, self.encode_device_pair(b1, b2))
 
-    def _assemble(self, block: ReadBlock, perm_np: np.ndarray, packed,
+    def _assemble(self, block: ReadBlock, perm_np: np.ndarray, delta,
                   len_s, sym, ctx, counts) -> EncodedBlock:
         cfg = self.cfg
         B, L = block.seq.shape
@@ -165,7 +268,23 @@ class BlockEncoder:
         else:
             exc_pos_s = block.exc_pos
             exc_byte_s = block.exc_byte
-        r_payload = seqs.payload(np.asarray(packed), np.asarray(len_s),
+
+        # download the delta arrays; literals sliced to a pow2 bucket on
+        # device first (same D2H-thrift pattern as the rANS words)
+        n_lits = int(delta["n_lits"])
+        n_words = (n_lits + 15) // 16
+        W = 64
+        while W < n_words:
+            W <<= 1
+        delta_np = {
+            "mask_bits": np.asarray(delta["mask_bits"]),
+            "shifts": np.asarray(delta["shifts"]),
+            "lit_packed": np.asarray(_slice_flat(
+                delta["lit_packed"], min(W, delta["lit_packed"].shape[0]))
+            )[:n_words],
+            "n_lits": n_lits,
+        }
+        r_payload = seqs.payload(delta_np, np.asarray(len_s),
                                  block.n_reads, exc_pos_s, exc_byte_s,
                                  perm_np)
 

