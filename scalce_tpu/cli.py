@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-reads", type=int, default=1 << 15)
     p.add_argument("--max-read-len", type=int, default=128)
     p.add_argument("--core-k", type=int, default=12)
+    p.add_argument("--dict-mode", choices=("hash", "lut"), default="hash",
+                   help="core dictionary: implicit minimizer hash or "
+                        "explicit 4^k rank table (low-complexity cores "
+                        "demoted)")
     p.add_argument("--qual-order", type=int, choices=(1, 2), default=1)
     p.add_argument("--stats-json", action="store_true",
                    help="print machine-readable run stats to stdout")
@@ -72,6 +76,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         block_reads=args.block_reads,
         max_read_len=args.max_read_len,
         core_k=args.core_k,
+        dict_mode=args.dict_mode,
         qual_context_order=args.qual_order,
         stats_json=args.stats_json,
     )

@@ -72,8 +72,9 @@ class Config:
     max_read_len: int = 128            # padded read length (static shape)
     core_k: int = 12                   # core k-mer length (2k bits <= 31)
     dict_seed: int = 0x5CA1CE          # core-dictionary ranking seed
-    dict_size_log2: int = 0            # 0 = implicit hash-ranked dictionary;
-                                       # >0 = explicit LUT of 4^k ranks
+    dict_mode: str = "hash"            # "hash" = implicit minimizer ranking
+                                       # "lut"  = explicit 4^k rank table
+                                       #          (models/core_dict.py)
 
     # --- entropy coder shape -------------------------------------------
     rans_lanes: int = 1024             # interleaved rANS lanes per block
@@ -115,3 +116,7 @@ class Config:
             raise ValueError("qual_context_order must be 1 or 2")
         if not (0 <= self.host_id < self.n_hosts):
             raise ValueError("host_id must be in [0, n_hosts)")
+        if self.dict_mode not in ("hash", "lut"):
+            raise ValueError("dict_mode must be 'hash' or 'lut'")
+        if self.dict_mode == "lut" and self.core_k > 12:
+            raise ValueError("dict_mode='lut' requires core_k <= 12")

@@ -54,10 +54,38 @@ _DTYPES = {
     "i1": np.int8, "i2": np.int16, "i4": np.int32, "i8": np.int64,
 }
 
+#: generic byte-backend codecs (the reference's gz/bz/no output modes,
+#: selected per run by ``--backend`` [REF: scalce buffio.c mode select —
+#: UNVERIFIED; SURVEY.md §2 L0]); codec id is stored per array so the
+#: reader never consults run config.
+_CODEC_NONE, _CODEC_ZLIB, _CODEC_BZ2 = 0, 1, 2
+_CODEC_OF_BACKEND = {"no": _CODEC_NONE, "gz": _CODEC_ZLIB, "bz": _CODEC_BZ2}
+
+
+def _codec_compress(codec: int, raw: bytes, level: int) -> bytes:
+    if codec == _CODEC_ZLIB:
+        return zlib.compress(raw, level)
+    if codec == _CODEC_BZ2:
+        import bz2
+        return bz2.compress(raw, min(max(level, 1), 9))
+    return raw
+
+
+def _codec_decompress(codec: int, data: bytes) -> bytes:
+    if codec == _CODEC_ZLIB:
+        return zlib.decompress(data)
+    if codec == _CODEC_BZ2:
+        import bz2
+        return bz2.decompress(data)
+    return data
+
 
 def pack_arrays(arrays: Dict[str, np.ndarray],
-                deflate: Sequence[str] = (), level: int = 6) -> bytes:
-    """Serialize named arrays; names in ``deflate`` are zlib-compressed."""
+                deflate: Sequence[str] = (), level: int = 6,
+                backend: str = "gz") -> bytes:
+    """Serialize named arrays; names in ``deflate`` go through the
+    selected generic byte backend (gz/bz/no)."""
+    codec = _CODEC_OF_BACKEND[backend]
     out = io.BytesIO()
     out.write(struct.pack("<H", len(arrays)))
     for name, arr in arrays.items():
@@ -66,12 +94,14 @@ def pack_arrays(arrays: Dict[str, np.ndarray],
         if code not in _DTYPES:
             raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
         raw = arr.tobytes()
-        comp = name in deflate
-        data = zlib.compress(raw, level) if comp else raw
+        c = codec if name in deflate else _CODEC_NONE
+        data = _codec_compress(c, raw, level)
+        if len(data) >= len(raw):         # store incompressible raw
+            c, data = _CODEC_NONE, raw
         nb = name.encode()
         out.write(struct.pack("<B", len(nb)))
         out.write(nb)
-        out.write(struct.pack("<2sBB", code.encode(), comp, arr.ndim))
+        out.write(struct.pack("<2sBB", code.encode(), c, arr.ndim))
         out.write(struct.pack(f"<{arr.ndim}q", *arr.shape))
         out.write(struct.pack("<QQ", len(data), len(raw)))
         out.write(data)
@@ -86,11 +116,11 @@ def unpack_arrays(data: bytes) -> Dict[str, np.ndarray]:
     for _ in range(n):
         (ln,) = struct.unpack_from("<B", view, pos); pos += 1
         name = bytes(view[pos:pos + ln]).decode(); pos += ln
-        code, comp, ndim = struct.unpack_from("<2sBB", view, pos); pos += 4
+        code, codec, ndim = struct.unpack_from("<2sBB", view, pos); pos += 4
         shape = struct.unpack_from(f"<{ndim}q", view, pos); pos += 8 * ndim
         dlen, rlen = struct.unpack_from("<QQ", view, pos); pos += 16
         payload = bytes(view[pos:pos + dlen]); pos += dlen
-        raw = zlib.decompress(payload) if comp else payload
+        raw = _codec_decompress(codec, payload)
         if len(raw) != rlen:
             raise ValueError(f"corrupt array {name!r}")
         out[name] = np.frombuffer(raw, dtype=_DTYPES[code.decode()]

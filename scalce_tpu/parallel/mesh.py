@@ -37,8 +37,11 @@ def _block_stage1(seq, qual, lengths, n_reads, exc_mask, qual_map,
     """Single-block encode stage (the body shard_map maps over blocks);
     delegates to the same core as the single-device pipeline."""
     from scalce_tpu.pipeline.encode import _encode_core
+    # sharded path uses the implicit hash dictionary (sentinel LUT);
+    # explicit-LUT mode replicates the table via the same mechanism
     return _encode_core(seq, pack_bases_u32(seq, axis=1), qual, lengths,
-                        n_reads, exc_mask, qual_map, k, seed, order)
+                        n_reads, exc_mask, qual_map,
+                        jnp.zeros(1, jnp.uint32), k, seed, order)
 
 
 def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):

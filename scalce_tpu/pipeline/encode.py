@@ -28,7 +28,7 @@ from scalce_tpu.streams import qualities, seqs
 
 
 def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
-                 k: int, seed: int, order: int):
+                 rank_lut, k: int, seed: int, order: int):
     """Shared per-block device stage (codes + its packed image in sync).
 
     The sequence stream comes out DELTA-CODED against the aligned
@@ -44,7 +44,11 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
     """
     del seq_packed
     B, L = codes.shape
-    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed)
+    # rank_lut with >1 entry selects the explicit dictionary (its shape
+    # is static under jit, so this branch costs nothing)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed,
+                                   rank_lut=lut)
     keys = core_match.build_sort_keys(codes, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, qual_s, len_s, ck_s, cp_s = reorder.apply_permutation(
@@ -104,7 +108,7 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
 
 @partial(jax.jit, static_argnames=("k", "seed", "order"))
 def _device_encode(seq_packed, qual, lengths, n_reads, exc_pos, qual_map,
-                   k: int, seed: int, order: int):
+                   rank_lut, k: int, seed: int, order: int):
     """Fused per-block device stage (packed-input wrapper).
 
     seq_packed: uint32 [B, L//16] host-packed 2-bit codes — packed on
@@ -122,12 +126,12 @@ def _device_encode(seq_packed, qual, lengths, n_reads, exc_pos, qual_map,
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     return _encode_core(codes, seq_packed, qual, lengths, n_reads, exc,
-                        qual_map, k, seed, order)
+                        qual_map, rank_lut, k, seed, order)
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "order"))
 def _device_encode_mate2(seq_packed, qual, lengths, n_reads, exc_pos, perm,
-                         qual_map, k: int, seed: int, order: int):
+                         qual_map, rank_lut, k: int, seed: int, order: int):
     """Mate-2 device stage: mate 2 follows mate 1's permutation so pairs
     stay line-synchronized (SURVEY.md §2 "Paired-end sync").  Its own
     cores are still computed — not for sorting, but to align the
@@ -138,7 +142,9 @@ def _device_encode_mate2(seq_packed, qual, lengths, n_reads, exc_pos, perm,
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
-    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed,
+                                   rank_lut=lut)
     codes_s, qual_s, len_s, ck_s, cp_s = reorder.apply_permutation(
         perm, codes, qual, lengths, ck, cp)
     qual_s = qual_map[qual_s]
@@ -196,6 +202,13 @@ class BlockEncoder:
             from scalce_tpu.models import lossy
             qual_map = lossy.identity_map()
         self.qual_map = jnp.asarray(qual_map)
+        if cfg.dict_mode == "lut":
+            from scalce_tpu.models import core_dict
+            self.rank_lut = jnp.asarray(
+                core_dict.build_rank_lut(cfg.core_k, cfg.dict_seed))
+        else:
+            # single-entry sentinel selects the implicit hash dictionary
+            self.rank_lut = jnp.zeros(1, jnp.uint32)
 
     # -- stage split: ``encode_device`` runs only device dispatches (kept
     # on the driver's main thread so device work pipelines in submission
@@ -210,7 +223,7 @@ class BlockEncoder:
             jnp.asarray(_host_pack(block.seq)), jnp.asarray(block.qual),
             jnp.asarray(block.lengths), jnp.int32(block.n_reads),
             jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
-            self.qual_map,
+            self.qual_map, self.rank_lut,
             cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
 
     def assemble(self, block: ReadBlock, devout) -> EncodedBlock:
@@ -230,7 +243,7 @@ class BlockEncoder:
             jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.qual),
             jnp.asarray(b2.lengths), jnp.int32(b2.n_reads),
             jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
-            perm.astype(jnp.int32), self.qual_map,
+            perm.astype(jnp.int32), self.qual_map, self.rank_lut,
             cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
         return out1, out2
 
@@ -254,7 +267,7 @@ class BlockEncoder:
         # quality stream (pass B needs host-built tables)
         enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,
                                             cfg.qual_context_order)
-        q_payload = qualities.payload(enc_q)
+        q_payload = qualities.payload(enc_q, backend=cfg.backend)
 
         # exceptions into the reordered frame (host; exceptions are rare)
         inv = np.empty(B, np.int64)
@@ -286,7 +299,7 @@ class BlockEncoder:
         }
         r_payload = seqs.payload(delta_np, np.asarray(len_s),
                                  block.n_reads, exc_pos_s, exc_byte_s,
-                                 perm_np)
+                                 perm_np, backend=cfg.backend)
 
         # names stay in ORIGINAL order (numeric deltas are tiny there);
         # the stored permutation re-aligns them with reads at decode time
@@ -304,13 +317,15 @@ class BlockEncoder:
             # template mode (-n): names discarded; decoder regenerates
             arrays["template"] = np.asarray([1], np.uint8)
         else:
-            blob = names_stream.encode(block.names, n)
+            blob = names_stream.encode(block.names, n,
+                                       backend=self.cfg.backend)
             arrays["names_blob"] = np.frombuffer(blob, np.uint8)
         if block.plus is not None:
             arrays["plus_cat"] = block.plus.cat
             arrays["plus_lens"] = block.plus.lens.astype(np.uint32)
             deflate += ["plus_cat", "plus_lens"]
-        return container.pack_arrays(arrays, deflate=deflate)
+        return container.pack_arrays(arrays, deflate=deflate,
+                                     backend=self.cfg.backend)
 
 
 def file_meta(cfg: Config) -> Dict:

@@ -104,7 +104,8 @@ def _unzigzag(z: np.ndarray) -> np.ndarray:
             ).astype(np.int64)
 
 
-def encode(names: Ragged, n_reads: int, level: int = 6) -> bytes:
+def encode(names: Ragged, n_reads: int, level: int = 6,
+           backend: str = "gz") -> bytes:
     """Tokenized name payload for one block (names already reordered)."""
     names = Ragged(names.cat[: int(names.offsets[n_reads])],
                    names.offsets[: n_reads + 1].copy())
@@ -141,7 +142,8 @@ def encode(names: Ragged, n_reads: int, level: int = 6) -> bytes:
                 arrays[f"f{i}_cat"] = f.cat
                 arrays[f"f{i}_lens"] = lens.astype(np.uint32)
                 deflate += [f"f{i}_cat", f"f{i}_lens"]
-    return container.pack_arrays(arrays, deflate=deflate, level=level)
+    return container.pack_arrays(arrays, deflate=deflate, level=level,
+                                 backend=backend)
 
 
 def decode(blob: bytes) -> Ragged:

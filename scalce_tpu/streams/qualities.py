@@ -225,7 +225,7 @@ def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # container payload
 
-def payload(enc: EncodedQuals, level: int = 6) -> bytes:
+def payload(enc: EncodedQuals, level: int = 6, backend: str = "gz") -> bytes:
     from scalce_tpu import container
     return container.pack_arrays({
         "dims": np.asarray([enc.B, enc.L, enc.T, enc.order], np.int64),
@@ -233,7 +233,7 @@ def payload(enc: EncodedQuals, level: int = 6) -> bytes:
         "states": enc.states,
         "counts": enc.counts.astype(np.uint16),
         "words": enc.words,
-    }, deflate=("freq", "counts"), level=level)
+    }, deflate=("freq", "counts"), level=level, backend=backend)
 
 
 def parse(blob: bytes) -> EncodedQuals:

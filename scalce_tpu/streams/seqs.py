@@ -45,7 +45,7 @@ def unpack2bit_np(words: np.ndarray, n: int) -> np.ndarray:
 
 def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             exc_pos: np.ndarray, exc_byte: np.ndarray,
-            perm: np.ndarray, level: int = 6) -> bytes:
+            perm: np.ndarray, level: int = 6, backend: str = "gz") -> bytes:
     arrays = {
         "n_reads": np.asarray([n_reads], np.int64),
         "mask_bits": np.ascontiguousarray(delta["mask_bits"][:n_reads]),
@@ -60,7 +60,7 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
     return container.pack_arrays(
         arrays, deflate=("mask_bits", "shifts", "lit_packed", "lengths",
                          "exc_pos", "exc_byte", "perm"),
-        level=level)
+        level=level, backend=backend)
 
 
 def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,

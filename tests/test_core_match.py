@@ -116,3 +116,49 @@ def test_sort_reorder_groups_and_pads_last():
     # inverse permutation restores arrival order
     inv = np.asarray(reorder.invert_permutation(jnp.asarray(perm)))
     np.testing.assert_array_equal(perm[inv], np.arange(B))
+
+
+def test_explicit_rank_lut_mode():
+    from scalce_tpu.models import core_dict
+    k = 6
+    lut = core_dict.build_rank_lut(k, seed=1)
+    assert lut.shape == (4 ** k,)
+    # homopolymers are maximally demoted
+    polyA = 0
+    polyT = int("3" * k, 4)
+    assert lut[polyA] >= (3 << 28)
+    assert lut[polyT] >= (3 << 28)
+    # deterministic
+    np.testing.assert_array_equal(lut, core_dict.build_rank_lut(k, seed=1))
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=(16, 40), dtype=np.uint8)
+    lengths = np.full(16, 40, np.int32)
+    exc = np.zeros((16, 40), bool)
+    ck, cp = core_match.find_cores(jnp.asarray(codes), jnp.asarray(lengths),
+                                   jnp.asarray(exc), k, seed=1,
+                                   rank_lut=jnp.asarray(lut))
+    ck, cp = np.asarray(ck), np.asarray(cp)
+    # cores chosen = argmin of lut over valid windows
+    for b in range(16):
+        kms = np.array([_np_kmer(codes[b], p, k) for p in range(40 - k + 1)])
+        best = int(np.argmin(np.asarray(lut)[kms]))
+        assert cp[b] == best and ck[b] == kms[best]
+
+
+def test_lut_mode_end_to_end(tmp_path):
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(800, 96, seed=21)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=1 << 10,
+                 dict_mode="lut", core_k=8)
+    driver.compress(cfg)
+    dcfg = Config(mode="decompress", inputs=(str(tmp_path / "o.00.scalcer"),),
+                  output=str(tmp_path / "d"), block_reads=1 << 10,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d.fastq").read_bytes() == payload

@@ -139,3 +139,10 @@ def test_name_stream_is_small_for_structured_names(tmp_path):
     assert sorted(_records(got)) == sorted(_records(payload))
     # original-order numeric deltas: name stream well under 1 B/read
     assert stats.stream_bytes["n"] < 4096, stats.stream_bytes
+
+
+@pytest.mark.parametrize("backend", ["bz", "no"])
+def test_backend_modes_roundtrip(tmp_path, backend):
+    payload = synth_fastq(1500, 100, seed=19)
+    stats, got = _roundtrip(tmp_path, payload, backend=backend)
+    assert sorted(_records(got)) == sorted(_records(payload))
