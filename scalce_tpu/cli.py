@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--name-lib", default=None, metavar="LIB",
                    help="discard names; regenerate as LIB.N")
     p.add_argument("--backend", choices=("gz", "bz", "no"), default="gz")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted compression: finished "
+                        "blocks in the output are kept, torn tails "
+                        "truncated (scalce_tpu extension)")
     p.add_argument("--keep-order", action="store_true",
                    help="decompress in original read order (scalce_tpu "
                         "extension; the reference cannot restore order)")
@@ -73,6 +77,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         name_lib=args.name_lib,
         backend=args.backend,
         keep_order=args.keep_order,
+        resume=args.resume,
         block_reads=args.block_reads,
         max_read_len=args.max_read_len,
         core_k=args.core_k,

@@ -66,6 +66,8 @@ class Config:
     keep_order: bool = False           # decompress in original read order
                                        # (beyond reference parity: scalce
                                        # cannot restore input order)
+    resume: bool = False               # skip blocks already durable in the
+                                       # output (restart after crash)
 
     # --- TPU pipeline shape --------------------------------------------
     block_reads: int = 1 << 15         # reads per device block (static shape)

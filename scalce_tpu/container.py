@@ -14,7 +14,7 @@ File layout (little-endian):
 
   header  MAGIC(8) ver(u16) kind(1 byte: n/r/q) reserved(u8)
           meta_len(u32) meta_json
-  block   BLK0(4) block_id(u32) payload_len(u64) payload
+  block   BLK0(4) block_id(u32) n_records(u64) payload_len(u64) payload
   footer  FTR0(4) n_blocks(u32) total_records(u64) end_magic(8)
 
 The footer is written last — a torn write leaves it missing, which the
@@ -149,7 +149,7 @@ class StreamWriter:
 
     def add_block(self, block_id: int, payload: bytes, n_records: int) -> None:
         self._f.write(_BLK)
-        self._f.write(struct.pack("<IQ", block_id, len(payload)))
+        self._f.write(struct.pack("<IQQ", block_id, n_records, len(payload)))
         self._f.write(payload)
         self.n_blocks += 1
         self.n_records += n_records
@@ -170,6 +170,7 @@ class StreamBlockRef:
     block_id: int
     offset: int
     length: int
+    n_records: int = 0
 
 
 class StreamReader:
@@ -196,16 +197,16 @@ class StreamReader:
         while True:
             tag = self._f.read(4)
             if tag == _BLK:
-                hdr = self._f.read(12)
-                if len(hdr) < 12:
+                hdr = self._f.read(20)
+                if len(hdr) < 20:
                     raise ValueError(f"{self.path}: truncated stream "
                                      "(torn write?)")
-                bid, plen = struct.unpack("<IQ", hdr)
+                bid, nrec, plen = struct.unpack("<IQQ", hdr)
                 off = self._f.tell()
                 if off + plen > size:
                     raise ValueError(f"{self.path}: truncated block "
                                      "(torn write?)")
-                self.blocks.append(StreamBlockRef(bid, off, plen))
+                self.blocks.append(StreamBlockRef(bid, off, plen, nrec))
                 self._f.seek(plen, os.SEEK_CUR)
             elif tag == _FTR:
                 ftr = self._f.read(20)
@@ -244,18 +245,120 @@ def part_paths(prefix: str, part: int, mate: Optional[int]) -> Dict[str, str]:
     return {k: base + ext for k, ext in STREAM_EXT.items()}
 
 
+def _header_end(path: str) -> int:
+    """Offset just past the file header (start of block data)."""
+    with open(path, "rb") as f:
+        f.seek(12)
+        (mlen,) = struct.unpack("<I", f.read(4))
+        return 16 + mlen
+
+
+def scan_resumable(path: str):
+    """Tolerant scan of a possibly-crashed stream file.
+
+    Returns ``(meta, blocks, end_offset, has_footer)`` where ``blocks``
+    are the COMPLETE blocks found and ``end_offset`` is where a resumed
+    writer may continue appending (truncating any torn tail).
+    """
+    with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
+        if f.read(8) != MAGIC:
+            raise ValueError(f"{path}: not a scalce_tpu stream")
+        (ver,) = struct.unpack("<H", f.read(2))
+        if ver != VERSION:
+            raise ValueError(f"{path}: unsupported version {ver}")
+        f.read(2)
+        (mlen,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(mlen))
+        blocks: List[StreamBlockRef] = []
+        end = f.tell()
+        while True:
+            tag = f.read(4)
+            if tag == _FTR:
+                ftr = f.read(20)
+                if len(ftr) == 20 and ftr[12:20] == END_MAGIC:
+                    return meta, blocks, end, True
+                return meta, blocks, end, False
+            if tag != _BLK:
+                return meta, blocks, end, False
+            hdr = f.read(20)
+            if len(hdr) < 20:
+                return meta, blocks, end, False
+            bid, nrec, plen = struct.unpack("<IQQ", hdr)
+            off = f.tell()
+            if off + plen > size:
+                return meta, blocks, end, False
+            blocks.append(StreamBlockRef(bid, off, plen, nrec))
+            f.seek(plen, os.SEEK_CUR)
+            end = f.tell()
+
+
 class TripletWriter:
     """Writes the n/r/q triplet, rolling all three to a new part together
-    when the combined size passes ``part_size`` (the reference's ``-B``)."""
+    when the combined size passes ``part_size`` (the reference's ``-B``).
+
+    ``resume=True`` implements restart (SURVEY.md §6 "Checkpoint /
+    resume"): existing parts are scanned, any torn tail is truncated to
+    the last block COMPLETE IN ALL THREE streams, and
+    ``existing_blocks`` reports the block ids already durable so the
+    encoder can skip them.
+    """
 
     def __init__(self, prefix: str, meta: Dict, part_size: int = 0,
-                 mate: Optional[int] = None):
+                 mate: Optional[int] = None, resume: bool = False):
         self.prefix = prefix
         self.meta = meta
         self.part_size = part_size
         self.mate = mate
         self.part = 0
         self.parts_written: List[int] = []
+        self.existing_blocks: set = set()
+        if resume and os.path.exists(part_paths(prefix, 0, mate)["r"]):
+            self._resume()
+        else:
+            self._open_part()
+
+    def _resume(self) -> None:
+        # completed parts (footer present in all three) stand as-is
+        part = 0
+        while True:
+            paths = part_paths(self.prefix, part, self.mate)
+            if not os.path.exists(paths["r"]):
+                part = max(part - 1, 0)
+                break
+            scans = {k: scan_resumable(p) for k, p in paths.items()}
+            ids = [tuple(b.block_id for b in s[1]) for s in scans.values()]
+            common = min(len(i) for i in ids)
+            # the common complete prefix must agree on ids
+            while common and not all(i[:common] == ids[0][:common]
+                                     for i in ids):
+                common -= 1
+            for bid in ids[0][:common]:
+                self.existing_blocks.add(bid)
+            if all(s[3] for s in scans.values()):   # footers everywhere
+                self.parts_written.append(part)
+                part += 1
+                continue
+            # partial part: truncate to the common prefix and append
+            self.part = part
+            self.writers = {}
+            for k, p in paths.items():
+                blocks = scans[k][1][:common]
+                end = (blocks[-1].offset + blocks[-1].length) if blocks \
+                    else _header_end(p)
+                with open(p, "r+b") as f:
+                    f.truncate(end)
+                w = StreamWriter.__new__(StreamWriter)
+                w.path = p
+                w._f = open(p, "r+b")
+                w._f.seek(0, os.SEEK_END)
+                w.n_blocks = common
+                w.n_records = sum(b.n_records for b in blocks)
+                self.writers[k] = w
+            self.parts_written.append(part)
+            return
+        # every part completed — open a fresh next part
+        self.part = part + 1 if self.parts_written else 0
         self._open_part()
 
     def _open_part(self) -> None:

@@ -145,10 +145,12 @@ def compress(cfg: Config) -> RunStats:
     out_prefix, multihost = _host_output(cfg)
     writer = container.TripletWriter(
         out_prefix, meta,
-        part_size=0 if multihost else cfg.part_size, mate=None)
+        part_size=0 if multihost else cfg.part_size, mate=None,
+        resume=cfg.resume)
     from scalce_tpu.parallel.merge import owns_block
     owned = (b for b in itertools.chain(buffered, block_iter)
-             if owns_block(b.block_id, cfg.host_id, cfg.n_hosts))
+             if owns_block(b.block_id, cfg.host_id, cfg.n_hosts)
+             and b.block_id not in writer.existing_blocks)
 
     def emit(eb):
         writer.add_block(eb.block_id, eb.payloads, eb.n_reads)

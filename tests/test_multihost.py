@@ -60,3 +60,30 @@ def test_merge_detects_missing_host_blocks(tmp_path):
     with pytest.raises((ValueError, FileNotFoundError)):
         driver.merge_hosts(Config(output=str(tmp_path / "m"), n_hosts=2,
                                   **base))
+
+
+def test_resume_after_torn_write(tmp_path):
+    """Crash mid-write -> --resume keeps durable blocks, redoes the rest,
+    and the final output round-trips (SURVEY.md §6 checkpoint/resume)."""
+    from scalce_tpu.utils.synth import synth_fastq as _synth
+    payload = _synth(5000, 100, seed=50, var_len=True)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    base = dict(inputs=(str(inp),), block_reads=1 << 10,
+                output=str(tmp_path / "out"))
+    driver.compress(Config(mode="compress", **base))
+    # simulate a crash: drop the footer + tail of the LAST block, and cut
+    # one stream mid-block
+    import os
+    for ext, cut in ((".scalcer", 300), (".scalceq", 40)):
+        p = tmp_path / f"out.00{ext}"
+        data = p.read_bytes()
+        p.write_bytes(data[:-cut])
+    st = driver.compress(Config(mode="compress", resume=True, **base))
+    assert st.n_blocks >= 1          # at least the torn block was redone
+    assert st.n_blocks < 5           # but not all five
+    dcfg = Config(mode="decompress", inputs=(str(tmp_path / "out.00.scalcen"),),
+                  output=str(tmp_path / "dec"), block_reads=1 << 10,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "dec.fastq").read_bytes() == payload
