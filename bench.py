@@ -21,7 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_GBPS = 0.06
 
 
+def _enable_compile_cache() -> None:
+    """Persist XLA compiles across bench runs (first axon compile of the
+    full pipeline is minutes; cached reruns are seconds)."""
+    try:
+        import jax
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
+
+
 def main() -> None:
+    _enable_compile_cache()
     n_reads = int(os.environ.get("BENCH_READS", 1 << 18))
     block_reads = int(os.environ.get("BENCH_BLOCK_READS", 1 << 15))
 

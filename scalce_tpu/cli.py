@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--name-lib", default=None, metavar="LIB",
                    help="discard names; regenerate as LIB.N")
     p.add_argument("--backend", choices=("gz", "bz", "no"), default="gz")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard blocks over all local devices")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted compression: finished "
                         "blocks in the output are kept, torn tails "
@@ -78,6 +80,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         backend=args.backend,
         keep_order=args.keep_order,
         resume=args.resume,
+        data_parallel=args.data_parallel,
         block_reads=args.block_reads,
         max_read_len=args.max_read_len,
         core_k=args.core_k,

@@ -83,6 +83,9 @@ class Config:
     rans_prob_bits: int = 12           # M = 1 << prob_bits
     qual_context_order: int = 1        # 1 or 2 (prev-symbol contexts)
 
+    data_parallel: bool = False        # shard blocks over all local
+                                       # devices (config 4; single-host DP)
+
     # --- multi-host data parallelism ------------------------------------
     n_hosts: int = 1                   # total hosts in the job
     host_id: int = 0                   # this host's rank

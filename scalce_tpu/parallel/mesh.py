@@ -81,6 +81,55 @@ def make_sharded_qual_encode(mesh: Mesh, n_syms: int, T: int):
     return jax.jit(encode)
 
 
+class ShardedEncoder:
+    """Single-host multi-device data-parallel block encoder (config 4:
+    "blocks sharded across 1 host").
+
+    Batches ``D = |mesh|`` blocks per super-step: stage 1 and the rANS
+    pass run as ONE sharded jit each (one block per device); the host
+    builds the D per-block tables in between and assembles payloads per
+    block afterwards.  Produces payloads byte-identical to the
+    single-device encoder — determinism is per-block, so device count
+    never changes output bytes.
+    """
+
+    def __init__(self, cfg, qual_map: np.ndarray, mesh: Optional[Mesh] = None):
+        from scalce_tpu.pipeline.encode import BlockEncoder
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else local_mesh()
+        self.D = self.mesh.devices.size
+        self._stage1 = make_sharded_stage1(
+            self.mesh, cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+        self._fallback = BlockEncoder(cfg, qual_map)
+        self._qual_map = jnp.asarray(qual_map)
+
+    def encode_blocks(self, blocks):
+        """Encode up to D blocks; returns EncodedBlocks in input order."""
+        from scalce_tpu.pipeline import encode as enc_mod
+        if len(blocks) < self.D:
+            # tail group: per-block path (identical bytes)
+            return [self._fallback.encode_block(b) for b in blocks]
+        assert len(blocks) == self.D
+        B, L = blocks[0].seq.shape
+        seq = np.stack([b.seq for b in blocks])
+        qual = np.stack([b.qual for b in blocks])
+        lengths = np.stack([b.lengths for b in blocks])
+        n_reads = np.asarray([b.n_reads for b in blocks], np.int32)
+        exc = np.zeros((self.D, B, L), bool)
+        for d, b in enumerate(blocks):
+            exc[d].reshape(-1)[b.exc_pos] = True
+        perm, delta, len_s, sym, ctx, counts = self._stage1(
+            jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+            jnp.asarray(n_reads), jnp.asarray(exc), self._qual_map)
+        out = []
+        for d, b in enumerate(blocks):
+            delta_d = {k: v[d] for k, v in delta.items()}
+            out.append(self._fallback._assemble(
+                b, np.asarray(perm[d]), delta_d, len_s[d], sym[d],
+                ctx[d], counts[d]))
+        return out
+
+
 def make_lossy_hist_allreduce(mesh: Mesh, n_syms: int):
     """Global quality histogram with a psum over 'data' — every shard
     (and every host, over ICI/DCN) sees the same totals, so the lossy

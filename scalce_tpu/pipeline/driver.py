@@ -159,13 +159,34 @@ def compress(cfg: Config) -> RunStats:
         for k, p in eb.payloads.items():
             stats.stream_bytes[k] += len(p)
 
-    _run_pipelined(_prefetch(owned), enc.encode_device, enc.assemble,
-                   emit, cfg.threads)
+    if cfg.data_parallel:
+        _run_sharded(cfg, _prefetch(owned), qual_map, emit)
+    else:
+        _run_pipelined(_prefetch(owned), enc.encode_device, enc.assemble,
+                       emit, cfg.threads)
     writer.close()
     stats.input_bytes = _file_size(path)
     stats.output_bytes = sum(stats.stream_bytes.values())
     stats.wall_s = time.monotonic() - t0
     return stats
+
+
+def _run_sharded(cfg: Config, blocks: Iterator, qual_map, emit) -> None:
+    """Single-host multi-device DP: groups of |mesh| blocks per
+    super-step (SURVEY.md §3 / BASELINE.json config 4).  Output bytes
+    are identical to the single-device path."""
+    from scalce_tpu.parallel.mesh import ShardedEncoder
+    senc = ShardedEncoder(cfg, qual_map)
+    group: List = []
+    for block in blocks:
+        group.append(block)
+        if len(group) == senc.D:
+            for eb in senc.encode_blocks(group):
+                emit(eb)
+            group = []
+    if group:
+        for eb in senc.encode_blocks(group):
+            emit(eb)
 
 
 def _host_output(cfg: Config):

@@ -105,3 +105,22 @@ def test_lossy_hist_allreduce_matches_global():
                   qualities.N_SYMS - 1)
     ref = np.bincount(sym.reshape(-1), minlength=qualities.N_SYMS)
     np.testing.assert_array_equal(h, ref)
+
+
+def test_data_parallel_driver_byte_identical(tmp_path):
+    """--data-parallel over the 8-device CPU mesh produces the same
+    bytes as the single-device path (config 4 determinism)."""
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(10000, 100, seed=60, var_len=True, n_rate=0.003)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    base = dict(mode="compress", inputs=(str(inp),), block_reads=1 << 10)
+    driver.compress(Config(output=str(tmp_path / "one"), **base))
+    driver.compress(Config(output=str(tmp_path / "dp"), data_parallel=True,
+                           **base))
+    for ext in (".scalcen", ".scalcer", ".scalceq"):
+        a = (tmp_path / f"one.00{ext}").read_bytes()
+        b = (tmp_path / f"dp.00{ext}").read_bytes()
+        assert a == b, f"{ext} differs under data-parallel"
