@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "explicit 4^k rank table (low-complexity cores "
                         "demoted)")
     p.add_argument("--qual-order", type=int, choices=(1, 2), default=1)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
     p.add_argument("--stats-json", action="store_true",
                    help="print machine-readable run stats to stdout")
     p.add_argument("--version", action="version",
@@ -87,6 +89,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         dict_mode=args.dict_mode,
         qual_context_order=args.qual_order,
         stats_json=args.stats_json,
+        profile_dir=args.profile,
     )
 
 
@@ -94,10 +97,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     from scalce_tpu.pipeline import driver
-    if cfg.mode == "compress":
-        stats = driver.compress(cfg)
-    else:
-        stats = driver.decompress(cfg)
+    prof = None
+    if cfg.profile_dir:
+        import jax
+        jax.profiler.start_trace(cfg.profile_dir)
+        prof = cfg.profile_dir
+    try:
+        if cfg.mode == "compress":
+            stats = driver.compress(cfg)
+        else:
+            stats = driver.decompress(cfg)
+    finally:
+        if prof:
+            import jax
+            jax.profiler.stop_trace()
     if cfg.stats_json:
         print(stats.to_json())
     else:

@@ -27,6 +27,10 @@ from scalce_tpu.pipeline.encode import BlockEncoder, file_meta
 
 @dataclasses.dataclass
 class RunStats:
+    """Structured run metrics (SURVEY.md §6 "Metrics / logging"): the
+    reference prints wall-clock + sizes to stderr; this adds per-stream
+    bytes, ratio, GB/s, and per-stage seconds (parse / device dispatch /
+    host assembly) for observability."""
     mode: str
     n_reads: int = 0
     n_blocks: int = 0
@@ -34,6 +38,7 @@ class RunStats:
     output_bytes: int = 0
     stream_bytes: Dict[str, int] = dataclasses.field(
         default_factory=lambda: {"n": 0, "r": 0, "q": 0})
+    stage_s: Dict[str, float] = dataclasses.field(default_factory=dict)
     wall_s: float = 0.0
 
     def to_json(self) -> str:
@@ -104,24 +109,36 @@ def _prefetch(it: Iterator, depth: int = 3) -> Iterator:
 
 
 def _run_pipelined(blocks: Iterator, encode_device, assemble, emit,
-                   workers: int) -> None:
+                   workers: int, stage_s: Optional[Dict] = None) -> None:
     """Three-stage block pipeline.
 
     main thread:   device dispatch per block (stays in submission order)
     worker pool:   assemble (D2H + tables + rANS pass B + deflate)
     emit:          called in block order with each finished result
     """
+    times = stage_s if stage_s is not None else {}
+    times.setdefault("device_dispatch", 0.0)
+    times.setdefault("assemble", 0.0)
+
+    def timed(label, fn, *a):
+        t0 = time.monotonic()
+        r = fn(*a)
+        times[label] += time.monotonic() - t0
+        return r
+
     if workers <= 1:
         for item in blocks:
-            emit(assemble(item, encode_device(item)))
+            emit(timed("assemble", assemble, item,
+                       timed("device_dispatch", encode_device, item)))
         return
     pool = _fut.ThreadPoolExecutor(max_workers=workers)
     pending: collections.deque = collections.deque()
     max_pending = workers + 2
     try:
         for item in blocks:
-            devout = encode_device(item)
-            pending.append(pool.submit(assemble, item, devout))
+            devout = timed("device_dispatch", encode_device, item)
+            pending.append(pool.submit(timed, "assemble", assemble, item,
+                                       devout))
             while len(pending) >= max_pending:
                 emit(pending.popleft().result())
         while pending:
@@ -163,7 +180,7 @@ def compress(cfg: Config) -> RunStats:
         _run_sharded(cfg, _prefetch(owned), qual_map, emit)
     else:
         _run_pipelined(_prefetch(owned), enc.encode_device, enc.assemble,
-                       emit, cfg.threads)
+                       emit, cfg.threads, stats.stage_s)
     writer.close()
     stats.input_bytes = _file_size(path)
     stats.output_bytes = sum(stats.stream_bytes.values())
@@ -240,7 +257,7 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     _run_pipelined(_prefetch(owned),
                    lambda p: enc.encode_device_pair(*p),
                    lambda p, d: enc.assemble_pair(p[0], p[1], d),
-                   emit, cfg.threads)
+                   emit, cfg.threads, stats.stage_s)
     w1.close()
     w2.close()
     stats.input_bytes = _file_size(path1) + _file_size(path2)
