@@ -64,6 +64,17 @@ def main() -> None:
     run("warm")
     wall, stats = run("bench")
 
+    # decode throughput (stderr detail; JSON line stays encode-only)
+    from scalce_tpu.config import Config
+    dcfg = Config(mode="decompress",
+                  inputs=(os.path.join(tmp, "bench.00.scalcen"),),
+                  output=os.path.join(tmp, "dec"),
+                  block_reads=block_reads)
+    driver.decompress(dcfg)          # warm decode jits
+    t0 = time.monotonic()
+    driver.decompress(dcfg)
+    dec_wall = time.monotonic() - t0
+
     gbps = input_bytes / wall / 1e9
     result = {
         "metric": "encode_throughput",
@@ -75,7 +86,9 @@ def main() -> None:
     # secondary detail on stderr for humans
     print(f"[bench] {n_reads} reads, {input_bytes/1e6:.1f} MB in "
           f"{wall:.2f}s; ratio {stats.input_bytes/stats.output_bytes:.2f}x; "
-          f"streams {stats.stream_bytes}", file=sys.stderr)
+          f"decode {input_bytes/dec_wall/1e9:.4f} GB/s; "
+          f"stages {stats.stage_s}; streams {stats.stream_bytes}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "explicit 4^k rank table (low-complexity cores "
                         "demoted)")
     p.add_argument("--qual-order", type=int, choices=(1, 2), default=1)
+    p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the run to DIR")
     p.add_argument("--stats-json", action="store_true",
@@ -90,6 +91,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         qual_context_order=args.qual_order,
         stats_json=args.stats_json,
         profile_dir=args.profile,
+        verbose=args.verbose,
     )
 
 

@@ -79,8 +79,9 @@ class Config:
                                        #          (models/core_dict.py)
 
     # --- entropy coder shape -------------------------------------------
-    rans_lanes: int = 1024             # interleaved rANS lanes per block
-    rans_prob_bits: int = 12           # M = 1 << prob_bits
+    qual_T_target: int = 1024          # rANS lane span target (symbols per
+                                       # lane; lanes = B*L/T); larger T =
+                                       # less state overhead, longer scan
     qual_context_order: int = 1        # 1 or 2 (prev-symbol contexts)
 
     data_parallel: bool = False        # shard blocks over all local
@@ -114,10 +115,9 @@ class Config:
         if self.max_read_len % 16:
             raise ValueError("max_read_len must be a multiple of 16 "
                              "(2-bit packing granularity)")
-        if self.rans_lanes & (self.rans_lanes - 1):
-            raise ValueError("rans_lanes must be a power of two")
-        if not (8 <= self.rans_prob_bits <= 14):
-            raise ValueError("rans_prob_bits must be in [8, 14]")
+        if self.qual_T_target < 64 or self.qual_T_target & (
+                self.qual_T_target - 1):
+            raise ValueError("qual_T_target must be a power of two >= 64")
         if self.qual_context_order not in (1, 2):
             raise ValueError("qual_context_order must be 1 or 2")
         if not (0 <= self.host_id < self.n_hosts):

@@ -175,6 +175,9 @@ def compress(cfg: Config) -> RunStats:
         stats.n_reads += eb.n_reads
         for k, p in eb.payloads.items():
             stats.stream_bytes[k] += len(p)
+        if cfg.verbose:
+            print(f"[scalce_tpu] block {eb.block_id}: {eb.n_reads} reads, "
+                  f"{eb.total_bytes} bytes", file=sys.stderr)
 
     if cfg.data_parallel:
         _run_sharded(cfg, _prefetch(owned), qual_map, emit)

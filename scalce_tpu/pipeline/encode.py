@@ -266,7 +266,8 @@ class BlockEncoder:
         B, L = block.seq.shape
         # quality stream (pass B needs host-built tables)
         enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,
-                                            cfg.qual_context_order)
+                                            cfg.qual_context_order,
+                                            T_target=cfg.qual_T_target)
         q_payload = qualities.payload(enc_q, backend=cfg.backend)
 
         # exceptions into the reordered frame (host; exceptions are rare)

@@ -92,3 +92,33 @@ def test_block_capacity_padding(tmp_path):
     assert b.capacity == 64 and b.n_reads == 10
     assert np.all(b.lengths[10:] == 0)
     assert np.all(b.seq[10:] == 0)
+
+
+def test_crlf_input_roundtrip(tmp_path):
+    payload = synth_fastq(200, 80, seed=30)
+    crlf = payload.replace(b"\n", b"\r\n")
+    p = tmp_path / "crlf.fastq"
+    p.write_bytes(crlf)
+    blocks = list(fastq.iter_blocks(str(p), 256, 96))
+    assert sum(b.n_reads for b in blocks) == 200
+    # content equals the LF version's content
+    assert _rebuild(blocks) == payload
+
+
+def test_stdin_input(tmp_path, monkeypatch):
+    import io as _io
+    import sys
+    payload = synth_fastq(100, 80, seed=31)
+    monkeypatch.setattr(sys, "stdin",
+                        type("S", (), {"buffer": _io.BytesIO(payload)})())
+    blocks = list(fastq.iter_blocks("-", 256, 96))
+    assert sum(b.n_reads for b in blocks) == 100
+    assert _rebuild(blocks) == payload
+
+
+def test_read_longer_than_max_len_rejected(tmp_path):
+    long_read = b"@r1\n" + b"A" * 200 + b"\n+\n" + b"I" * 200 + b"\n"
+    p = tmp_path / "long.fastq"
+    p.write_bytes(long_read)
+    with pytest.raises(ValueError, match="max_read_len|max-read-len"):
+        list(fastq.iter_blocks(str(p), 64, 128))
