@@ -146,3 +146,21 @@ def test_backend_modes_roundtrip(tmp_path, backend):
     payload = synth_fastq(1500, 100, seed=19)
     stats, got = _roundtrip(tmp_path, payload, backend=backend)
     assert sorted(_records(got)) == sorted(_records(payload))
+
+
+def test_thread_count_never_changes_bytes(tmp_path):
+    """-T is pure concurrency: worker count must not affect output bytes
+    (the functional-purity analogue of race-freedom, SURVEY.md §6)."""
+    payload = synth_fastq(5000, 100, seed=22, var_len=True, n_rate=0.004)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    outs = {}
+    for t in (1, 8):
+        out = str(tmp_path / f"t{t}")
+        cfg = Config(mode="compress", inputs=(str(inp),), output=out,
+                     block_reads=1 << 10, threads=t)
+        driver.compress(cfg)
+        outs[t] = b"".join(
+            (tmp_path / f"t{t}.00{ext}").read_bytes()
+            for ext in (".scalcen", ".scalcer", ".scalceq"))
+    assert outs[1] == outs[8]
