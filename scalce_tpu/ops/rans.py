@@ -180,9 +180,11 @@ def rans_decode(states: jnp.ndarray, words_padded: jnp.ndarray,
         cursor = cursor + need.astype(I32)
         return (x, cursor, s, prev1), s
 
+    # no unroll: the per-step LUT gather dominates, and unrolling only
+    # multiplies compile time (the emulator takes minutes on large HLO)
     zero_u = states & U32(0)            # varying-axes-matched zeros
     carry0 = (states, zero_u.astype(I32), zero_u, zero_u)
-    (x_end, _, _, _), syms = jax.lax.scan(step, carry0, aux, unroll=4)
+    (x_end, _, _, _), syms = jax.lax.scan(step, carry0, aux)
     # invariant: fully-drained lanes return to the lower bound
     del x_end
     return syms

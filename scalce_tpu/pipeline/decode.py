@@ -35,20 +35,40 @@ class DecodedBlock:
     plus: Optional[Ragged]
 
 
+#: blocks decoded per vmapped quality scan (see qualities.decode_batch)
+DECODE_GROUP = 4
+
+
 class BlockDecoder:
     def __init__(self, meta: Dict, keep_order: bool = False):
         self.meta = meta
         self.keep_order = keep_order
         self._name_counter = 1          # template-mode running index
 
+    def decode_blocks(self, payload_list):
+        """Decode a group of blocks, batching the quality scans."""
+        B = int(self.meta["block_reads"])
+        L = int(self.meta["max_read_len"])
+        if len(payload_list) != DECODE_GROUP:
+            return [self.decode_block(p) for p in payload_list]
+        parsed = [seqs.parse(p["r"], B, L) for p in payload_list]
+        encs = [qualities.parse(p["q"]) for p in payload_list]
+        quals = qualities.decode_batch(encs, [pr[1] for pr in parsed])
+        return [self._finish(p, pr, q)
+                for p, pr, q in zip(payload_list, parsed, quals)]
+
     def decode_block(self, payloads: Dict[str, bytes]) -> DecodedBlock:
         B = int(self.meta["block_reads"])
         L = int(self.meta["max_read_len"])
-        seq, lengths, n_reads, exc_pos, exc_byte, perm = seqs.parse(
-            payloads["r"], B, L)
-
+        parsed = seqs.parse(payloads["r"], B, L)
         enc_q = qualities.parse(payloads["q"])
-        qual = qualities.decode(enc_q, lengths)
+        qual = qualities.decode(enc_q, parsed[1])
+        return self._finish(payloads, parsed, qual)
+
+    def _finish(self, payloads: Dict[str, bytes], parsed,
+                qual: np.ndarray) -> DecodedBlock:
+        seq, lengths, n_reads, exc_pos, exc_byte, perm = parsed
+        L = seq.shape[1]
 
         na = container.unpack_arrays(payloads["n"])
         n = int(na["n"][0])

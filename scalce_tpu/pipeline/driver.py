@@ -277,17 +277,28 @@ def decompress(cfg: Config) -> RunStats:
     meta = reader.meta
     if meta.get("paired"):
         return _decompress_paired(cfg, stats, reader, meta, t0)
+    from scalce_tpu.pipeline.decode import DECODE_GROUP
     dec = BlockDecoder(meta, keep_order=cfg.keep_order)
     out_path = cfg.output if cfg.output.endswith(".fastq") \
         else cfg.output + ".fastq"
     with open(out_path, "wb") as out:
+        group: List = []
+
+        def flush():
+            for b in dec.decode_blocks(group):
+                fastq.write_fastq_records(out, b.seq, b.qual, b.lengths,
+                                          b.n_reads, b.exc_pos, b.exc_byte,
+                                          b.names, b.plus)
+                stats.n_blocks += 1
+                stats.n_reads += b.n_reads
+            group.clear()
+
         for bid, payloads in reader.iter_blocks():
-            b = dec.decode_block(payloads)
-            fastq.write_fastq_records(out, b.seq, b.qual, b.lengths,
-                                      b.n_reads, b.exc_pos, b.exc_byte,
-                                      b.names, b.plus)
-            stats.n_blocks += 1
-            stats.n_reads += b.n_reads
+            group.append(payloads)
+            if len(group) == DECODE_GROUP:
+                flush()
+        if group:
+            flush()
     stats.output_bytes = _file_size(out_path)
     stats.wall_s = time.monotonic() - t0
     return stats

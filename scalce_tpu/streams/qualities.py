@@ -140,6 +140,49 @@ def _decode_pass(states: jnp.ndarray, words_padded: jnp.ndarray,
     return qual
 
 
+_decode_batch_pass = jax.jit(
+    jax.vmap(_decode_pass.__wrapped__,
+             in_axes=(0, 0, 0, 0, None, None, None, None)),
+    static_argnums=(4, 5, 6, 7))
+
+
+def decode_batch(encs, lengths_list):
+    """Decode several blocks' quality grids in ONE vmapped scan.
+
+    The decode scan's cost is per-STEP (each step does a table gather),
+    not per-lane — so stacking D blocks into the lane dimension decodes
+    D blocks for the price of one (SURVEY.md §7 decode GB/s).  Blocks
+    must share (B, L, T, order); word matrices are padded to the widest
+    bucket in the group.
+    """
+    assert len({(e.B, e.L, e.T, e.order) for e in encs}) == 1
+    e0 = encs[0]
+    D = len(encs)
+    N = e0.states.shape[0]
+    from scalce_tpu.io.fastq import ragged_scatter
+    W = 64
+    wmax = max((int(e.counts.max()) if len(e.counts) else 0) for e in encs)
+    while W < wmax:
+        W <<= 1
+    words = np.zeros((D, N, W), np.uint16)
+    luts = np.empty((D, n_contexts(e0.order) * rans.M_TOTAL), np.uint32)
+    states = np.empty((D, N), np.uint32)
+    lengths = np.empty((D, e0.B), np.int32)
+    for d, e in enumerate(encs):
+        ragged_scatter(words[d].reshape(-1),
+                       np.arange(N, dtype=np.int64) * W, e.words,
+                       e.counts.astype(np.int64))
+        cum = entropy.freq_to_cum(e.freq)
+        luts[d] = entropy.build_decode_lut(e.freq, cum)
+        states[d] = e.states
+        lengths[d] = lengths_list[d]
+    out = _decode_batch_pass(jnp.asarray(states), jnp.asarray(words),
+                             jnp.asarray(luts), jnp.asarray(lengths),
+                             e0.order, e0.T, e0.B, e0.L)
+    out = np.asarray(out)
+    return [out[d] for d in range(D)]
+
+
 @dataclasses.dataclass
 class EncodedQuals:
     """Host-side encoded quality stream for one block."""
