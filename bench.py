@@ -46,11 +46,19 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="scalce_bench_")
     path = os.path.join(tmp, "bench.fastq")
+    print(f"[bench] generating {n_reads} reads ...", file=sys.stderr,
+          flush=True)
     payload = synth_fastq(n_reads, 100, seed=42, genome_len=1_000_000,
                           n_rate=0.001)
     with open(path, "wb") as f:
         f.write(payload)
     input_bytes = len(payload)
+
+    def log(msg):
+        print(f"[bench +{time.monotonic() - t_start:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    t_start = time.monotonic()
 
     def run(out_name: str):
         cfg = Config(mode="compress", inputs=(path,),
@@ -61,19 +69,23 @@ def main() -> None:
         return time.monotonic() - t0, stats
 
     # warm-up: compile every jit in the pipeline
+    log("warm-up encode (compiles on cold cache)")
     run("warm")
+    log("timed encode")
     wall, stats = run("bench")
 
     # decode throughput (stderr detail; JSON line stays encode-only)
-    from scalce_tpu.config import Config
+    log("warm-up decode")
     dcfg = Config(mode="decompress",
                   inputs=(os.path.join(tmp, "bench.00.scalcen"),),
                   output=os.path.join(tmp, "dec"),
                   block_reads=block_reads)
     driver.decompress(dcfg)          # warm decode jits
+    log("timed decode")
     t0 = time.monotonic()
     driver.decompress(dcfg)
     dec_wall = time.monotonic() - t0
+    log("done")
 
     gbps = input_bytes / wall / 1e9
     result = {
