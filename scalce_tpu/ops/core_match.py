@@ -92,6 +92,64 @@ def find_cores(codes: jnp.ndarray, lengths: jnp.ndarray,
     return core_kmer, core_pos
 
 
+def reverse_complement(codes: jnp.ndarray, lengths: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Per-read reverse complement within each read's length.
+
+    codes uint8 [B, L] (A=0,C=1,G=2,T=3; complement = 3-x); padding
+    stays zeroed.  Strand-canonical bucketing needs both orientations:
+    a read and its reverse-complement copy must land in the same bucket
+    (real sequencers emit both strands; the reference's core matching
+    is strand-sensitive, which this improves on).
+    """
+    B, L = codes.shape
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lengths[:, None] - 1 - col
+    valid = src >= 0
+    flipped = jnp.take_along_axis(codes, jnp.maximum(src, 0), axis=1)
+    return jnp.where(valid, 3 - flipped, 0).astype(jnp.uint8)
+
+
+def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
+                         exc: jnp.ndarray, k: int, seed: int,
+                         rank_lut: Optional[jnp.ndarray] = None):
+    """Core selection over BOTH strands.
+
+    Returns (core_kmer, core_pos, is_rc, codes_oriented, exc_oriented):
+    the orientation with the lower-ranked core wins (ties -> forward),
+    so RC duplicates choose the same bucket and orientation.  Reads with
+    exceptions keep their exception mask mirrored alongside.
+    """
+    rc = reverse_complement(codes, lengths)
+    B, L = codes.shape
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = jnp.maximum(lengths[:, None] - 1 - col, 0)
+    exc_rc = jnp.take_along_axis(exc, src, axis=1) & (col < lengths[:, None])
+
+    def ranked(c, e):
+        kmers = rolling_kmers(c, k)
+        if rank_lut is not None:
+            rank = rank_lut[kmers]
+        else:
+            rank = mix32(kmers, seed)
+        rank = jnp.where(window_invalid(e, lengths, k), U32_MAX, rank)
+        pos = jnp.argmin(rank, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(rank, pos[:, None], axis=1)[:, 0]
+        km = jnp.take_along_axis(kmers, pos[:, None], axis=1)[:, 0]
+        return best, km, pos
+
+    bf, kf, pf = ranked(codes, exc)
+    br, kr, pr = ranked(rc, exc_rc)
+    use_rc = br < bf
+    best = jnp.where(use_rc, br, bf)
+    ck = jnp.where(best == U32_MAX, NO_CORE, jnp.where(use_rc, kr, kf))
+    cp = jnp.where(best == U32_MAX, 0, jnp.where(use_rc, pr, pf))
+    use_rc = use_rc & (best != U32_MAX)
+    codes_o = jnp.where(use_rc[:, None], rc, codes)
+    exc_o = jnp.where(use_rc[:, None], exc_rc, exc)
+    return ck, cp, use_rc, codes_o, exc_o
+
+
 def build_sort_keys(codes: jnp.ndarray, lengths: jnp.ndarray,
                     core_kmer: jnp.ndarray, core_pos: jnp.ndarray,
                     n_reads: jnp.ndarray,

@@ -67,8 +67,20 @@ class BlockDecoder:
 
     def _finish(self, payloads: Dict[str, bytes], parsed,
                 qual: np.ndarray) -> DecodedBlock:
-        seq, lengths, n_reads, exc_pos, exc_byte, perm = parsed
+        seq, lengths, n_reads, exc_pos, exc_byte, perm, rc = parsed
         L = seq.shape[1]
+
+        if rc.any():
+            # flip strand-canonicalized reads back to input orientation
+            col = np.arange(L)[None, :]
+            src = lengths[:, None] - 1 - col
+            safe = np.maximum(src, 0)
+            fseq = np.take_along_axis(seq, safe, axis=1)
+            fseq = np.where(src >= 0, 3 - fseq, 0).astype(np.uint8)
+            seq = np.where(rc[:, None], fseq, seq)
+            fq = np.take_along_axis(qual, safe, axis=1)
+            fq = np.where(src >= 0, fq, 0).astype(np.uint8)
+            qual = np.where(rc[:, None], fq, qual)
 
         na = container.unpack_arrays(payloads["n"])
         n = int(na["n"][0])

@@ -47,16 +47,37 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
     # rank_lut with >1 entry selects the explicit dictionary (its shape
     # is static under jit, so this branch costs nothing)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed,
-                                   rank_lut=lut)
-    keys = core_match.build_sort_keys(codes, lengths, ck, cp, n_reads)
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
-    codes_s, qual_s, len_s, ck_s, cp_s = reorder.apply_permutation(
-        perm, codes, qual, lengths, ck, cp)
+    # reads travel in their strand-canonical orientation (qualities
+    # flipped in lockstep so base<->quality alignment survives); a
+    # 1-bit-per-read flag lets decode flip them back
+    qual_o = jnp.where(is_rc[:, None], _reverse_rows(qual, lengths), qual)
+    codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, qual_o, lengths, ck, cp, is_rc)
     qual_s = qual_map[qual_s]
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
     return perm, delta, len_s, sym, ctx, counts
+
+
+def _reverse_rows(grid: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Mirror each row within its read length (no complement)."""
+    B, L = grid.shape
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lengths[:, None] - 1 - col
+    out = jnp.take_along_axis(grid, jnp.maximum(src, 0), axis=1)
+    return jnp.where(src >= 0, out, 0).astype(grid.dtype)
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    B = bits.shape[0]
+    w = jnp.left_shift(jnp.uint8(1), jnp.arange(8, dtype=jnp.uint8))
+    return jnp.sum(bits.reshape(B // 8, 8).astype(jnp.uint8) * w[None, :],
+                   axis=1, dtype=jnp.uint8)
 
 
 def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
@@ -143,12 +164,14 @@ def _device_encode_mate2(seq_packed, qual, lengths, n_reads, exc_pos, perm,
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp = core_match.find_cores(codes, lengths, exc, k, seed,
-                                   rank_lut=lut)
-    codes_s, qual_s, len_s, ck_s, cp_s = reorder.apply_permutation(
-        perm, codes, qual, lengths, ck, cp)
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    qual_o = jnp.where(is_rc[:, None], _reverse_rows(qual, lengths), qual)
+    codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, qual_o, lengths, ck, cp, is_rc)
     qual_s = qual_map[qual_s]
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
     return delta, len_s, sym, ctx, counts
 
@@ -297,6 +320,7 @@ class BlockEncoder:
                 delta["lit_packed"], min(W, delta["lit_packed"].shape[0]))
             )[:n_words],
             "n_lits": n_lits,
+            "rc_bits": np.asarray(delta["rc_bits"]),
         }
         r_payload = seqs.payload(delta_np, np.asarray(len_s),
                                  block.n_reads, exc_pos_s, exc_byte_s,

@@ -52,22 +52,23 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "shifts": np.ascontiguousarray(delta["shifts"][:n_reads]),
         "lit_packed": delta["lit_packed"],
         "n_lits": np.asarray([int(delta["n_lits"])], np.int64),
+        "rc_bits": delta["rc_bits"][: (n_reads + 7) // 8],
         "lengths": lengths[:n_reads].astype(np.uint16),
         "exc_pos": exc_pos.astype(np.uint64),
         "exc_byte": exc_byte.astype(np.uint8),
         "perm": perm[:n_reads].astype(np.uint32),
     }
     return container.pack_arrays(
-        arrays, deflate=("mask_bits", "shifts", "lit_packed", "lengths",
-                         "exc_pos", "exc_byte", "perm"),
+        arrays, deflate=("mask_bits", "shifts", "lit_packed", "rc_bits",
+                         "lengths", "exc_pos", "exc_byte", "perm"),
         level=level, backend=backend)
 
 
 def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
                                                 np.ndarray, np.ndarray,
-                                                np.ndarray]:
-    """Payload -> (codes u8 [B, L] reconstructed, lengths i32 [B], n_reads,
-    exc_pos, exc_byte, perm)."""
+                                                np.ndarray, np.ndarray]:
+    """Payload -> (codes u8 [B, L] reconstructed (canonical orientation),
+    lengths i32 [B], n_reads, exc_pos, exc_byte, perm, rc bool [B])."""
     a = container.unpack_arrays(blob)
     n = int(a["n_reads"][0])
     n_lits = int(a["n_lits"][0])
@@ -77,8 +78,10 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     codes = np.zeros((B, L), np.uint8)
     _reconstruct(a["mask_bits"], a["shifts"].astype(np.int16), lits,
                  lengths[:n].astype(np.int64), L, codes)
+    rc = np.zeros(B, bool)
+    rc[:n] = np.unpackbits(a["rc_bits"], bitorder="little")[:n].astype(bool)
     return codes, lengths, n, a["exc_pos"].astype(np.int64), \
-        a["exc_byte"], a["perm"].astype(np.int64)
+        a["exc_byte"], a["perm"].astype(np.int64), rc
 
 
 def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,

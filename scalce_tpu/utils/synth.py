@@ -34,7 +34,7 @@ def _render_int_column(vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
                 genome_len: int = 100_000, n_rate: float = 0.002,
                 var_len: bool = False, qual_model: str = "illumina",
-                name_style: str = "sra",
+                name_style: str = "sra", rc_rate: float = 0.0,
                 mate: Optional[int] = None) -> bytes:
     """Generate a FASTQ payload as bytes (vectorized).
 
@@ -57,6 +57,13 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
     err = rng.random((n_reads, L)) < 0.005
     codes = np.where(err, rng.integers(0, 4, size=(n_reads, L),
                                        dtype=np.uint8), codes)
+    if rc_rate > 0:
+        # sample both strands, as real sequencers do
+        flip = rng.random(n_reads) < rc_rate
+        src = lens[:, None] - 1 - np.arange(L)[None, :]
+        rc_codes = 3 - np.take_along_axis(codes, np.maximum(src, 0), axis=1)
+        rc_codes = np.where(src >= 0, rc_codes, 0).astype(np.uint8)
+        codes = np.where(flip[:, None], rc_codes, codes)
     bases = _BASES[codes]
     if n_rate > 0:
         nmask = rng.random((n_reads, L)) < n_rate

@@ -164,3 +164,29 @@ def test_thread_count_never_changes_bytes(tmp_path):
             (tmp_path / f"t{t}.00{ext}").read_bytes()
             for ext in (".scalcen", ".scalcer", ".scalceq"))
     assert outs[1] == outs[8]
+
+
+def test_rc_reads_roundtrip_and_bucket_together(tmp_path):
+    """Reads from both strands round-trip byte-exactly, and strand
+    canonicalization makes RC duplicates compress like same-strand
+    duplicates (scalce_tpu improves on the reference here: its core
+    matching is strand-sensitive)."""
+    import zlib
+    fwd = synth_fastq(4096, 100, seed=23, genome_len=30_000, rc_rate=0.0)
+    both = synth_fastq(4096, 100, seed=23, genome_len=30_000, rc_rate=0.5)
+    sizes = {}
+    for tag, payload in (("fwd", fwd), ("both", both)):
+        inp = tmp_path / f"{tag}.fastq"
+        inp.write_bytes(payload)
+        cfg = Config(mode="compress", inputs=(str(inp),),
+                     output=str(tmp_path / tag), block_reads=1 << 12)
+        st = driver.compress(cfg)
+        sizes[tag] = st.stream_bytes["r"]
+        dcfg = Config(mode="decompress",
+                      inputs=(str(tmp_path / f"{tag}.00.scalcer"),),
+                      output=str(tmp_path / f"d{tag}"),
+                      block_reads=1 << 12, keep_order=True)
+        driver.decompress(dcfg)
+        assert (tmp_path / f"d{tag}.fastq").read_bytes() == payload
+    # mixed-strand input must compress within 15% of single-strand
+    assert sizes["both"] < 1.15 * sizes["fwd"], sizes
