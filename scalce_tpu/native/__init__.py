@@ -73,7 +73,7 @@ def _bind() -> None:
     lib.reconstruct_delta.argtypes = [_u8p,
                                       ndpointer(np.int16,
                                                 flags="C_CONTIGUOUS"),
-                                      _u8p, _i64p, ctypes.c_int64,
+                                      _u8p, _u8p, _i64p, ctypes.c_int64,
                                       ctypes.c_int64, _u8p]
     lib.reconstruct_delta.restype = None
     lib.render_fastq.argtypes = [_u8p, _u8p, _i64p, ctypes.c_int64,
@@ -136,9 +136,10 @@ def pack2bit(codes: np.ndarray) -> np.ndarray:
 
 
 def reconstruct_delta(mask_bits: np.ndarray, shifts: np.ndarray,
-                      lits: np.ndarray, lens: np.ndarray, L: int,
+                      pred_k: np.ndarray, lits: np.ndarray,
+                      lens: np.ndarray, L: int,
                       out: np.ndarray) -> None:
-    _lib.reconstruct_delta(mask_bits, shifts,
+    _lib.reconstruct_delta(mask_bits, shifts, pred_k,
                            np.ascontiguousarray(lits),
                            np.ascontiguousarray(lens), len(lens), L,
                            out.reshape(-1))

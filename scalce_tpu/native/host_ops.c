@@ -108,6 +108,7 @@ EXPORT void pack2bit_u32(const uint8_t *codes, int64_t n_words,
  */
 EXPORT void reconstruct_delta(const uint8_t *mask_bits, /* [n, L/8] */
                               const int16_t *shifts,    /* [n] */
+                              const uint8_t *pred_k,    /* [n], 0..K-1 */
                               const uint8_t *lits,
                               const int64_t *lens, int64_t n, int64_t L,
                               uint8_t *out /* [>=n, L], zeroed */)
@@ -117,7 +118,7 @@ EXPORT void reconstruct_delta(const uint8_t *mask_bits, /* [n, L/8] */
     for (int64_t i = 0; i < n; i++) {
         int64_t l = lens[i];
         const uint8_t *mb = mask_bits + i * stride;
-        const uint8_t *prev = out + (i - 1) * L;
+        const uint8_t *prev = out + (i - 1 - (int64_t)pred_k[i]) * L;
         uint8_t *row = out + i * L;
         int64_t sh = shifts[i];
         for (int64_t j = 0; j < l; j++) {

@@ -52,6 +52,7 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "shifts": np.ascontiguousarray(delta["shifts"][:n_reads]),
         "lit_packed": delta["lit_packed"],
         "n_lits": np.asarray([int(delta["n_lits"])], np.int64),
+        "pred_k": np.ascontiguousarray(delta["pred_k"][:n_reads]),
         "rc_bits": delta["rc_bits"][: (n_reads + 7) // 8],
         "lengths": lengths[:n_reads].astype(np.uint16),
         "exc_pos": exc_pos.astype(np.uint64),
@@ -59,8 +60,9 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "perm": perm[:n_reads].astype(np.uint32),
     }
     return container.pack_arrays(
-        arrays, deflate=("mask_bits", "shifts", "lit_packed", "rc_bits",
-                         "lengths", "exc_pos", "exc_byte", "perm"),
+        arrays, deflate=("mask_bits", "shifts", "pred_k", "lit_packed",
+                         "rc_bits", "lengths", "exc_pos", "exc_byte",
+                         "perm"),
         level=level, backend=backend)
 
 
@@ -76,7 +78,8 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     lengths = np.zeros(B, np.int32)
     lengths[:n] = a["lengths"].astype(np.int32)
     codes = np.zeros((B, L), np.uint8)
-    _reconstruct(a["mask_bits"], a["shifts"].astype(np.int16), lits,
+    _reconstruct(a["mask_bits"], a["shifts"].astype(np.int16),
+                 a["pred_k"].astype(np.uint8), lits,
                  lengths[:n].astype(np.int64), L, codes)
     rc = np.zeros(B, bool)
     rc[:n] = np.unpackbits(a["rc_bits"], bitorder="little")[:n].astype(bool)
@@ -85,14 +88,15 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
 
 
 def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,
-                 lits: np.ndarray, lens: np.ndarray, L: int,
-                 out: np.ndarray) -> None:
+                 pred_k: np.ndarray, lits: np.ndarray, lens: np.ndarray,
+                 L: int, out: np.ndarray) -> None:
     n = len(lens)
     if n == 0:
         return
     if _NATIVE:
         _native.reconstruct_delta(np.ascontiguousarray(mask_bits),
                                   np.ascontiguousarray(shifts),
+                                  np.ascontiguousarray(pred_k),
                                   np.ascontiguousarray(lits), lens, L, out)
         return
     # NumPy fallback: vectorized within each row, sequential across rows
@@ -105,7 +109,7 @@ def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,
         row = out[i]
         if k:
             src_cols = np.flatnonzero(m) + int(shifts[i])
-            row[np.flatnonzero(m)] = out[i - 1, src_cols]
+            row[np.flatnonzero(m)] = out[i - 1 - int(pred_k[i]), src_cols]
         nm = np.flatnonzero(~m)
         row[nm] = lits[lit_off:lit_off + l - k]
         lit_off += l - k
