@@ -110,6 +110,22 @@ def reverse_complement(codes: jnp.ndarray, lengths: jnp.ndarray
     return jnp.where(valid, 3 - flipped, 0).astype(jnp.uint8)
 
 
+def revcomp_kmer(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Reverse-complement of 2-bit-packed k-mers, bit-twiddled in place.
+
+    Complement is bitwise NOT of the 2k low bits; base order reverses by
+    swapping 2-bit groups (bytewise swaps, ~10 VPU ops) — far cheaper to
+    COMPILE and run than a second rolling scan over the RC read.
+    """
+    v = (~kmers).astype(U32)
+    # reverse 2-bit groups within the u32
+    v = ((v & U32(0x33333333)) << 2) | ((v >> 2) & U32(0x33333333))
+    v = ((v & U32(0x0F0F0F0F)) << 4) | ((v >> 4) & U32(0x0F0F0F0F))
+    v = ((v & U32(0x00FF00FF)) << 8) | ((v >> 8) & U32(0x00FF00FF))
+    v = (v << 16) | (v >> 16)
+    return v >> (32 - 2 * k)
+
+
 def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
                          exc: jnp.ndarray, k: int, seed: int,
                          rank_lut: Optional[jnp.ndarray] = None):
@@ -117,35 +133,50 @@ def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
 
     Returns (core_kmer, core_pos, is_rc, codes_oriented, exc_oriented):
     the orientation with the lower-ranked core wins (ties -> forward),
-    so RC duplicates choose the same bucket and orientation.  Reads with
-    exceptions keep their exception mask mirrored alongside.
+    so RC duplicates choose the same bucket and orientation.
+
+    One rolling pass serves both strands: the RC read's k-mer at RC
+    position p' equals ``revcomp_kmer`` of the forward k-mer at
+    ``len - k - p'``, and window validity is mirror-symmetric.
     """
-    rc = reverse_complement(codes, lengths)
     B, L = codes.shape
+    kmers = rolling_kmers(codes, k)
+    rkmers = revcomp_kmer(kmers, k)
+    if rank_lut is not None:
+        rank_f = rank_lut[kmers]
+        rank_r = rank_lut[rkmers]
+    else:
+        rank_f = mix32(kmers, seed)
+        rank_r = mix32(rkmers, seed)
+    invalid = window_invalid(exc, lengths, k)
+    rank_f = jnp.where(invalid, U32_MAX, rank_f)
+    rank_r = jnp.where(invalid, U32_MAX, rank_r)
+
+    pf = jnp.argmin(rank_f, axis=1).astype(jnp.int32)
+    bf = jnp.take_along_axis(rank_f, pf[:, None], axis=1)[:, 0]
+    # for the RC strand, argmin over forward positions; RC-frame position
+    # is len - k - p.  Tie-break must be on the RC-frame position (first
+    # occurrence there = LAST forward position), so argmin runs on the
+    # reversed axis.
+    pr_rev = jnp.argmin(rank_r[:, ::-1], axis=1).astype(jnp.int32)
+    p_fwd = rank_r.shape[1] - 1 - pr_rev
+    br = jnp.take_along_axis(rank_r, p_fwd[:, None], axis=1)[:, 0]
+
+    use_rc = br < bf
+    best = jnp.where(use_rc, br, bf)
+    kf_v = jnp.take_along_axis(kmers, pf[:, None], axis=1)[:, 0]
+    kr_v = jnp.take_along_axis(rkmers, p_fwd[:, None], axis=1)[:, 0]
+    pr = lengths - k - p_fwd          # position in the RC-oriented read
+    ck = jnp.where(best == U32_MAX, NO_CORE,
+                   jnp.where(use_rc, kr_v, kf_v))
+    cp = jnp.where(best == U32_MAX, 0,
+                   jnp.where(use_rc, pr, pf)).astype(jnp.int32)
+    use_rc = use_rc & (best != U32_MAX)
+    rc_codes = reverse_complement(codes, lengths)
+    codes_o = jnp.where(use_rc[:, None], rc_codes, codes)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
     src = jnp.maximum(lengths[:, None] - 1 - col, 0)
     exc_rc = jnp.take_along_axis(exc, src, axis=1) & (col < lengths[:, None])
-
-    def ranked(c, e):
-        kmers = rolling_kmers(c, k)
-        if rank_lut is not None:
-            rank = rank_lut[kmers]
-        else:
-            rank = mix32(kmers, seed)
-        rank = jnp.where(window_invalid(e, lengths, k), U32_MAX, rank)
-        pos = jnp.argmin(rank, axis=1).astype(jnp.int32)
-        best = jnp.take_along_axis(rank, pos[:, None], axis=1)[:, 0]
-        km = jnp.take_along_axis(kmers, pos[:, None], axis=1)[:, 0]
-        return best, km, pos
-
-    bf, kf, pf = ranked(codes, exc)
-    br, kr, pr = ranked(rc, exc_rc)
-    use_rc = br < bf
-    best = jnp.where(use_rc, br, bf)
-    ck = jnp.where(best == U32_MAX, NO_CORE, jnp.where(use_rc, kr, kf))
-    cp = jnp.where(best == U32_MAX, 0, jnp.where(use_rc, pr, pf))
-    use_rc = use_rc & (best != U32_MAX)
-    codes_o = jnp.where(use_rc[:, None], rc, codes)
     exc_o = jnp.where(use_rc[:, None], exc_rc, exc)
     return ck, cp, use_rc, codes_o, exc_o
 

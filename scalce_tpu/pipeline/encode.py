@@ -149,37 +149,61 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
             "lit_packed": lit_packed, "n_lits": n_lits}
 
 
-@partial(jax.jit, static_argnames=("k", "seed", "order"))
-def _device_encode(seq_packed, qual, lengths, n_reads, exc_pos, qual_map,
-                   rank_lut, k: int, seed: int, order: int):
-    """Fused per-block device stage (packed-input wrapper).
+@partial(jax.jit, static_argnames=("k", "seed"))
+def _device_stage_a(seq_packed, qual, lengths, n_reads, exc_pos, rank_lut,
+                    k: int, seed: int):
+    """Device stage A: unpack → canonical cores → sort → orient+permute.
 
-    seq_packed: uint32 [B, L//16] host-packed 2-bit codes — packed on
-    host (native pack2bit) to quarter the H2D transfer; codes are
-    re-expanded on device where bandwidth is free.
-    exc_pos: int32 [E_pad] flat positions of non-ACGT bases, padded with
+    The single-device pipeline is split into two jits (A: tokenize/sort,
+    B: delta/histogram) because the emulator's compiler scales
+    superlinearly with graph size — two ~half graphs compile several
+    times faster than the fused one, and the extra dispatch costs
+    microseconds against a ~200ms block.
+
+    seq_packed: uint32 [B, L//16] host-packed 2-bit codes (quarter-size
+    H2D transfer; re-expanded on device where bandwidth is free).
+    exc_pos: int32 [E_pad] flat non-ACGT positions, padded with
     out-of-range sentinels (dropped by the scatter).
-    qual_map: uint8 [256] quality remap LUT — identity when lossless,
-    the lossy quantizer's merge table under ``-p`` (SURVEY.md §4.4:
-    "mapping applied per quality byte inside hot loop #1").
     """
     from scalce_tpu.ops.bitops import unpack_bases_u32
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
-    return _encode_core(codes, seq_packed, qual, lengths, n_reads, exc,
-                        qual_map, rank_lut, k, seed, order)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
+    perm = reorder.sort_permutation(keys)
+    qual_o = jnp.where(is_rc[:, None], _reverse_rows(qual, lengths), qual)
+    codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, qual_o, lengths, ck, cp, is_rc)
+    return perm, codes_s, qual_s, len_s, ck_s, cp_s, rc_s
 
 
-@partial(jax.jit, static_argnames=("k", "seed", "order"))
-def _device_encode_mate2(seq_packed, qual, lengths, n_reads, exc_pos, perm,
-                         qual_map, rank_lut, k: int, seed: int, order: int):
-    """Mate-2 device stage: mate 2 follows mate 1's permutation so pairs
-    stay line-synchronized (SURVEY.md §2 "Paired-end sync").  Its own
-    cores are still computed — not for sorting, but to align the
-    predecessor-delta (adjacent pairs usually overlap on mate 2 as
-    well)."""
+@partial(jax.jit, static_argnames=("order",))
+def _device_stage_b(codes_s, qual_s, len_s, ck_s, cp_s, rc_s, n_reads,
+                    qual_map, order: int):
+    """Device stage B: predecessor delta + quality remap/contexts/histogram.
+
+    qual_map: uint8 [256] quality remap LUT — identity when lossless,
+    the lossy quantizer's merge table under ``-p`` (SURVEY.md §4.4:
+    "mapping applied per quality byte inside hot loop #1").
+    """
+    qual_m = qual_map[qual_s]
+    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    delta["rc_bits"] = _pack_bits(rc_s)
+    sym, ctx, counts = qualities.sym_ctx_hist(qual_m, len_s, order)
+    return delta, sym, ctx, counts
+
+
+@partial(jax.jit, static_argnames=("k", "seed"))
+def _device_stage_a2(seq_packed, qual, lengths, exc_pos, perm, rank_lut,
+                     k: int, seed: int):
+    """Mate-2 stage A: mate 2 follows mate 1's permutation so pairs stay
+    line-synchronized (SURVEY.md §2 "Paired-end sync").  Its own cores
+    are still computed — not for sorting, but to align the
+    predecessor-delta (adjacent pairs usually overlap on mate 2 too)."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
@@ -189,13 +213,8 @@ def _device_encode_mate2(seq_packed, qual, lengths, n_reads, exc_pos, perm,
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
         codes, lengths, exc, k, seed, rank_lut=lut)
     qual_o = jnp.where(is_rc[:, None], _reverse_rows(qual, lengths), qual)
-    codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
-        perm, codes_o, qual_o, lengths, ck, cp, is_rc)
-    qual_s = qual_map[qual_s]
-    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
-    delta["rc_bits"] = _pack_bits(rc_s)
-    sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
-    return delta, len_s, sym, ctx, counts
+    return reorder.apply_permutation(perm, codes_o, qual_o, lengths, ck,
+                                     cp, is_rc)
 
 
 @partial(jax.jit, static_argnames=("W",))
@@ -264,12 +283,16 @@ class BlockEncoder:
     def encode_device(self, block: ReadBlock):
         cfg = self.cfg
         B, L = block.seq.shape
-        return _device_encode(
+        perm, codes_s, qual_s, len_s, ck_s, cp_s, rc_s = _device_stage_a(
             jnp.asarray(_host_pack(block.seq)), jnp.asarray(block.qual),
             jnp.asarray(block.lengths), jnp.int32(block.n_reads),
             jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
-            self.qual_map, self.rank_lut,
-            cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+            self.rank_lut, cfg.core_k, cfg.dict_seed)
+        delta, sym, ctx, counts = _device_stage_b(
+            codes_s, qual_s, len_s, ck_s, cp_s, rc_s,
+            jnp.int32(block.n_reads), self.qual_map,
+            cfg.qual_context_order)
+        return perm, delta, len_s, sym, ctx, counts
 
     def assemble(self, block: ReadBlock, devout) -> EncodedBlock:
         perm, delta, len_s, sym, ctx, counts = devout
@@ -284,12 +307,16 @@ class BlockEncoder:
         out1 = self.encode_device(b1)
         perm = out1[0]
         B, L = b2.seq.shape
-        out2 = _device_encode_mate2(
+        codes_s, qual_s, len2, ck_s, cp_s, rc_s = _device_stage_a2(
             jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.qual),
-            jnp.asarray(b2.lengths), jnp.int32(b2.n_reads),
+            jnp.asarray(b2.lengths),
             jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
-            perm.astype(jnp.int32), self.qual_map, self.rank_lut,
-            cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+            perm.astype(jnp.int32), self.rank_lut,
+            cfg.core_k, cfg.dict_seed)
+        delta2, sym2, ctx2, counts2 = _device_stage_b(
+            codes_s, qual_s, len2, ck_s, cp_s, rc_s,
+            jnp.int32(b2.n_reads), self.qual_map, cfg.qual_context_order)
+        out2 = (delta2, len2, sym2, ctx2, counts2)
         return out1, out2
 
     def assemble_pair(self, b1: ReadBlock, b2: ReadBlock, devout
