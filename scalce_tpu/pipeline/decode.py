@@ -71,16 +71,14 @@ class BlockDecoder:
         L = seq.shape[1]
 
         if rc.any():
-            # flip strand-canonicalized reads back to input orientation
+            # flip strand-canonicalized sequences back to input
+            # orientation (qualities were never flipped)
             col = np.arange(L)[None, :]
             src = lengths[:, None] - 1 - col
             safe = np.maximum(src, 0)
             fseq = np.take_along_axis(seq, safe, axis=1)
             fseq = np.where(src >= 0, 3 - fseq, 0).astype(np.uint8)
             seq = np.where(rc[:, None], fseq, seq)
-            fq = np.take_along_axis(qual, safe, axis=1)
-            fq = np.where(src >= 0, fq, 0).astype(np.uint8)
-            qual = np.where(rc[:, None], fq, qual)
 
         na = container.unpack_arrays(payloads["n"])
         n = int(na["n"][0])

@@ -51,26 +51,16 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
         codes, lengths, exc, k, seed, rank_lut=lut)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
-    # reads travel in their strand-canonical orientation (qualities
-    # flipped in lockstep so base<->quality alignment survives); a
-    # 1-bit-per-read flag lets decode flip them back
-    qual_o = jnp.where(is_rc[:, None], _reverse_rows(qual, lengths), qual)
+    # reads travel in their strand-canonical orientation with a 1-bit
+    # flag; qualities stay in original orientation (streams are
+    # independent, and flipping would scramble quality position stats)
     codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
-        perm, codes_o, qual_o, lengths, ck, cp, is_rc)
+        perm, codes_o, qual, lengths, ck, cp, is_rc)
     qual_s = qual_map[qual_s]
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
     delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
     return perm, delta, len_s, sym, ctx, counts
-
-
-def _reverse_rows(grid: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """Mirror each row within its read length (no complement)."""
-    B, L = grid.shape
-    col = jnp.arange(L, dtype=jnp.int32)[None, :]
-    src = lengths[:, None] - 1 - col
-    out = jnp.take_along_axis(grid, jnp.maximum(src, 0), axis=1)
-    return jnp.where(src >= 0, out, 0).astype(grid.dtype)
 
 
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -175,9 +165,11 @@ def _device_stage_a(seq_packed, qual, lengths, n_reads, exc_pos, rank_lut,
         codes, lengths, exc, k, seed, rank_lut=lut)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
-    qual_o = jnp.where(is_rc[:, None], _reverse_rows(qual, lengths), qual)
+    # qualities stay in ORIGINAL orientation: the streams decode
+    # independently, and flipping would scramble the position-context
+    # statistics of the quality model for no benefit
     codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
-        perm, codes_o, qual_o, lengths, ck, cp, is_rc)
+        perm, codes_o, qual, lengths, ck, cp, is_rc)
     return perm, codes_s, qual_s, len_s, ck_s, cp_s, rc_s
 
 
@@ -212,8 +204,7 @@ def _device_stage_a2(seq_packed, qual, lengths, exc_pos, perm, rank_lut,
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
         codes, lengths, exc, k, seed, rank_lut=lut)
-    qual_o = jnp.where(is_rc[:, None], _reverse_rows(qual, lengths), qual)
-    return reorder.apply_permutation(perm, codes_o, qual_o, lengths, ck,
+    return reorder.apply_permutation(perm, codes_o, qual, lengths, ck,
                                      cp, is_rc)
 
 
