@@ -314,22 +314,36 @@ def _decompress_paired(cfg: Config, stats: RunStats,
     r1 = reader if reader.mate == 1 else container.TripletReader(
         container.part_paths(prefix, 0, 1)["r"])
     r2 = container.TripletReader(container.part_paths(prefix, 0, 2)["r"])
+    from scalce_tpu.pipeline.decode import DECODE_GROUP
     d1 = BlockDecoder(meta, keep_order=cfg.keep_order)
     d2 = BlockDecoder(meta, keep_order=cfg.keep_order)
     out1 = open(f"{cfg.output}_1.fastq", "wb")
     out2 = open(f"{cfg.output}_2.fastq", "wb")
     try:
+        group1: List = []
+        group2: List = []
+
+        def flush():
+            for dec, group, out in ((d1, group1, out1), (d2, group2, out2)):
+                for b in dec.decode_blocks(group):
+                    fastq.write_fastq_records(
+                        out, b.seq, b.qual, b.lengths, b.n_reads,
+                        b.exc_pos, b.exc_byte, b.names, b.plus)
+                    stats.n_reads += b.n_reads
+            stats.n_blocks += len(group1)
+            group1.clear()
+            group2.clear()
+
         for (bid1, p1), (bid2, p2) in zip(r1.iter_blocks(),
                                           r2.iter_blocks()):
             if bid1 != bid2:
                 raise ValueError("mate triplets disagree on block order")
-            for dec, payloads, out in ((d1, p1, out1), (d2, p2, out2)):
-                b = dec.decode_block(payloads)
-                fastq.write_fastq_records(out, b.seq, b.qual, b.lengths,
-                                          b.n_reads, b.exc_pos, b.exc_byte,
-                                          b.names, b.plus)
-                stats.n_reads += b.n_reads
-            stats.n_blocks += 1
+            group1.append(p1)
+            group2.append(p2)
+            if len(group1) == DECODE_GROUP:
+                flush()
+        if group1:
+            flush()
     finally:
         out1.close()
         out2.close()
