@@ -87,3 +87,24 @@ def test_resume_after_torn_write(tmp_path):
                   keep_order=True)
     driver.decompress(dcfg)
     assert (tmp_path / "dec.fastq").read_bytes() == payload
+
+
+def test_paired_multihost_byte_identical(tmp_path):
+    from scalce_tpu.utils.synth import synth_pair
+    a, b = synth_pair(5000, 100, seed=70)
+    p1, p2 = tmp_path / "a.fastq", tmp_path / "b.fastq"
+    p1.write_bytes(a)
+    p2.write_bytes(b)
+    base = dict(mode="compress", inputs=(str(p1), str(p2)), paired=True,
+                block_reads=1 << 10)
+    driver.compress(Config(output=str(tmp_path / "one"), **base))
+    for h in range(2):
+        driver.compress(Config(output=str(tmp_path / "multi"), n_hosts=2,
+                               host_id=h, **base))
+    driver.merge_hosts(Config(output=str(tmp_path / "multi"), n_hosts=2,
+                              **base))
+    for mate in (1, 2):
+        for ext in (".scalcen", ".scalcer", ".scalceq"):
+            one = (tmp_path / f"one.00_{mate}{ext}").read_bytes()
+            multi = (tmp_path / f"multi.00_{mate}{ext}").read_bytes()
+            assert one == multi, f"mate {mate} {ext} differs"
