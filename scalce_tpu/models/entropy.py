@@ -18,6 +18,41 @@ import numpy as np
 from scalce_tpu.ops.rans import M_TOTAL, PROB_BITS
 
 
+def device_normalize(counts, n_ctx: int, n_syms: int):
+    """Device-side histogram normalization (jnp; fully vectorized).
+
+    Same contract as :func:`normalize_freqs` (rows sum to M_TOTAL,
+    nonzero counts keep freq >= 1, deterministic) with a different —
+    but equally valid — mass split: the codec only requires that the
+    STORED table be used by both sides, so the split rule is free.
+
+    Scheme: reserve 1 per present symbol, scale the rest by
+    ``floor(c * scale * (1 - 1e-5))`` (the bias makes the f32 floor err
+    low, so the remainder d >= 0), then add d to the most frequent
+    symbol.  No data-dependent loops, no host sync.
+
+    Returns (freq u32 [C, S], cum u32 [C, S]).
+    """
+    import jax.numpy as jnp
+    c = counts.reshape(n_ctx, n_syms).astype(jnp.float32)
+    nz = c > 0
+    nnz = jnp.sum(nz, axis=1, dtype=jnp.int32)
+    total = jnp.sum(c, axis=1)
+    scale = (M_TOTAL - nnz).astype(jnp.float32) / jnp.maximum(total, 1.0)
+    f_extra = jnp.floor(c * scale[:, None] * (1.0 - 1e-5)).astype(jnp.int32)
+    f = jnp.where(nz, 1 + f_extra, 0)
+    d = M_TOTAL - jnp.sum(f, axis=1, dtype=jnp.int32)
+    top = jnp.argmax(c, axis=1)
+    f = f.at[jnp.arange(n_ctx), top].add(
+        jnp.where(nnz > 0, d, 0))
+    # empty contexts: all mass on symbol 0 (never referenced)
+    f = jnp.where((nnz == 0)[:, None],
+                  jnp.zeros_like(f).at[:, 0].set(M_TOTAL), f)
+    f = f.astype(jnp.uint32)
+    cum = jnp.cumsum(f, axis=1, dtype=jnp.uint32) - f
+    return f, cum
+
+
 def normalize_freqs(counts: np.ndarray, n_syms: int) -> np.ndarray:
     """Normalize per-context histograms to sum exactly M_TOTAL.
 

@@ -64,19 +64,24 @@ def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):
     return jax.jit(stage1)
 
 
-def make_sharded_qual_encode(mesh: Mesh, n_syms: int, T: int):
-    """jit'd rANS pass B over stacked blocks with per-block tables."""
+def make_sharded_qual_encode(mesh: Mesh, n_ctx: int, n_syms: int, T: int):
+    """jit'd rANS pass B over stacked blocks — per-block tables are
+    normalized on device (entropy.device_normalize), matching the
+    single-device path bit for bit."""
+    from scalce_tpu.models import entropy
     dspec = P("data")
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(dspec,) * 4, out_specs=(dspec,) * 3)
-    def encode(sym, ctx, freq_lut, cum_lut):
-        def one(sym_b, ctx_b, f_b, c_b):
+             in_specs=(dspec,) * 3, out_specs=(dspec,) * 4)
+    def encode(sym, ctx, counts):
+        def one(sym_b, ctx_b, counts_b):
+            freq, cum = entropy.device_normalize(counts_b, n_ctx, n_syms)
             states, words, emits = rans.rans_encode(
-                sym_b.reshape(-1), ctx_b.reshape(-1), f_b, c_b, n_syms, T)
-            packed, counts = rans.compact_emissions(words, emits)
-            return states, packed, counts
-        return jax.vmap(one)(sym, ctx, freq_lut, cum_lut)
+                sym_b.reshape(-1), ctx_b.reshape(-1), freq.reshape(-1),
+                cum.reshape(-1), n_syms, T)
+            packed, wcounts = rans.compact_emissions(words, emits)
+            return freq, states, packed, wcounts
+        return jax.vmap(one)(sym, ctx, counts)
 
     return jax.jit(encode)
 

@@ -110,6 +110,22 @@ def _encode_pass(sym: jnp.ndarray, ctx: jnp.ndarray, freq_lut: jnp.ndarray,
     return states, packed, counts
 
 
+@partial(jax.jit, static_argnames=("order", "T"))
+def _table_encode_pass(sym: jnp.ndarray, ctx: jnp.ndarray,
+                       counts: jnp.ndarray, order: int, T: int):
+    """Pass B entirely on device: histogram -> tables -> rANS encode.
+
+    Table normalization moved on-device (entropy.device_normalize)
+    removes the per-block host round-trip the two-pass scheme otherwise
+    needs between histogram and encode."""
+    freq, cum = entropy.device_normalize(counts, n_contexts(order), N_SYMS)
+    states, words, emits = rans.rans_encode(
+        sym.reshape(-1), ctx.reshape(-1), freq.reshape(-1),
+        cum.reshape(-1), N_SYMS, T)
+    packed, wcounts = rans.compact_emissions(words, emits)
+    return freq, states, packed, wcounts
+
+
 @partial(jax.jit, static_argnames=("order", "T", "B", "L"))
 def _decode_pass(states: jnp.ndarray, words_padded: jnp.ndarray,
                  decode_lut: jnp.ndarray, lengths: jnp.ndarray,
@@ -217,14 +233,15 @@ def _slice_words(packed: jnp.ndarray, W: int) -> jnp.ndarray:
 def encode_from_grids(sym, ctx, counts, B: int, L: int, order: int,
                       T_target: int = 1024) -> EncodedQuals:
     """Pass B given device grids from :func:`sym_ctx_hist` (pipelines fuse
-    pass A into their own jit and call this for the table+encode half)."""
+    pass A into their own jit and call this for the table+encode half).
+
+    Tables are normalized ON DEVICE — the stored table is whatever the
+    device computed, so decode (which reads it from the container)
+    stays bit-exact regardless of the normalization split."""
     T = pick_T(B, L, T_target)
-    freq, cum, _ = entropy.tables_from_counts(np.asarray(counts),
-                                              n_contexts(order), N_SYMS,
-                                              build_lut=False)
-    states, packed, wcounts = _encode_pass(
-        sym, ctx, jnp.asarray(freq.reshape(-1)),
-        jnp.asarray(entropy.freq_to_cum(freq).reshape(-1)), T)
+    freq_dev, states, packed, wcounts = _table_encode_pass(
+        sym, ctx, counts, order, T)
+    freq = np.asarray(freq_dev)
     wcounts = np.asarray(wcounts).astype(np.int64)
     # slice the padded word matrix to a power-of-two bucket ON DEVICE
     # before download: D2H is the scarce resource (the padded [N, T]

@@ -60,21 +60,17 @@ def test_sharded_qual_encode_roundtrips():
 
     T = qualities.pick_T(B, L)
     C = qualities.n_contexts(1)
-    freqs, cums, luts = [], [], []
-    for d in range(D):
-        f, c, lut = entropy.tables_from_counts(np.asarray(counts)[d], C,
-                                               qualities.N_SYMS)
-        freqs.append(f.reshape(-1))
-        cums.append(c.reshape(-1))
-        luts.append(lut)
-    enc = pmesh.make_sharded_qual_encode(m, qualities.N_SYMS, T)
-    states, packed_w, wcounts = enc(sym, ctx,
-                                    jnp.asarray(np.stack(freqs)),
-                                    jnp.asarray(np.stack(cums)))
+    enc = pmesh.make_sharded_qual_encode(m, C, qualities.N_SYMS, T)
+    freqs, states, packed_w, wcounts = enc(sym, ctx, counts)
+    # device tables are valid (rows sum to M, nonzero counts kept >= 1)
+    fr = np.asarray(freqs)
+    assert (fr.sum(axis=2) == 4096).all()
+    cnts = np.asarray(counts).reshape(D, C, qualities.N_SYMS)
+    assert (fr[cnts > 0] >= 1).all()
     # decode every block with the single-device path and compare
     for d in range(D):
         eq = qualities.EncodedQuals(
-            freq=np.asarray(freqs[d]).reshape(C, qualities.N_SYMS),
+            freq=fr[d],
             states=np.asarray(states)[d],
             counts=np.asarray(wcounts)[d],
             words=_flatten(np.asarray(packed_w)[d], np.asarray(wcounts)[d]),
