@@ -37,4 +37,24 @@ Layout:
 
 from scalce_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def compress(cfg):
+    """Library entry point: run a compression described by a Config."""
+    from scalce_tpu.pipeline import driver
+    return driver.compress(cfg)
+
+
+def decompress(cfg):
+    """Library entry point: run a decompression described by a Config."""
+    from scalce_tpu.pipeline import driver
+    return driver.decompress(cfg)
+
+
+def __getattr__(name):
+    if name == "Config":
+        from scalce_tpu.config import Config
+        return Config
+    raise AttributeError(name)
+
+
+__all__ = ["__version__", "Config", "compress", "decompress"]

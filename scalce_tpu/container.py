@@ -62,22 +62,17 @@ _CODEC_NONE, _CODEC_ZLIB, _CODEC_BZ2 = 0, 1, 2
 _CODEC_OF_BACKEND = {"no": _CODEC_NONE, "gz": _CODEC_ZLIB, "bz": _CODEC_BZ2}
 
 
+_BACKEND_OF_CODEC = {v: k for k, v in _CODEC_OF_BACKEND.items()}
+
+
 def _codec_compress(codec: int, raw: bytes, level: int) -> bytes:
-    if codec == _CODEC_ZLIB:
-        return zlib.compress(raw, level)
-    if codec == _CODEC_BZ2:
-        import bz2
-        return bz2.compress(raw, min(max(level, 1), 9))
-    return raw
+    from scalce_tpu.io.backend import compress_bytes
+    return compress_bytes(raw, _BACKEND_OF_CODEC[codec], level)
 
 
 def _codec_decompress(codec: int, data: bytes) -> bytes:
-    if codec == _CODEC_ZLIB:
-        return zlib.decompress(data)
-    if codec == _CODEC_BZ2:
-        import bz2
-        return bz2.decompress(data)
-    return data
+    from scalce_tpu.io.backend import decompress_bytes
+    return decompress_bytes(data, _BACKEND_OF_CODEC[codec])
 
 
 def pack_arrays(arrays: Dict[str, np.ndarray],

@@ -293,7 +293,7 @@ def decompress(cfg: Config) -> RunStats:
                 stats.n_reads += b.n_reads
             group.clear()
 
-        for bid, payloads in reader.iter_blocks():
+        for bid, payloads in _prefetch(reader.iter_blocks(), depth=8):
             group.append(payloads)
             if len(group) == DECODE_GROUP:
                 flush()
