@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=("gz", "bz", "no"), default="gz")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard blocks over all local devices")
+    p.add_argument("--n-hosts", type=int, default=1,
+                   help="total hosts in a multi-host job (this host "
+                        "encodes blocks with id %% n-hosts == host-id)")
+    p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--merge-hosts", action="store_true",
+                   help="merge per-host outputs into the final triplet "
+                        "(run on one host after all hosts finish)")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted compression: finished "
                         "blocks in the output are kept, torn tails "
@@ -92,6 +99,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         stats_json=args.stats_json,
         profile_dir=args.profile,
         verbose=args.verbose,
+        n_hosts=args.n_hosts,
+        host_id=args.host_id,
     )
 
 
@@ -99,6 +108,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     from scalce_tpu.pipeline import driver
+    if args.merge_hosts:
+        n = driver.merge_hosts(cfg)
+        print(f"[scalce_tpu] merged {n} blocks from {cfg.n_hosts} hosts",
+              file=sys.stderr)
+        return 0
     prof = None
     if cfg.profile_dir:
         import jax

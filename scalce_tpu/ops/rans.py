@@ -117,10 +117,11 @@ def rans_encode(sym: jnp.ndarray, ctx: jnp.ndarray,
     # derive the carry from an input so its sharding "varying" axes match
     # the scanned operands under shard_map (zero-cost after fusion)
     x0 = (f_all[0] & U32(0)) + RANS_L
-    # encoder walks t = T-1 .. 0 (reverse data order); unroll amortizes
-    # the per-step scan overhead (dominant once gathers are hoisted)
+    # encoder walks t = T-1 .. 0 (reverse data order); modest unroll
+    # only — the emulator's compile time grows superlinearly with scan
+    # body size (unroll=8 pushed whole-pipeline compiles past 8 minutes)
     xs = (f_all[::-1], c_all[::-1])
-    x_fin, (words, emits) = jax.lax.scan(step, x0, xs, unroll=8)
+    x_fin, (words, emits) = jax.lax.scan(step, x0, xs, unroll=2)
     return x_fin, words[::-1], emits[::-1]
 
 

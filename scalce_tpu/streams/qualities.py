@@ -110,20 +110,15 @@ def _encode_pass(sym: jnp.ndarray, ctx: jnp.ndarray, freq_lut: jnp.ndarray,
     return states, packed, counts
 
 
-@partial(jax.jit, static_argnames=("order", "T"))
-def _table_encode_pass(sym: jnp.ndarray, ctx: jnp.ndarray,
-                       counts: jnp.ndarray, order: int, T: int):
-    """Pass B entirely on device: histogram -> tables -> rANS encode.
+@partial(jax.jit, static_argnames=("order",))
+def _normalize_pass(counts: jnp.ndarray, order: int):
+    """Device table normalization as its OWN small jit.
 
-    Table normalization moved on-device (entropy.device_normalize)
-    removes the per-block host round-trip the two-pass scheme otherwise
-    needs between histogram and encode."""
-    freq, cum = entropy.device_normalize(counts, n_contexts(order), N_SYMS)
-    states, words, emits = rans.rans_encode(
-        sym.reshape(-1), ctx.reshape(-1), freq.reshape(-1),
-        cum.reshape(-1), N_SYMS, T)
-    packed, wcounts = rans.compact_emissions(words, emits)
-    return freq, states, packed, wcounts
+    Two back-to-back device jits still avoid any host round-trip (the
+    freq/cum arrays never leave the device between them); keeping the
+    normalization out of the scan jit keeps the emulator's superlinear
+    compile time in check."""
+    return entropy.device_normalize(counts, n_contexts(order), N_SYMS)
 
 
 @partial(jax.jit, static_argnames=("order", "T", "B", "L"))
@@ -239,8 +234,9 @@ def encode_from_grids(sym, ctx, counts, B: int, L: int, order: int,
     device computed, so decode (which reads it from the container)
     stays bit-exact regardless of the normalization split."""
     T = pick_T(B, L, T_target)
-    freq_dev, states, packed, wcounts = _table_encode_pass(
-        sym, ctx, counts, order, T)
+    freq_dev, cum_dev = _normalize_pass(counts, order)
+    states, packed, wcounts = _encode_pass(
+        sym, ctx, freq_dev.reshape(-1), cum_dev.reshape(-1), T)
     freq = np.asarray(freq_dev)
     wcounts = np.asarray(wcounts).astype(np.int64)
     # slice the padded word matrix to a power-of-two bucket ON DEVICE

@@ -108,3 +108,24 @@ def test_paired_multihost_byte_identical(tmp_path):
             one = (tmp_path / f"one.00_{mate}{ext}").read_bytes()
             multi = (tmp_path / f"multi.00_{mate}{ext}").read_bytes()
             assert one == multi, f"mate {mate} {ext} differs"
+
+
+def test_cli_merge_hosts(tmp_path):
+    from scalce_tpu import cli
+    from scalce_tpu.utils.synth import synth_fastq as _synth
+    payload = _synth(3000, 100, seed=80)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    for h in range(2):
+        rc = cli.main([str(inp), "-o", str(tmp_path / "m"),
+                       "--n-hosts", "2", "--host-id", str(h),
+                       "--block-reads", "1024"])
+        assert rc == 0
+    rc = cli.main([str(inp), "-o", str(tmp_path / "m"), "--n-hosts", "2",
+                   "--merge-hosts", "--block-reads", "1024"])
+    assert rc == 0
+    rc = cli.main(["-d", str(tmp_path / "m.00.scalcen"), "-o",
+                   str(tmp_path / "d"), "--block-reads", "1024"])
+    assert rc == 0
+    lines = (tmp_path / "d.fastq").read_bytes().decode().splitlines()
+    assert len(lines) == 4 * 3000
