@@ -190,3 +190,14 @@ def test_rc_reads_roundtrip_and_bucket_together(tmp_path):
         assert (tmp_path / f"d{tag}.fastq").read_bytes() == payload
     # mixed-strand input must compress within 15% of single-strand
     assert sizes["both"] < 1.15 * sizes["fwd"], sizes
+
+
+def test_profile_and_verbose_flags(tmp_path, capsys):
+    payload = synth_fastq(300, 80, seed=24)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    prof = tmp_path / "trace"
+    rc = cli.main([str(inp), "-o", str(tmp_path / "o"), "-v",
+                   "--profile", str(prof), "--block-reads", "256"])
+    assert rc == 0
+    assert prof.exists() and any(prof.rglob("*"))
