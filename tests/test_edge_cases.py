@@ -58,7 +58,7 @@ def test_extreme_quality_bytes(tmp_path):
 
 def test_unstructured_names_fallback(tmp_path):
     names = [b"weird [name] {with} ~stuff~ 1",
-             b"@@@", b"x", b"tab\ttab", b"trailing ",
+             b"@@@", b"x", b"tab\ttab", b"trailing ", b"",
              b"unicode-\xc3\xa9\xc2\xb5"]
     recs = []
     for i, nm in enumerate(names):
