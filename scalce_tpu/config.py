@@ -112,12 +112,19 @@ class Config:
             raise ValueError("core_k must be in [4, 15] (2k bits in int32)")
         if self.block_reads & (self.block_reads - 1):
             raise ValueError("block_reads must be a power of two")
+        if self.block_reads < 256:
+            raise ValueError("block_reads must be >= 256")
         if self.max_read_len % 16:
             raise ValueError("max_read_len must be a multiple of 16 "
                              "(2-bit packing granularity)")
-        if self.qual_T_target < 64 or self.qual_T_target & (
-                self.qual_T_target - 1):
-            raise ValueError("qual_T_target must be a power of two >= 64")
+        if self.max_read_len > 32752:
+            raise ValueError("max_read_len must be <= 32752 (stream "
+                             "fields are 16-bit; longer reads need a "
+                             "format bump)")
+        if self.qual_T_target < 64 or self.qual_T_target > 32768 or \
+                self.qual_T_target & (self.qual_T_target - 1):
+            raise ValueError("qual_T_target must be a power of two in "
+                             "[64, 32768] (word counts are 16-bit)")
         if self.qual_context_order not in (1, 2):
             raise ValueError("qual_context_order must be 1 or 2")
         if not (0 <= self.host_id < self.n_hosts):
@@ -126,6 +133,9 @@ class Config:
             raise ValueError("dict_mode must be 'hash' or 'lut'")
         if self.dict_mode == "lut" and self.core_k > 12:
             raise ValueError("dict_mode='lut' requires core_k <= 12")
+        if self.max_read_len > self.qual_T_target:
+            raise ValueError("max_read_len must be <= qual_T_target "
+                             "(a rANS lane must hold whole reads)")
         if self.data_parallel and self.paired:
             raise ValueError("--data-parallel currently supports "
                              "single-end inputs (paired-end uses the "

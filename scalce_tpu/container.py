@@ -417,6 +417,10 @@ class TripletReader:
                 raise ValueError("triplet files disagree on block count")
             for i in range(nb):
                 bid = ref_blocks["r"][i].block_id
+                if any(v[i].block_id != bid for v in ref_blocks.values()):
+                    raise ValueError(
+                        "triplet files disagree on block ids — mixed or "
+                        "stale stream files?")
                 payloads = {k: readers[k].read_block(ref_blocks[k][i])
                             for k in readers}
                 yield bid, payloads

@@ -342,6 +342,15 @@ def _records_to_block(rec: _RawRecords, capacity: int, max_len: int,
     lengths = np.zeros(capacity, dtype=np.int32)
     lengths[:n] = lens
 
+    if n:
+        # lossless round-trip requires qualities inside the printable
+        # FASTQ range '!'..'~' (the entropy coder's 94-symbol alphabet);
+        # reject instead of silently clamping
+        qc = rec.qual.cat
+        if qc.size and (int(qc.min()) < 33 or int(qc.max()) > 126):
+            raise ValueError(
+                "quality byte outside '!'..'~' (33..126) — not valid "
+                "FASTQ; refusing to compress lossily by accident")
     if n and _NATIVE:
         # one native pass: scatter + base translation + exception capture
         exc_pos, exc_byte = _native.fill_block(

@@ -29,6 +29,7 @@ def _build() -> bool:
     if os.path.exists(_SO) and os.path.getmtime(_SO) > os.path.getmtime(_SRC):
         return True
     cc = os.environ.get("CC", "cc")
+    tmp = None
     try:
         # build into a temp file then atomically rename (parallel-safe)
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
@@ -40,10 +41,11 @@ def _build() -> bool:
         os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.CalledProcessError):
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return False
 
 

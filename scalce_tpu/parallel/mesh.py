@@ -33,15 +33,16 @@ def local_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def _block_stage1(seq, qual, lengths, n_reads, exc_mask, qual_map,
-                  k: int, seed: int, order: int):
+                  rank_lut, k: int, seed: int, order: int):
     """Single-block encode stage (the body shard_map maps over blocks);
-    delegates to the same core as the single-device pipeline."""
+    delegates to the same core as the single-device pipeline.  rank_lut
+    is the replicated explicit dictionary (single-entry sentinel selects
+    the implicit hash), so --dict-mode behaves identically under
+    --data-parallel."""
     from scalce_tpu.pipeline.encode import _encode_core
-    # sharded path uses the implicit hash dictionary (sentinel LUT);
-    # explicit-LUT mode replicates the table via the same mechanism
     return _encode_core(seq, pack_bases_u32(seq, axis=1), qual, lengths,
-                        n_reads, exc_mask, qual_map,
-                        jnp.zeros(1, jnp.uint32), k, seed, order)
+                        n_reads, exc_mask, qual_map, rank_lut,
+                        k, seed, order)
 
 
 def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):
@@ -51,15 +52,15 @@ def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):
     reorder→pack→histogram stage with zero cross-device traffic.
     """
     dspec = P("data")
-    rspec = P()           # replicated (qual_map)
+    rspec = P()           # replicated (qual_map, rank_lut)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(dspec, dspec, dspec, dspec, dspec, rspec),
+             in_specs=(dspec, dspec, dspec, dspec, dspec, rspec, rspec),
              out_specs=(dspec,) * 6)
-    def stage1(seq, qual, lengths, n_reads, exc_mask, qual_map):
+    def stage1(seq, qual, lengths, n_reads, exc_mask, qual_map, rank_lut):
         f = partial(_block_stage1, k=k, seed=seed, order=order)
-        return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None))(
-            seq, qual, lengths, n_reads, exc_mask, qual_map)
+        return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None))(
+            seq, qual, lengths, n_reads, exc_mask, qual_map, rank_lut)
 
     return jax.jit(stage1)
 
@@ -125,7 +126,8 @@ class ShardedEncoder:
             exc[d].reshape(-1)[b.exc_pos] = True
         perm, delta, len_s, sym, ctx, counts = self._stage1(
             jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
-            jnp.asarray(n_reads), jnp.asarray(exc), self._qual_map)
+            jnp.asarray(n_reads), jnp.asarray(exc), self._qual_map,
+            self._fallback.rank_lut)
         out = []
         for d, b in enumerate(blocks):
             delta_d = {k: v[d] for k, v in delta.items()}

@@ -225,8 +225,8 @@ def merge_hosts(cfg: Config) -> int:
     mates = (1, 2) if cfg.paired else (None,)
     n = 0
     for mate in mates:
-        n = merge_host_outputs(cfg.output, cfg.n_hosts,
-                               part_size=cfg.part_size, mate=mate)
+        n += merge_host_outputs(cfg.output, cfg.n_hosts,
+                                part_size=cfg.part_size, mate=mate)
     return n
 
 
@@ -242,11 +242,19 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     enc = BlockEncoder(cfg, qual_map)
     out_prefix, multihost = _host_output(cfg)
     psize = 0 if multihost else cfg.part_size
-    w1 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=1)
-    w2 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=2)
+    w1 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=1,
+                                 resume=cfg.resume)
+    w2 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=2,
+                                 resume=cfg.resume)
+    if cfg.resume and w1.existing_blocks != w2.existing_blocks:
+        raise ValueError(
+            "--resume: the two mates' outputs hold different durable "
+            "blocks (crash split them mid-pair); delete the outputs and "
+            "re-run without --resume")
     from scalce_tpu.parallel.merge import owns_block
     owned = (p for p in itertools.chain(buffered, block_iter)
-             if owns_block(p[0].block_id, cfg.host_id, cfg.n_hosts))
+             if owns_block(p[0].block_id, cfg.host_id, cfg.n_hosts)
+             and p[0].block_id not in w1.existing_blocks)
 
     def emit(pair):
         e1, e2 = pair

@@ -74,6 +74,7 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     a = container.unpack_arrays(blob)
     n = int(a["n_reads"][0])
     n_lits = int(a["n_lits"][0])
+    _validate(a, n, B, L, n_lits)
     lits = unpack2bit_np(a["lit_packed"].astype(np.uint32), n_lits)
     lengths = np.zeros(B, np.int32)
     lengths[:n] = a["lengths"].astype(np.int32)
@@ -85,6 +86,51 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     rc[:n] = np.unpackbits(a["rc_bits"], bitorder="little")[:n].astype(bool)
     return codes, lengths, n, a["exc_pos"].astype(np.int64), \
         a["exc_byte"], a["perm"].astype(np.int64), rc
+
+
+def _validate(a, n: int, B: int, L: int, n_lits: int) -> None:
+    """Bounds-check container-supplied fields BEFORE they reach the
+    native reconstruction loop — a corrupt/truncated/malicious block
+    must raise, not write out of bounds."""
+    if not (0 <= n <= B):
+        raise ValueError("corrupt .scalcer block: n_reads out of range")
+    lens = a["lengths"].astype(np.int64)
+    shifts = a["shifts"].astype(np.int64)
+    pred_k = a["pred_k"].astype(np.int64)
+    if lens.shape[0] != n or shifts.shape[0] != n or pred_k.shape[0] != n:
+        raise ValueError("corrupt .scalcer block: field length mismatch")
+    if lens.size and (lens.max() > L or lens.min() < 0):
+        raise ValueError("corrupt .scalcer block: read length > max")
+    rows = np.arange(n)
+    if n and ((pred_k < 0) | (pred_k > rows)).any():
+        raise ValueError("corrupt .scalcer block: predecessor before "
+                         "block start")
+    # every masked copy must read in-bounds of the predecessor row:
+    # 0 <= col + shift < L for all cols < len is over-strict (mask may
+    # not cover all cols), but |shift| < L is the safe envelope the
+    # native loop needs together with the mask bound below
+    if n and (np.abs(shifts) >= L).any():
+        raise ValueError("corrupt .scalcer block: shift out of range")
+    bits = np.unpackbits(a["mask_bits"], axis=1, bitorder="little")[:, :L]
+    col = np.arange(L)[None, :]
+    if n and (bits & (col >= lens[:, None])).any():
+        raise ValueError("corrupt .scalcer block: mask past read length")
+    # masked source columns must be in-bounds
+    if n:
+        src = col + shifts[:, None]
+        if (bits & ((src < 0) | (src >= L))).any():
+            raise ValueError("corrupt .scalcer block: copy source out of "
+                             "bounds")
+    need = int(lens.sum() - bits.sum())
+    if n_lits != need or n_lits < 0:
+        raise ValueError("corrupt .scalcer block: literal count mismatch")
+    if a["lit_packed"].shape[0] < (n_lits + 15) // 16:
+        raise ValueError("corrupt .scalcer block: literal stream short")
+    perm = a["perm"].astype(np.int64)
+    if perm.shape[0] != n or (n and (perm.min() < 0 or perm.max() >= n)):
+        raise ValueError("corrupt .scalcer block: bad permutation")
+    if a["rc_bits"].shape[0] < (n + 7) // 8:
+        raise ValueError("corrupt .scalcer block: rc bits short")
 
 
 def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,

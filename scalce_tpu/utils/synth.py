@@ -19,16 +19,10 @@ _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def _render_int_column(vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """int column -> (cat bytes, lens), vectorized decimal rendering."""
-    vals = vals.astype(np.int64)
-    lens = np.char.str_len(vals.astype("U")).astype(np.int64)
-    total = int(lens.sum())
-    off = np.zeros(len(vals) + 1, np.int64)
-    np.cumsum(lens, out=off[1:])
-    rec = np.repeat(np.arange(len(vals)), lens)
-    pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
-    p10 = 10 ** (np.repeat(lens, lens) - 1 - pos)
-    return ((vals[rec] // p10) % 10 + ord("0")).astype(np.uint8), lens
+    """int column -> (cat bytes, lens); reuses the name codec's renderer."""
+    from scalce_tpu.streams.names import _render_ints
+    r = _render_ints(vals.astype(np.int64))
+    return r.cat, r.lens
 
 
 def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
@@ -88,7 +82,6 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
         pre = np.frombuffer(b"SRR000001.", np.uint8)
         mid = np.frombuffer(b" ", np.uint8)
         tail = np.frombuffer(b" length=", np.uint8)
-        name_lens = (len(pre) + n1l + 1 + n1l + len(tail) + n2l)
         parts_lens = [np.full(n_reads, len(pre), np.int64), n1l,
                       np.full(n_reads, 1, np.int64), n1l,
                       np.full(n_reads, len(tail), np.int64), n2l]

@@ -84,3 +84,68 @@ def test_mixed_read_lengths_same_block(tmp_path):
                     + b"\n")
     payload = b"".join(recs)
     assert _roundtrip_bytes(tmp_path, payload) == payload
+
+
+def test_corrupt_scalcer_fields_rejected(tmp_path):
+    """A bit-flipped .scalcer block must raise, never feed the native
+    reconstruction loop out-of-bounds values (code-review finding)."""
+    from scalce_tpu import container
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(500, 80, seed=90)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=512)
+    driver.compress(cfg)
+    # rewrite the r-stream block with a hostile lengths array
+    rp = str(tmp_path / "o.00.scalcer")
+    rd = container.StreamReader(rp)
+    blob = rd.read_block(rd.blocks[0])
+    rd.close()
+    a = container.unpack_arrays(blob)
+    a = dict(a)
+    bad = a["lengths"].copy()
+    bad[0] = 65535
+    a["lengths"] = bad
+    evil = container.pack_arrays(a)
+    w = container.StreamWriter(rp, "r", rd.meta)
+    w.add_block(0, evil, 500)
+    w.close()
+    dcfg = Config(mode="decompress", inputs=(rp,),
+                  output=str(tmp_path / "d"), block_reads=512)
+    with pytest.raises(ValueError, match="corrupt"):
+        driver.decompress(dcfg)
+
+
+def test_quality_byte_out_of_range_rejected(tmp_path):
+    payload = b"@r\nACGT\n+\n I~\x7f\n"       # space (32) + DEL (127)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=256)
+    with pytest.raises(ValueError, match="quality byte"):
+        driver.compress(cfg)
+
+
+def test_paired_resume(tmp_path):
+    from scalce_tpu.utils.synth import synth_pair
+    a, b = synth_pair(3000, 100, seed=91)
+    p1, p2 = tmp_path / "a.fastq", tmp_path / "b.fastq"
+    p1.write_bytes(a)
+    p2.write_bytes(b)
+    base = dict(mode="compress", inputs=(str(p1), str(p2)), paired=True,
+                block_reads=1 << 10, output=str(tmp_path / "o"))
+    driver.compress(Config(**base))
+    # tear the tail of BOTH mates symmetrically (same lost block)
+    for m in (1, 2):
+        for ext in (".scalcen", ".scalcer", ".scalceq"):
+            p = tmp_path / f"o.00_{m}{ext}"
+            p.write_bytes(p.read_bytes()[:-50])
+    st = driver.compress(Config(resume=True, **base))
+    assert 0 < st.n_blocks < 3
+    dcfg = Config(mode="decompress", inputs=(str(tmp_path / "o.00_1.scalcen"),),
+                  output=str(tmp_path / "d"), block_reads=1 << 10,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d_1.fastq").read_bytes() == a
+    assert (tmp_path / "d_2.fastq").read_bytes() == b

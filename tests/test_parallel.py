@@ -28,9 +28,10 @@ def test_sharded_stage1_matches_single_device():
     m = pmesh.local_mesh(8)
     stage1 = pmesh.make_sharded_stage1(m, k=8, seed=7, order=1)
     qm = jnp.arange(256, dtype=jnp.uint8)
+    sent = jnp.zeros(1, jnp.uint32)
     perm, delta, len_s, sym, ctx, counts = stage1(
         jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
-        jnp.asarray(n_reads), jnp.asarray(exc), qm)
+        jnp.asarray(n_reads), jnp.asarray(exc), qm, sent)
 
     # reference: run each block through the unsharded path
     for d in range(D):
@@ -38,7 +39,7 @@ def test_sharded_stage1_matches_single_device():
             pmesh._block_stage1(jnp.asarray(seq[d]), jnp.asarray(qual[d]),
                                 jnp.asarray(lengths[d]),
                                 jnp.int32(n_reads[d]), jnp.asarray(exc[d]),
-                                qm, k=8, seed=7, order=1)
+                                qm, sent, k=8, seed=7, order=1)
         np.testing.assert_array_equal(np.asarray(perm)[d], np.asarray(p_ref))
         np.testing.assert_array_equal(np.asarray(delta["mask_bits"])[d],
                                       np.asarray(d_ref["mask_bits"]))
@@ -56,7 +57,8 @@ def test_sharded_qual_encode_roundtrips():
     qm = jnp.arange(256, dtype=jnp.uint8)
     _, _, len_s, sym, ctx, counts = stage1(
         jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
-        jnp.asarray(n_reads), jnp.asarray(exc), qm)
+        jnp.asarray(n_reads), jnp.asarray(exc), qm,
+        jnp.zeros(1, jnp.uint32))
 
     T = qualities.pick_T(B, L)
     C = qualities.n_contexts(1)
