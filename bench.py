@@ -37,8 +37,8 @@ def _enable_compile_cache() -> None:
 
 def main() -> None:
     _enable_compile_cache()
-    n_reads = int(os.environ.get("BENCH_READS", 1 << 18))
-    block_reads = int(os.environ.get("BENCH_BLOCK_READS", 1 << 15))
+    n_reads = int(os.environ.get("BENCH_READS", 1 << 19))
+    block_reads = int(os.environ.get("BENCH_BLOCK_READS", 1 << 17))
 
     from scalce_tpu.config import Config
     from scalce_tpu.pipeline import driver
@@ -73,7 +73,7 @@ def main() -> None:
     # without paying a full-size run
     warm_path = os.path.join(tmp, "warm.fastq")
     with open(warm_path, "wb") as f:
-        f.write(synth_fastq(2 * block_reads, 100, seed=7,
+        f.write(synth_fastq(block_reads, 100, seed=7,
                             genome_len=500_000, n_rate=0.001))
     log("warm-up encode (compiles on cold cache)")
     run(warm_path, "warm")

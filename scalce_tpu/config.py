@@ -70,7 +70,10 @@ class Config:
                                        # output (restart after crash)
 
     # --- TPU pipeline shape --------------------------------------------
-    block_reads: int = 1 << 15         # reads per device block (static shape)
+    block_reads: int = 1 << 17         # reads per device block (static
+                                       # shape); bigger blocks = denser
+                                       # buckets = better delta matching
+                                       # (~+11% ratio going 32k -> 128k)
     max_read_len: int = 128            # padded read length (static shape)
     core_k: int = 12                   # core k-mer length (2k bits <= 31)
     dict_seed: int = 0x5CA1CE          # core-dictionary ranking seed
