@@ -149,3 +149,22 @@ def test_paired_resume(tmp_path):
     driver.decompress(dcfg)
     assert (tmp_path / "d_1.fastq").read_bytes() == a
     assert (tmp_path / "d_2.fastq").read_bytes() == b
+
+
+def test_long_reads_512(tmp_path):
+    """Longer-read platforms: 300-500bp reads under --max-read-len 512
+    (in-read windows keep core matching local; SURVEY.md §6 long reads)."""
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(400, 500, seed=95, var_len=True,
+                          genome_len=60_000, n_rate=0.002)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=512,
+                 max_read_len=512)
+    driver.compress(cfg)
+    dcfg = Config(mode="decompress", inputs=(str(tmp_path / "o.00.scalcer"),),
+                  output=str(tmp_path / "d"), block_reads=512,
+                  max_read_len=512, keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d.fastq").read_bytes() == payload
