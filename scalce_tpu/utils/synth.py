@@ -33,7 +33,9 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
     """Generate a FASTQ payload as bytes (vectorized).
 
     qual_model:
-      "illumina" — position-dependent mean with noise (realistic entropy)
+      "illumina" — position-dependent mean with noise (pre-binning
+                   platforms; near worst case for the quality coder)
+      "binned"   — RTA3-style 4-level binning (modern Illumina)
       "uniform"  — uniform random over the full range (incompressible)
       "const"    — constant 'I'
     """
@@ -68,6 +70,12 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
         q = np.clip(pos_mean[None, :] + rng.normal(0, 3, size=(n_reads, L)),
                     2, 40)
         qual = (q.astype(np.int64) + 33).astype(np.uint8)
+    elif qual_model == "binned":
+        # modern Illumina bins: {2, 12, 23, 37}, heavily skewed to Q37
+        levels = np.array([2, 12, 23, 37])
+        probs = np.array([0.02, 0.03, 0.10, 0.85])
+        q = rng.choice(levels, size=(n_reads, L), p=probs)
+        qual = (q + 33).astype(np.uint8)
     elif qual_model == "uniform":
         qual = rng.integers(33, 74, size=(n_reads, L)).astype(np.uint8)
     else:

@@ -126,3 +126,25 @@ def test_quality_codec_beats_zlib_on_structured():
     rans_bytes = enc.payload_bytes()
     z = len(zlib.compress(qual.tobytes(), 6))
     assert rans_bytes < z, (rans_bytes, z)
+
+
+def test_binned_quals_collapse(tmp_path):
+    """Modern Illumina emits ~4 distinct quality values; the context
+    coder must get well under 1 bit/symbol there (the reference's
+    adaptive AC does too — parity on the realistic case)."""
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(8192, 100, seed=96, qual_model="binned")
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=1 << 13)
+    st = driver.compress(cfg)
+    bits_per_q = st.stream_bytes["q"] * 8 / (8192 * 100)
+    assert bits_per_q < 1.0, bits_per_q
+    dcfg = Config(mode="decompress", inputs=(str(tmp_path / "o.00.scalcer"),),
+                  output=str(tmp_path / "d"), block_reads=1 << 13,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d.fastq").read_bytes() == payload
