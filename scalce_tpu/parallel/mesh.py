@@ -99,19 +99,33 @@ class ShardedEncoder:
     never changes output bytes.
     """
 
-    def __init__(self, cfg, qual_map: np.ndarray, mesh: Optional[Mesh] = None):
+    def __init__(self, cfg, qual_map: np.ndarray, mesh: Optional[Mesh] = None,
+                 group: Optional[int] = None):
         from scalce_tpu.pipeline.encode import BlockEncoder
+        from scalce_tpu.streams import qualities as Q
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else local_mesh()
-        self.D = self.mesh.devices.size
+        # `group` blocks per DEVICE per super-step: vmapping several
+        # blocks through one jit amortizes per-op dispatch overhead when
+        # that (not bandwidth) is the bottleneck — worth raising on
+        # dispatch-bound setups; 1 = one block per device
+        if group is None:
+            group = 1
+        self.group = group
+        self.D = self.mesh.devices.size * group
         self._stage1 = make_sharded_stage1(
             self.mesh, cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+        self._T = Q.pick_T(cfg.block_reads, cfg.max_read_len,
+                           cfg.qual_T_target)
+        self._qenc = make_sharded_qual_encode(
+            self.mesh, Q.n_contexts(cfg.qual_context_order), Q.N_SYMS,
+            self._T)
         self._fallback = BlockEncoder(cfg, qual_map)
         self._qual_map = jnp.asarray(qual_map)
 
     def encode_blocks(self, blocks):
         """Encode up to D blocks; returns EncodedBlocks in input order."""
-        from scalce_tpu.pipeline import encode as enc_mod
+        from scalce_tpu.streams import qualities as Q
         if len(blocks) < self.D:
             # tail group: per-block path (identical bytes)
             return [self._fallback.encode_block(b) for b in blocks]
@@ -128,12 +142,17 @@ class ShardedEncoder:
             jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
             jnp.asarray(n_reads), jnp.asarray(exc), self._qual_map,
             self._fallback.rank_lut)
+        freqs, states, words, wcounts = self._qenc(sym, ctx, counts)
         out = []
         for d, b in enumerate(blocks):
             delta_d = {k: v[d] for k, v in delta.items()}
+            enc_q = Q.finish_encoded(np.asarray(freqs[d]),
+                                     np.asarray(states[d]), words[d],
+                                     np.asarray(wcounts[d]), B, L, self._T,
+                                     self.cfg.qual_context_order)
             out.append(self._fallback._assemble(
                 b, np.asarray(perm[d]), delta_d, len_s[d], sym[d],
-                ctx[d], counts[d]))
+                ctx[d], counts[d], enc_q=enc_q))
         return out
 
 

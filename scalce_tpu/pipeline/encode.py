@@ -324,13 +324,14 @@ class BlockEncoder:
         return self.assemble_pair(b1, b2, self.encode_device_pair(b1, b2))
 
     def _assemble(self, block: ReadBlock, perm_np: np.ndarray, delta,
-                  len_s, sym, ctx, counts) -> EncodedBlock:
+                  len_s, sym, ctx, counts, enc_q=None) -> EncodedBlock:
         cfg = self.cfg
         B, L = block.seq.shape
-        # quality stream (pass B needs host-built tables)
-        enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,
-                                            cfg.qual_context_order,
-                                            T_target=cfg.qual_T_target)
+        if enc_q is None:
+            # quality stream pass B (device tables + rANS)
+            enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,
+                                                cfg.qual_context_order,
+                                                T_target=cfg.qual_T_target)
         q_payload = qualities.payload(enc_q, backend=cfg.backend)
 
         # exceptions into the reordered frame (host; exceptions are rare)

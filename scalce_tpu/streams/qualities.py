@@ -237,22 +237,25 @@ def encode_from_grids(sym, ctx, counts, B: int, L: int, order: int,
     freq_dev, cum_dev = _normalize_pass(counts, order)
     states, packed, wcounts = _encode_pass(
         sym, ctx, freq_dev.reshape(-1), cum_dev.reshape(-1), T)
-    freq = np.asarray(freq_dev)
-    wcounts = np.asarray(wcounts).astype(np.int64)
-    # slice the padded word matrix to a power-of-two bucket ON DEVICE
-    # before download: D2H is the scarce resource (the padded [N, T]
-    # matrix is ~6x larger than the real words)
+    return finish_encoded(np.asarray(freq_dev), np.asarray(states), packed,
+                          np.asarray(wcounts), B, L, T, order)
+
+
+def finish_encoded(freq: np.ndarray, states: np.ndarray, packed,
+                   wcounts: np.ndarray, B: int, L: int, T: int,
+                   order: int) -> EncodedQuals:
+    """Download half of pass B: bucket-slice the padded word matrix on
+    device (D2H is the scarce resource), then compact per lane."""
+    wcounts = wcounts.astype(np.int64)
     W = 64
     wmax = int(wcounts.max()) if wcounts.size else 0
     while W < wmax:
         W <<= 1
     packed = np.asarray(_slice_words(packed, min(W, packed.shape[1])))
-    # per-lane compaction to a flat stream (decode order preserved),
-    # vectorized via the shared ragged gather
     from scalce_tpu.io.fastq import ragged_gather
     row_starts = np.arange(packed.shape[0], dtype=np.int64) * packed.shape[1]
     words = ragged_gather(packed.reshape(-1), row_starts, wcounts)
-    return EncodedQuals(freq=freq, states=np.asarray(states),
+    return EncodedQuals(freq=freq, states=states,
                         counts=wcounts, words=words, B=B, L=L, T=T,
                         order=order)
 
