@@ -32,7 +32,6 @@ import io
 import json
 import os
 import struct
-import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

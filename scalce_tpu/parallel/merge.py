@@ -18,7 +18,7 @@ multi-node story); the TPU-native design gets it by block construction.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 from scalce_tpu import container
 

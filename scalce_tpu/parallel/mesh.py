@@ -12,16 +12,15 @@ backend": "histogram all-reduce for shared lossy tables").
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from scalce_tpu.ops import core_match, reorder
-from scalce_tpu.ops.bitops import pack_bases_u32
 from scalce_tpu.ops import rans
+from scalce_tpu.ops.bitops import pack_bases_u32
 from scalce_tpu.streams import qualities
 
 

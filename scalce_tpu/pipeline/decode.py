@@ -10,11 +10,8 @@ the reference, original order is deliberately not restored
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from scalce_tpu import container
