@@ -77,6 +77,10 @@ def main() -> None:
                             genome_len=500_000, n_rate=0.001))
     log("warm-up encode (compiles on cold cache)")
     run(warm_path, "warm")
+    log("warm-up slice-width variants")
+    from scalce_tpu.pipeline.encode import warm_slice_variants
+    warm_slice_variants(Config(mode="compress", inputs=(warm_path,),
+                               block_reads=block_reads))
     log("timed encode")
     wall, stats = run(path, "bench")
 

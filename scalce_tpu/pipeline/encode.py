@@ -228,11 +228,18 @@ def _host_pack(codes: np.ndarray) -> np.ndarray:
 
 
 def _pad_exc(exc_pos: np.ndarray, sentinel: int) -> np.ndarray:
-    """Pad to a power-of-two length so jit recompiles stay bounded."""
-    n = max(64, len(exc_pos))
-    cap = 1 << (n - 1).bit_length()
+    """Pad to a STABLE default capacity (1.5% of bases) so the common
+    case never changes the jit input shape — a new shape recompiles
+    stage A, which costs minutes on the remote compile service.  Blocks
+    with more exceptions fall back to the next power of two (rare)."""
+    default_cap = max(1024, sentinel // 64)
+    n = len(exc_pos)
+    if n <= default_cap:
+        cap = default_cap
+    else:
+        cap = 1 << (n - 1).bit_length()
     out = np.full(cap, sentinel, np.int32)
-    out[: len(exc_pos)] = exc_pos
+    out[:n] = exc_pos
     return out
 
 
@@ -351,7 +358,8 @@ class BlockEncoder:
         # device first (same D2H-thrift pattern as the rANS words)
         n_lits = int(delta["n_lits"])
         n_words = (n_lits + 15) // 16
-        W = 64
+        # same bucket-floor rationale as qualities.finish_encoded
+        W = max(64, (B * L // 16) // 16)
         while W < n_words:
             W <<= 1
         delta_np = {
@@ -393,6 +401,28 @@ class BlockEncoder:
             deflate += ["plus_cat", "plus_lens"]
         return container.pack_arrays(arrays, deflate=deflate,
                                      backend=self.cfg.backend)
+
+
+def warm_slice_variants(cfg: Config) -> None:
+    """Pre-compile every pow2 slice-width variant the pipeline can hit
+    (word and literal buckets).  Called once after the warm-up block so
+    the TIMED phase (and production runs) never stall on the remote
+    compiler for a block whose payload crossed a bucket boundary."""
+    B, L = cfg.block_reads, cfg.max_read_len
+    T = qualities.pick_T(B, L, cfg.qual_T_target)
+    N = B * L // T
+    words_dummy = jnp.zeros((N, T), jnp.uint16)
+    W = max(64, T // 8)
+    while W <= T:
+        jax.block_until_ready(qualities._slice_words(words_dummy,
+                                                     min(W, T)))
+        W <<= 1
+    lit_dummy = jnp.zeros(B * L // 16, jnp.uint32)
+    W = max(64, (B * L // 16) // 16)
+    while W <= B * L // 16:
+        jax.block_until_ready(_slice_flat(lit_dummy,
+                                          min(W, B * L // 16)))
+        W <<= 1
 
 
 def file_meta(cfg: Config) -> Dict:

@@ -247,7 +247,10 @@ def finish_encoded(freq: np.ndarray, states: np.ndarray, packed,
     """Download half of pass B: bucket-slice the padded word matrix on
     device (D2H is the scarce resource), then compact per lane."""
     wcounts = wcounts.astype(np.int64)
-    W = 64
+    # floor the bucket at T/8 so only ~4 slice-width variants exist
+    # (each distinct width is a separate jit compile on the slow remote
+    # compiler; a mid-run recompile would dwarf the D2H saving)
+    W = max(64, T // 8)
     wmax = int(wcounts.max()) if wcounts.size else 0
     while W < wmax:
         W <<= 1
