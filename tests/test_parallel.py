@@ -122,3 +122,13 @@ def test_data_parallel_driver_byte_identical(tmp_path):
         a = (tmp_path / f"one.00{ext}").read_bytes()
         b = (tmp_path / f"dp.00{ext}").read_bytes()
         assert a == b, f"{ext} differs under data-parallel"
+
+
+def test_distributed_single_process_helpers():
+    from scalce_tpu.parallel import distributed as dist
+    topo = dist.init_multihost()
+    assert topo.host_id == 0 and topo.n_hosts == 1
+    assert topo.n_local_devices >= 1
+    dist.barrier(tag=3)              # must not deadlock single-process
+    h = np.arange(94, dtype=np.int64)
+    np.testing.assert_array_equal(dist.global_quality_histogram(h), h)
