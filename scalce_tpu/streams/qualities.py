@@ -171,7 +171,9 @@ def decode_batch(encs, lengths_list):
     D = len(encs)
     N = e0.states.shape[0]
     from scalce_tpu.io.fastq import ragged_scatter
-    W = 64
+    # floored bucket (see finish_encoded): keeps the vmapped decode jit
+    # from recompiling when a group's max word count crosses a boundary
+    W = max(64, e0.T // 8)
     wmax = max((int(e.counts.max()) if len(e.counts) else 0) for e in encs)
     while W < wmax:
         W <<= 1
@@ -267,8 +269,9 @@ def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     """Decode back to the uint8 [B, L] quality grid (padding zeroed)."""
     N = enc.states.shape[0]
     wmax = int(enc.counts.max()) if N else 0
-    # pad word matrix to a power-of-two width to bound recompilations
-    W = 64
+    # pad word matrix to a floored power-of-two width (same bucket rule
+    # as the encode side) to bound recompilations
+    W = max(64, enc.T // 8)
     while W < wmax:
         W <<= 1
     from scalce_tpu.io.fastq import ragged_scatter
