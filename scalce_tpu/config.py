@@ -136,9 +136,6 @@ class Config:
             raise ValueError("dict_mode must be 'hash' or 'lut'")
         if self.dict_mode == "lut" and self.core_k > 12:
             raise ValueError("dict_mode='lut' requires core_k <= 12")
-        if self.max_read_len > self.qual_T_target:
-            raise ValueError("max_read_len must be <= qual_T_target "
-                             "(a rANS lane must hold whole reads)")
         if self.data_parallel and self.paired:
             raise ValueError("--data-parallel currently supports "
                              "single-end inputs (paired-end uses the "

@@ -38,7 +38,9 @@ import numpy as np
 
 MAGIC = b"SCLCTPU1"
 END_MAGIC = b"1UPTCLCS"
-VERSION = 1
+#: bumped on any change to payload SEMANTICS, not just framing (v2:
+#: qualities stored in original orientation for rc reads)
+VERSION = 2
 _BLK = b"BLK0"
 _FTR = b"FTR0"
 
@@ -71,6 +73,8 @@ def _codec_compress(codec: int, raw: bytes, level: int) -> bytes:
 
 def _codec_decompress(codec: int, data: bytes) -> bytes:
     from scalce_tpu.io.backend import decompress_bytes
+    if codec not in _BACKEND_OF_CODEC:
+        raise ValueError(f"corrupt array: unknown codec {codec}")
     return decompress_bytes(data, _BACKEND_OF_CODEC[codec])
 
 

@@ -34,15 +34,23 @@ def device_normalize(counts, n_ctx: int, n_syms: int):
     Returns (freq u32 [C, S], cum u32 [C, S]).
     """
     import jax.numpy as jnp
-    c = counts.reshape(n_ctx, n_syms).astype(jnp.float32)
-    nz = c > 0
+    ci = counts.reshape(n_ctx, n_syms).astype(jnp.int32)
+    nz = ci > 0
+    # ALL reductions stay in integer: f32 reduction order is
+    # lowering-dependent, and these tables must be bit-identical across
+    # the plain-jit and shard_map/vmap compilations (the byte-identity
+    # invariant).  Only the elementwise scale/floor is f32, which IEEE
+    # pins regardless of lowering; operands stay < 2^24 so they are
+    # exactly representable.
     nnz = jnp.sum(nz, axis=1, dtype=jnp.int32)
-    total = jnp.sum(c, axis=1)
-    scale = (M_TOTAL - nnz).astype(jnp.float32) / jnp.maximum(total, 1.0)
+    total = jnp.sum(ci, axis=1, dtype=jnp.int32)
+    c = ci.astype(jnp.float32)
+    scale = (M_TOTAL - nnz).astype(jnp.float32) / \
+        jnp.maximum(total, 1).astype(jnp.float32)
     f_extra = jnp.floor(c * scale[:, None] * (1.0 - 1e-5)).astype(jnp.int32)
     f = jnp.where(nz, 1 + f_extra, 0)
     d = M_TOTAL - jnp.sum(f, axis=1, dtype=jnp.int32)
-    top = jnp.argmax(c, axis=1)
+    top = jnp.argmax(ci, axis=1)
     f = f.at[jnp.arange(n_ctx), top].add(
         jnp.where(nnz > 0, d, 0))
     # empty contexts: all mass on symbol 0 (never referenced)
@@ -54,7 +62,14 @@ def device_normalize(counts, n_ctx: int, n_syms: int):
 
 
 def normalize_freqs(counts: np.ndarray, n_syms: int) -> np.ndarray:
-    """Normalize per-context histograms to sum exactly M_TOTAL.
+    """Host REFERENCE normalizer (tests and offline tooling only).
+
+    The production encode path normalizes on device via
+    :func:`device_normalize` — the two deliberately use different mass
+    splits (both valid: the stored table defines the codec).  Do not
+    assume they produce identical tables.
+
+    Normalize per-context histograms to sum exactly M_TOTAL.
 
     counts: int array ``[C, n_syms]``.  Returns uint32 freq ``[C, n_syms]``
     where every context row sums to M_TOTAL and every symbol with a

@@ -101,8 +101,12 @@ def _validate(a, n: int, B: int, L: int, n_lits: int) -> None:
         raise ValueError("corrupt .scalcer block: field length mismatch")
     if lens.size and (lens.max() > L or lens.min() < 0):
         raise ValueError("corrupt .scalcer block: read length > max")
+    bits = np.unpackbits(a["mask_bits"], axis=1, bitorder="little")[:, :L]
     rows = np.arange(n)
-    if n and ((pred_k < 0) | (pred_k > rows)).any():
+    # a row that copies anything must have its predecessor INSIDE the
+    # block: source row = i - 1 - pred_k >= 0  <=>  pred_k < i
+    has_mask = bits.any(axis=1) if n else np.zeros(0, bool)
+    if n and ((pred_k < 0) | ((pred_k >= rows) & has_mask)).any():
         raise ValueError("corrupt .scalcer block: predecessor before "
                          "block start")
     # every masked copy must read in-bounds of the predecessor row:
@@ -111,7 +115,6 @@ def _validate(a, n: int, B: int, L: int, n_lits: int) -> None:
     # native loop needs together with the mask bound below
     if n and (np.abs(shifts) >= L).any():
         raise ValueError("corrupt .scalcer block: shift out of range")
-    bits = np.unpackbits(a["mask_bits"], axis=1, bitorder="little")[:, :L]
     col = np.arange(L)[None, :]
     if n and (bits & (col >= lens[:, None])).any():
         raise ValueError("corrupt .scalcer block: mask past read length")

@@ -27,7 +27,7 @@ def main() -> int:
                    help="coordinator address host:port (rank 0's)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
-    p.add_argument("--block-reads", type=int, default=1 << 15)
+    p.add_argument("--block-reads", type=int, default=1 << 17)
     args = p.parse_args()
 
     from scalce_tpu.parallel.distributed import init_multihost, barrier

@@ -168,3 +168,41 @@ def test_long_reads_512(tmp_path):
                   max_read_len=512, keep_order=True)
     driver.decompress(dcfg)
     assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_corrupt_pred_k_self_reference_rejected(tmp_path):
+    """pred_k[i] == i with mask bits set would read before the output
+    buffer in the native loop — the validator must reject it."""
+    from scalce_tpu import container
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(500, 80, seed=97, genome_len=5_000)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=512)
+    driver.compress(cfg)
+    rp = str(tmp_path / "o.00.scalcer")
+    rd = container.StreamReader(rp)
+    blob = rd.read_block(rd.blocks[0])
+    rd.close()
+    a = dict(container.unpack_arrays(blob))
+    pk = a["pred_k"].copy()
+    # force a self-referential predecessor on a row that has mask bits
+    bits = np.unpackbits(a["mask_bits"], axis=1, bitorder="little")
+    masked_rows = np.flatnonzero(bits.any(axis=1))
+    assert masked_rows.size, "fixture needs at least one matching read"
+    i = int(masked_rows[0])
+    pk[i] = i
+    a["pred_k"] = pk
+    w = container.StreamWriter(rp, "r", rd.meta)
+    w.add_block(0, container.pack_arrays(a), 500)
+    w.close()
+    dcfg = Config(mode="decompress", inputs=(rp,),
+                  output=str(tmp_path / "d"), block_reads=512)
+    with pytest.raises(ValueError, match="corrupt"):
+        driver.decompress(dcfg)
+
+
+def test_long_read_cli_config_accepted():
+    # regression: long-read configs beyond qual_T_target must validate
+    Config(mode="compress", inputs=("x.fastq",), max_read_len=2048)
