@@ -132,3 +132,28 @@ def test_distributed_single_process_helpers():
     dist.barrier(tag=3)              # must not deadlock single-process
     h = np.arange(94, dtype=np.int64)
     np.testing.assert_array_equal(dist.global_quality_histogram(h), h)
+
+
+def test_grouped_encoder_byte_identical(tmp_path):
+    """group>1 (several blocks vmapped per device) must not change
+    output bytes either."""
+    from scalce_tpu.config import Config
+    from scalce_tpu.io import fastq
+    from scalce_tpu.models import lossy
+    from scalce_tpu.pipeline.encode import BlockEncoder
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(4096, 100, seed=61, var_len=True)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output="unused", block_reads=1 << 10)
+    blocks = list(fastq.iter_blocks(str(inp), cfg.block_reads,
+                                    cfg.max_read_len))
+    ref = [BlockEncoder(cfg, lossy.identity_map()).encode_block(b)
+           for b in blocks]
+    m = pmesh.local_mesh(2)
+    senc = pmesh.ShardedEncoder(cfg, lossy.identity_map(), mesh=m, group=2)
+    assert senc.D == 4
+    got = senc.encode_blocks(blocks[:4])
+    for r, g in zip(ref, got):
+        assert r.payloads == g.payloads
