@@ -116,6 +116,13 @@ def rans_encode(sym: jnp.ndarray, ctx: jnp.ndarray,
 
     # derive the carry from an input so its sharding "varying" axes match
     # the scanned operands under shard_map (zero-cost after fusion)
+    # Pallas kernel when eligible: bit-identical to the scan (tested),
+    # keeps state in VMEM, and Mosaic compiles in seconds where the XLA
+    # scan costs minutes on this environment's remote compiler
+    if _pallas_eligible(T, N):
+        from scalce_tpu.ops import rans_pallas
+        return rans_pallas.encode_scan_pallas(f_all, c_all)
+
     x0 = (f_all[0] & U32(0)) + RANS_L
     # encoder walks t = T-1 .. 0 (reverse data order); modest unroll
     # only — the emulator's compile time grows superlinearly with scan
@@ -123,6 +130,24 @@ def rans_encode(sym: jnp.ndarray, ctx: jnp.ndarray,
     xs = (f_all[::-1], c_all[::-1])
     x_fin, (words, emits) = jax.lax.scan(step, x0, xs, unroll=2)
     return x_fin, words[::-1], emits[::-1]
+
+
+def _pallas_eligible(T: int, N: int) -> bool:
+    """Static (trace-time) check: TPU backend, tile-divisible shapes,
+    pallas importable.  The fallback scan produces identical bytes, so
+    this only affects speed."""
+    try:
+        from scalce_tpu.ops import rans_pallas
+        if not rans_pallas.PALLAS_OK:
+            return False
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return False
+        NT = min(rans_pallas._NT, N)
+        TT = min(rans_pallas._TT, T)
+        return N % NT == 0 and T % TT == 0
+    except Exception:  # pragma: no cover
+        return False
 
 
 def compact_emissions(words: jnp.ndarray, emits: jnp.ndarray

@@ -148,3 +148,46 @@ def test_binned_quals_collapse(tmp_path):
                   keep_order=True)
     driver.decompress(dcfg)
     assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_pallas_encode_matches_xla_scan():
+    """The Pallas rANS encode kernel must be bit-identical to the
+    lax.scan path (interpret mode on CPU; compiled on TPU)."""
+    from scalce_tpu.ops import rans_pallas
+    if not rans_pallas.PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(7)
+    T, N = 512, 256
+    n_ctx, n_syms = 8, 16
+    S = T * N
+    sym = rng.integers(0, n_syms, size=S)
+    ctx = rng.integers(0, n_ctx, size=S)
+    counts = np.zeros((n_ctx, n_syms), np.int64)
+    np.add.at(counts, (ctx, sym), 1)
+    freq, cum, _ = entropy.tables_from_counts(counts, n_ctx, n_syms,
+                                              build_lut=False)
+    flut = jnp.asarray(freq.reshape(-1))
+    clut = jnp.asarray(cum.reshape(-1))
+    sym_j = jnp.asarray(sym, jnp.uint32)
+    ctx_j = jnp.asarray(ctx, jnp.uint32)
+
+    states_ref, words_ref, emits_ref = rans.rans_encode(
+        sym_j, ctx_j, flut, clut, n_syms, T)
+
+    idx = ctx_j * jnp.uint32(n_syms) + sym_j
+    f_all = flut[idx].reshape(N, T).T
+    c_all = clut[idx].reshape(N, T).T
+    # override tile sizes for the small test shapes
+    old_nt, old_tt = rans_pallas._NT, rans_pallas._TT
+    rans_pallas._NT, rans_pallas._TT = 128, 64
+    try:
+        states, words, emits = rans_pallas.encode_scan_pallas(
+            f_all, c_all, interpret=True)
+    finally:
+        rans_pallas._NT, rans_pallas._TT = old_nt, old_tt
+    np.testing.assert_array_equal(np.asarray(states), np.asarray(states_ref))
+    np.testing.assert_array_equal(np.asarray(emits), np.asarray(emits_ref))
+    # words only meaningful where emitted
+    e = np.asarray(emits_ref)
+    np.testing.assert_array_equal(np.asarray(words)[e],
+                                  np.asarray(words_ref)[e])
