@@ -122,3 +122,15 @@ def test_read_longer_than_max_len_rejected(tmp_path):
     p.write_bytes(long_read)
     with pytest.raises(ValueError, match="max_read_len|max-read-len"):
         list(fastq.iter_blocks(str(p), 64, 128))
+
+
+def test_records_crossing_read_chunks(tmp_path, monkeypatch):
+    """Force tiny stream chunks so records straddle bundle boundaries
+    (normally only exercised by >32MB inputs)."""
+    monkeypatch.setattr(fastq, "_CHUNK_BYTES", 97)   # prime, mid-record
+    payload = synth_fastq(300, 80, seed=40, var_len=True)
+    p = tmp_path / "in.fastq"
+    p.write_bytes(payload)
+    blocks = list(fastq.iter_blocks(str(p), 128, 96))
+    assert sum(b.n_reads for b in blocks) == 300
+    assert _rebuild(blocks) == payload
