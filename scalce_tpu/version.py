@@ -1,4 +1,4 @@
 __version__ = "0.1.0"
 
-# On-disk container format version. Bump on any incompatible layout change.
-CONTAINER_VERSION = 1
+# The on-disk container format version lives in scalce_tpu/container.py
+# (VERSION) next to the framing code that writes/checks it.
