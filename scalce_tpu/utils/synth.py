@@ -41,6 +41,7 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
     """
     rng = np.random.default_rng(seed)
     L = read_len
+    genome_len = max(genome_len, L + 1)     # genome must fit one read
     genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
     starts = rng.integers(0, genome_len - L, size=n_reads)
     if var_len:
