@@ -191,3 +191,24 @@ def test_pallas_encode_matches_xla_scan():
     e = np.asarray(emits_ref)
     np.testing.assert_array_equal(np.asarray(words)[e],
                                   np.asarray(words_ref)[e])
+
+
+def test_order2_wins_on_correlated_quals():
+    """Order-2 contexts must beat order-1 on serially-correlated quality
+    data (the regime where the reference's higher-order adaptive AC
+    earns its keep)."""
+    rng = np.random.default_rng(11)
+    B, L = 4096, 100
+    lengths = np.full(B, L, np.int32)
+    # AR(1)-style: quality walks slowly -> prev two symbols are highly
+    # informative
+    steps = rng.integers(-1, 2, size=(B, L))
+    q = np.clip(35 + np.cumsum(steps, axis=1), 2, 60)
+    qual = (q + 33).astype(np.uint8)
+    sizes = {}
+    for order in (1, 2):
+        enc = qualities.encode(qual, lengths, order=order)
+        sizes[order] = enc.payload_bytes()
+        dec = qualities.decode(enc, lengths)
+        np.testing.assert_array_equal(dec, qual)
+    assert sizes[2] < sizes[1], sizes
