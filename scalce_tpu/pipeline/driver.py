@@ -287,9 +287,14 @@ def decompress(cfg: Config) -> RunStats:
         return _decompress_paired(cfg, stats, reader, meta, t0)
     from scalce_tpu.pipeline.decode import DECODE_GROUP
     dec = BlockDecoder(meta, keep_order=cfg.keep_order)
-    out_path = cfg.output if cfg.output.endswith(".fastq") \
-        else cfg.output + ".fastq"
-    with open(out_path, "wb") as out:
+    if cfg.output == "-":
+        out_path = None
+        out_cm = _stdout_cm()
+    else:
+        out_path = cfg.output if cfg.output.endswith(".fastq") \
+            else cfg.output + ".fastq"
+        out_cm = open(out_path, "wb")
+    with out_cm as out:
         group: List = []
 
         def flush():
@@ -307,9 +312,21 @@ def decompress(cfg: Config) -> RunStats:
                 flush()
         if group:
             flush()
-    stats.output_bytes = _file_size(out_path)
+    stats.output_bytes = _file_size(out_path) if out_path else 0
     stats.wall_s = time.monotonic() - t0
     return stats
+
+
+class _stdout_cm:
+    """Context manager handing out the binary stdout without closing it
+    (``-o -`` decompression for pipe consumers)."""
+
+    def __enter__(self):
+        return sys.stdout.buffer
+
+    def __exit__(self, *exc):
+        sys.stdout.buffer.flush()
+        return False
 
 
 def _decompress_paired(cfg: Config, stats: RunStats,

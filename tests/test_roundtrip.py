@@ -201,3 +201,17 @@ def test_profile_and_verbose_flags(tmp_path, capsys):
                    "--profile", str(prof), "--block-reads", "256"])
     assert rc == 0
     assert prof.exists() and any(prof.rglob("*"))
+
+
+def test_decompress_to_stdout(tmp_path, capfdbinary):
+    payload = synth_fastq(400, 80, seed=25)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=512)
+    driver.compress(cfg)
+    dcfg = Config(mode="decompress", inputs=(str(tmp_path / "o.00.scalcen"),),
+                  output="-", keep_order=True)
+    driver.decompress(dcfg)
+    out, _ = capfdbinary.readouterr()
+    assert out == payload
