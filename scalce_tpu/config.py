@@ -124,6 +124,9 @@ class Config:
             raise ValueError("max_read_len must be <= 32752 (stream "
                              "fields are 16-bit; longer reads need a "
                              "format bump)")
+        if self.block_reads * self.max_read_len >= 1 << 31:
+            raise ValueError("block_reads * max_read_len must be < 2^31 "
+                             "(flat base positions are int32 on device)")
         if self.qual_T_target < 64 or self.qual_T_target > 32768 or \
                 self.qual_T_target & (self.qual_T_target - 1):
             raise ValueError("qual_T_target must be a power of two in "

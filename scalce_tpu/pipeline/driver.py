@@ -87,11 +87,22 @@ def _prefetch(it: Iterator, depth: int = 3) -> Iterator:
     q: _queue.Queue = _queue.Queue(maxsize=depth)
     _END = object()
     err: List[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                # bounded put with a stop check so an abandoned consumer
+                # (emit/writer raised) doesn't leave this thread blocked
+                # on a full queue holding the input file open forever
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:           # propagate parse errors
             err.append(e)
         finally:
@@ -99,13 +110,16 @@ def _prefetch(it: Iterator, depth: int = 3) -> Iterator:
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()   # worker notices within its put timeout and exits
 
 
 def _run_pipelined(blocks: Iterator, encode_device, assemble, emit,
@@ -119,11 +133,14 @@ def _run_pipelined(blocks: Iterator, encode_device, assemble, emit,
     times = stage_s if stage_s is not None else {}
     times.setdefault("device_dispatch", 0.0)
     times.setdefault("assemble", 0.0)
+    times_lock = threading.Lock()
 
     def timed(label, fn, *a):
         t0 = time.monotonic()
         r = fn(*a)
-        times[label] += time.monotonic() - t0
+        dt = time.monotonic() - t0
+        with times_lock:   # pool workers update concurrently
+            times[label] += dt
         return r
 
     if workers <= 1:

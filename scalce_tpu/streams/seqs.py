@@ -99,6 +99,20 @@ def _validate(a, n: int, B: int, L: int, n_lits: int) -> None:
     pred_k = a["pred_k"].astype(np.int64)
     if lens.shape[0] != n or shifts.shape[0] != n or pred_k.shape[0] != n:
         raise ValueError("corrupt .scalcer block: field length mismatch")
+    # mask_bits must be exactly [n, L/8]: a smaller array would broadcast
+    # through the checks below but stride out of bounds in the native
+    # reconstruction loop
+    if a["mask_bits"].ndim != 2 or a["mask_bits"].shape != (n, L // 8):
+        raise ValueError("corrupt .scalcer block: mask_bits shape mismatch")
+    # exceptions: positions must index inside the block's base grid and
+    # pair 1:1 with replacement bytes (u64 >= 2^63 would go negative in
+    # int64 downstream and index from the end)
+    exc_pos = a["exc_pos"]
+    if exc_pos.shape[0] != a["exc_byte"].shape[0]:
+        raise ValueError("corrupt .scalcer block: exception arrays disagree")
+    if exc_pos.size and int(exc_pos.max()) >= n * L:
+        raise ValueError("corrupt .scalcer block: exception position out "
+                         "of range")
     if lens.size and (lens.max() > L or lens.min() < 0):
         raise ValueError("corrupt .scalcer block: read length > max")
     bits = np.unpackbits(a["mask_bits"], axis=1, bitorder="little")[:, :L]
