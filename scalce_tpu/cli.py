@@ -41,7 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max compressed bytes per part (e.g. 500M)")
     p.add_argument("-n", "--name-lib", default=None, metavar="LIB",
                    help="discard names; regenerate as LIB.N")
-    p.add_argument("--backend", choices=("gz", "bz", "no"), default="gz")
+    p.add_argument("--backend", choices=("zstd", "gz", "bz", "no"),
+                   default="zstd",
+                   help="generic byte backend for payload arrays (gz/bz "
+                        "mirror the reference's output modes; zstd is "
+                        "the fast default)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard blocks over all local devices")
     p.add_argument("--n-hosts", type=int, default=1,

@@ -39,8 +39,10 @@ import numpy as np
 MAGIC = b"SCLCTPU1"
 END_MAGIC = b"1UPTCLCS"
 #: bumped on any change to payload SEMANTICS, not just framing (v2:
-#: qualities stored in original orientation for rc reads)
-VERSION = 2
+#: qualities stored in original orientation for rc reads; v3: zstd
+#: array codec added — v2 files remain readable)
+VERSION = 3
+_READABLE_VERSIONS = (2, 3)
 _BLK = b"BLK0"
 _FTR = b"FTR0"
 
@@ -59,8 +61,9 @@ _DTYPES = {
 #: selected per run by ``--backend`` [REF: scalce buffio.c mode select —
 #: UNVERIFIED; SURVEY.md §2 L0]); codec id is stored per array so the
 #: reader never consults run config.
-_CODEC_NONE, _CODEC_ZLIB, _CODEC_BZ2 = 0, 1, 2
-_CODEC_OF_BACKEND = {"no": _CODEC_NONE, "gz": _CODEC_ZLIB, "bz": _CODEC_BZ2}
+_CODEC_NONE, _CODEC_ZLIB, _CODEC_BZ2, _CODEC_ZSTD = 0, 1, 2, 3
+_CODEC_OF_BACKEND = {"no": _CODEC_NONE, "gz": _CODEC_ZLIB, "bz": _CODEC_BZ2,
+                     "zstd": _CODEC_ZSTD}
 
 
 _BACKEND_OF_CODEC = {v: k for k, v in _CODEC_OF_BACKEND.items()}
@@ -82,8 +85,15 @@ def pack_arrays(arrays: Dict[str, np.ndarray],
                 deflate: Sequence[str] = (), level: int = 6,
                 backend: str = "gz") -> bytes:
     """Serialize named arrays; names in ``deflate`` go through the
-    selected generic byte backend (gz/bz/no)."""
+    selected generic byte backend (zstd/gz/bz/no).
+
+    ``deflate`` may be a sequence of names (all at ``level``) or a
+    mapping name -> level — entropy-coded arrays cost real CPU to
+    compress for zero gain, so hot callers tune per array.
+    """
     codec = _CODEC_OF_BACKEND[backend]
+    levels = deflate if isinstance(deflate, dict) else \
+        {k: level for k in deflate}
     out = io.BytesIO()
     out.write(struct.pack("<H", len(arrays)))
     for name, arr in arrays.items():
@@ -92,8 +102,8 @@ def pack_arrays(arrays: Dict[str, np.ndarray],
         if code not in _DTYPES:
             raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
         raw = arr.tobytes()
-        c = codec if name in deflate else _CODEC_NONE
-        data = _codec_compress(c, raw, level)
+        c = codec if name in levels else _CODEC_NONE
+        data = _codec_compress(c, raw, levels.get(name, level))
         if len(data) >= len(raw):         # store incompressible raw
             c, data = _CODEC_NONE, raw
         nb = name.encode()
@@ -181,7 +191,7 @@ class StreamReader:
         if hdr != MAGIC:
             raise ValueError(f"{path}: not a scalce_tpu stream")
         (ver,) = struct.unpack("<H", self._f.read(2))
-        if ver != VERSION:
+        if ver not in _READABLE_VERSIONS:
             raise ValueError(f"{path}: unsupported version {ver}")
         self.kind = self._f.read(1).decode()
         self._f.read(1)
@@ -263,7 +273,7 @@ def scan_resumable(path: str):
         if f.read(8) != MAGIC:
             raise ValueError(f"{path}: not a scalce_tpu stream")
         (ver,) = struct.unpack("<H", f.read(2))
-        if ver != VERSION:
+        if ver not in _READABLE_VERSIONS:
             raise ValueError(f"{path}: unsupported version {ver}")
         f.read(2)
         (mlen,) = struct.unpack("<I", f.read(4))

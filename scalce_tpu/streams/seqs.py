@@ -59,10 +59,15 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "exc_byte": exc_byte.astype(np.uint8),
         "perm": perm[:n_reads].astype(np.uint32),
     }
+    # per-array codec levels (measured on the bench workload):
+    #   lit_packed is entropy-coded 2-bit data — incompressible, stored
+    #   raw (attempting it costs ~25 ms/block for nothing)
+    #   mask_bits is the big compressible one — pay a higher level there
+    #   perm is a near-random permutation — low level loses nothing
     return container.pack_arrays(
-        arrays, deflate=("mask_bits", "shifts", "pred_k", "lit_packed",
-                         "rc_bits", "lengths", "exc_pos", "exc_byte",
-                         "perm"),
+        arrays, deflate={"mask_bits": 9, "shifts": 6, "pred_k": 6,
+                         "rc_bits": 6, "lengths": 3, "exc_pos": 3,
+                         "exc_byte": 3, "perm": 3},
         level=level, backend=backend)
 
 
