@@ -422,13 +422,27 @@ def write_fastq_records(out: IO[bytes], seq: np.ndarray, qual: np.ndarray,
                         exc_pos: np.ndarray, exc_byte: np.ndarray,
                         names: Ragged,
                         plus: Optional[Ragged]) -> None:
-    """Write ``n_reads`` records back to FASTQ, fully vectorized.
+    """Render ``n_reads`` records and write them to ``out``."""
+    buf = render_fastq_records(seq, qual, lengths, n_reads, exc_pos,
+                               exc_byte, names, plus)
+    if buf is not None:
+        out.write(buf)
+
+
+def render_fastq_records(seq: np.ndarray, qual: np.ndarray,
+                         lengths: np.ndarray, n_reads: int,
+                         exc_pos: np.ndarray, exc_byte: np.ndarray,
+                         names: Ragged,
+                         plus: Optional[Ragged]) -> Optional[bytes]:
+    """Render ``n_reads`` records to FASTQ bytes, fully vectorized.
 
     ``seq`` holds 2-bit codes; exceptions are re-applied before assembly so
-    output bases are byte-exact with the original input.
+    output bases are byte-exact with the original input.  Split from the
+    file write so a pipelined decompressor can render on worker threads
+    and write in block order on the main thread.
     """
     if n_reads == 0:
-        return
+        return None
     max_len = seq.shape[1]
     bases = CODE_TO_BASE[seq[:n_reads].reshape(-1)]
     if exc_pos.size:
@@ -459,8 +473,7 @@ def write_fastq_records(out: IO[bytes], seq: np.ndarray, qual: np.ndarray,
             (plus.offsets[: n_reads + 1] - plus.offsets[0])
             if plus is not None else None,
             buf, rec_off)
-        out.write(buf.tobytes())
-        return
+        return buf.tobytes()
 
     at = rec_off[:-1]
     buf[at] = ord("@")
@@ -480,4 +493,4 @@ def write_fastq_records(out: IO[bytes], seq: np.ndarray, qual: np.ndarray,
                    ragged_gather(qual[:n_reads].reshape(-1), seq_starts, lens),
                    lens)
     buf[at + 1 + lens] = 10
-    out.write(buf.tobytes())
+    return buf.tobytes()

@@ -44,28 +44,49 @@ class BlockDecoder:
         self.keep_order = keep_order
         self._name_counter = 1          # template-mode running index
 
-    def decode_blocks(self, payload_list):
-        """Decode a group of blocks, batching the quality scans."""
+    # -- pipeline-friendly split (driver threads the host halves):
+    # parse_block (host, any thread) -> dispatch_quals (main thread,
+    # async device) -> finish_group (host, any thread)
+
+    def parse_block(self, payloads: Dict[str, bytes]):
+        """Host payload parse: seq reconstruct + quality stream fields."""
         B = int(self.meta["block_reads"])
         L = int(self.meta["max_read_len"])
+        parsed = seqs.parse(payloads["r"], B, L)
+        enc_q = qualities.parse(payloads["q"])
+        return parsed, enc_q
+
+    def dispatch_quals(self, parsed_list, encs):
+        """Async device dispatch of the group's quality decode."""
+        return qualities.decode_batch_dispatch(
+            encs, [pr[1] for pr in parsed_list])
+
+    def finish_group(self, payload_list, parsed_list, dev,
+                     name_starts) -> "list[DecodedBlock]":
+        quals = qualities.decode_batch_fetch(dev, len(payload_list))
+        return [self._finish(p, pr, q, ns)
+                for p, pr, q, ns in zip(payload_list, parsed_list, quals,
+                                        name_starts)]
+
+    def decode_blocks(self, payload_list):
+        """Decode a group of blocks, batching the quality scans."""
         if len(payload_list) != DECODE_GROUP:
             return [self.decode_block(p) for p in payload_list]
-        parsed = [seqs.parse(p["r"], B, L) for p in payload_list]
-        encs = [qualities.parse(p["q"]) for p in payload_list]
+        parsed_encs = [self.parse_block(p) for p in payload_list]
+        parsed = [pe[0] for pe in parsed_encs]
+        encs = [pe[1] for pe in parsed_encs]
         quals = qualities.decode_batch(encs, [pr[1] for pr in parsed])
         return [self._finish(p, pr, q)
                 for p, pr, q in zip(payload_list, parsed, quals)]
 
     def decode_block(self, payloads: Dict[str, bytes]) -> DecodedBlock:
-        B = int(self.meta["block_reads"])
-        L = int(self.meta["max_read_len"])
-        parsed = seqs.parse(payloads["r"], B, L)
-        enc_q = qualities.parse(payloads["q"])
+        parsed, enc_q = self.parse_block(payloads)
         qual = qualities.decode(enc_q, parsed[1])
         return self._finish(payloads, parsed, qual)
 
     def _finish(self, payloads: Dict[str, bytes], parsed,
-                qual: np.ndarray) -> DecodedBlock:
+                qual: np.ndarray,
+                name_start: Optional[int] = None) -> DecodedBlock:
         seq, lengths, n_reads, exc_pos, exc_byte, perm, rc = parsed
         L = seq.shape[1]
 
@@ -85,8 +106,10 @@ class BlockDecoder:
             raise ValueError("stream record-count mismatch")
         if "template" in na:
             lib = self.meta.get("name_lib") or "lib"
-            names = names_stream.template_names(lib, self._name_counter, n)
-            self._name_counter += n
+            if name_start is None:         # serial path: running counter
+                name_start = self._name_counter
+                self._name_counter += n
+            names = names_stream.template_names(lib, name_start, n)
             names_orig_order = self.keep_order   # template: emit as-is
         else:
             names = names_stream.decode(na["names_blob"].tobytes())

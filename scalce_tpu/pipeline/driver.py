@@ -294,6 +294,111 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     return stats
 
 
+def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
+                         workers: int, stats: RunStats) -> None:
+    """Pipelined decompress over one or more channels (mates).
+
+    ``items`` yields per-channel payload tuples, one per block.  Stages:
+
+      worker pool:  payload parse (seq reconstruct + qual fields)
+      main thread:  device dispatch of each group's quality decode
+      worker pool:  D2H fetch + finish + FASTQ render
+      main thread:  ordered writes
+
+    This is the decompress counterpart of ``_run_pipelined`` — the
+    reference's ``-T`` concurrency applied to the decode direction
+    (SURVEY.md §4.2), which round 1 left single-threaded.
+    """
+    from scalce_tpu.pipeline.decode import DECODE_GROUP
+    from scalce_tpu.streams import qualities
+    C = len(decs)
+    pool = _fut.ThreadPoolExecutor(max_workers=max(1, workers))
+    parse_pending: collections.deque = collections.deque()
+    out_pending: collections.deque = collections.deque()
+    name_ctr = [1] * C
+    max_parse = max(1, workers) * 2 + DECODE_GROUP
+
+    def render_all(blocks):
+        return [fastq.render_fastq_records(b.seq, b.qual, b.lengths,
+                                           b.n_reads, b.exc_pos, b.exc_byte,
+                                           b.names, b.plus)
+                for b in blocks]
+
+    def finish_group(c, plist, parsed_list, dev, starts):
+        blocks = decs[c].finish_group(plist, parsed_list, dev, starts)
+        return blocks, render_all(blocks)
+
+    def finish_single(c, payloads, parsed_enc, start):
+        parsed, enc = parsed_enc
+        qual = qualities.decode(enc, parsed[1])
+        b = decs[c]._finish(payloads, parsed, qual, start)
+        return [b], render_all([b])
+
+    def emit(futs):
+        for c, f in futs:
+            blocks, bufs = f.result()
+            for b, buf in zip(blocks, bufs):
+                if buf:
+                    outs[c].write(buf)
+                stats.n_reads += b.n_reads
+            if c == 0:
+                stats.n_blocks += len(blocks)
+
+    def drain(block_all: bool) -> None:
+        while out_pending and (block_all or len(out_pending) > 2
+                               or out_pending[0][0][1].done()):
+            emit(out_pending.popleft())
+
+    def dispatch(group) -> None:
+        # group: list of (payload_tuple, parsed_enc_tuple)
+        futs = []
+        for c in range(C):
+            plist = [g[0][c] for g in group]
+            pe = [g[1][c] for g in group]
+            parsed_list = [x[0] for x in pe]
+            starts = []
+            for pr in parsed_list:
+                starts.append(name_ctr[c])
+                name_ctr[c] += pr[2]
+            if len(group) == DECODE_GROUP:
+                dev = decs[c].dispatch_quals(parsed_list,
+                                             [x[1] for x in pe])
+                futs.append((c, pool.submit(finish_group, c, plist,
+                                            parsed_list, dev, starts)))
+            else:
+                # tail group: per-block single decode on workers
+                for p, x, s in zip(plist, pe, starts):
+                    futs.append((c, pool.submit(finish_single, c, p, x, s)))
+        out_pending.append(futs)
+        drain(False)
+
+    def parse_item(ptuple):
+        return tuple(decs[c].parse_block(ptuple[c]) for c in range(C))
+
+    try:
+        group: List = []
+        for ptuple in items:
+            parse_pending.append(
+                (ptuple, pool.submit(parse_item, ptuple)))
+            while len(parse_pending) >= max_parse:
+                pt, f = parse_pending.popleft()
+                group.append((pt, f.result()))
+                if len(group) == DECODE_GROUP:
+                    dispatch(group)
+                    group = []
+        while parse_pending:
+            pt, f = parse_pending.popleft()
+            group.append((pt, f.result()))
+            if len(group) == DECODE_GROUP:
+                dispatch(group)
+                group = []
+        if group:
+            dispatch(group)
+        drain(True)
+    finally:
+        pool.shutdown(wait=True)
+
+
 def decompress(cfg: Config) -> RunStats:
     t0 = time.monotonic()
     stats = RunStats(mode="decompress")
@@ -302,7 +407,6 @@ def decompress(cfg: Config) -> RunStats:
     meta = reader.meta
     if meta.get("paired"):
         return _decompress_paired(cfg, stats, reader, meta, t0)
-    from scalce_tpu.pipeline.decode import DECODE_GROUP
     dec = BlockDecoder(meta, keep_order=cfg.keep_order)
     if cfg.output == "-":
         out_path = None
@@ -312,23 +416,9 @@ def decompress(cfg: Config) -> RunStats:
             else cfg.output + ".fastq"
         out_cm = open(out_path, "wb")
     with out_cm as out:
-        group: List = []
-
-        def flush():
-            for b in dec.decode_blocks(group):
-                fastq.write_fastq_records(out, b.seq, b.qual, b.lengths,
-                                          b.n_reads, b.exc_pos, b.exc_byte,
-                                          b.names, b.plus)
-                stats.n_blocks += 1
-                stats.n_reads += b.n_reads
-            group.clear()
-
-        for bid, payloads in _prefetch(reader.iter_blocks(), depth=8):
-            group.append(payloads)
-            if len(group) == DECODE_GROUP:
-                flush()
-        if group:
-            flush()
+        items = ((payloads,) for bid, payloads
+                 in _prefetch(reader.iter_blocks(), depth=8))
+        _run_decode_pipeline(items, [dec], [out], cfg.threads, stats)
     stats.output_bytes = _file_size(out_path) if out_path else 0
     stats.wall_s = time.monotonic() - t0
     return stats
@@ -356,36 +446,20 @@ def _decompress_paired(cfg: Config, stats: RunStats,
     r1 = reader if reader.mate == 1 else container.TripletReader(
         container.part_paths(prefix, 0, 1)["r"])
     r2 = container.TripletReader(container.part_paths(prefix, 0, 2)["r"])
-    from scalce_tpu.pipeline.decode import DECODE_GROUP
     d1 = BlockDecoder(meta, keep_order=cfg.keep_order)
     d2 = BlockDecoder(meta, keep_order=cfg.keep_order)
     out1 = open(f"{cfg.output}_1.fastq", "wb")
     out2 = open(f"{cfg.output}_2.fastq", "wb")
     try:
-        group1: List = []
-        group2: List = []
+        def items():
+            for (bid1, p1), (bid2, p2) in zip(r1.iter_blocks(),
+                                              r2.iter_blocks()):
+                if bid1 != bid2:
+                    raise ValueError("mate triplets disagree on block order")
+                yield (p1, p2)
 
-        def flush():
-            for dec, group, out in ((d1, group1, out1), (d2, group2, out2)):
-                for b in dec.decode_blocks(group):
-                    fastq.write_fastq_records(
-                        out, b.seq, b.qual, b.lengths, b.n_reads,
-                        b.exc_pos, b.exc_byte, b.names, b.plus)
-                    stats.n_reads += b.n_reads
-            stats.n_blocks += len(group1)
-            group1.clear()
-            group2.clear()
-
-        for (bid1, p1), (bid2, p2) in zip(r1.iter_blocks(),
-                                          r2.iter_blocks()):
-            if bid1 != bid2:
-                raise ValueError("mate triplets disagree on block order")
-            group1.append(p1)
-            group2.append(p2)
-            if len(group1) == DECODE_GROUP:
-                flush()
-        if group1:
-            flush()
+        _run_decode_pipeline(_prefetch(items(), depth=8), [d1, d2],
+                             [out1, out2], cfg.threads, stats)
     finally:
         out1.close()
         out2.close()

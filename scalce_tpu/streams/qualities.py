@@ -157,14 +157,13 @@ _decode_batch_pass = jax.jit(
     static_argnums=(4, 5, 6, 7))
 
 
-def decode_batch(encs, lengths_list):
-    """Decode several blocks' quality grids in ONE vmapped scan.
+def decode_batch_dispatch(encs, lengths_list):
+    """Host prep + async device dispatch of a group quality decode.
 
-    The decode scan's cost is per-STEP (each step does a table gather),
-    not per-lane — so stacking D blocks into the lane dimension decodes
-    D blocks for the price of one (SURVEY.md §7 decode GB/s).  Blocks
-    must share (B, L, T, order); word matrices are padded to the widest
-    bucket in the group.
+    Returns the (not yet materialized) device array; pair with
+    :func:`decode_batch_fetch` — the split lets a pipelined driver run
+    the fetch (D2H sync) on a worker thread while the main thread
+    dispatches the next group.
     """
     assert len({(e.B, e.L, e.T, e.order) for e in encs}) == 1
     e0 = encs[0]
@@ -189,11 +188,27 @@ def decode_batch(encs, lengths_list):
         luts[d] = entropy.build_decode_lut(e.freq, cum)
         states[d] = e.states
         lengths[d] = lengths_list[d]
-    out = _decode_batch_pass(jnp.asarray(states), jnp.asarray(words),
-                             jnp.asarray(luts), jnp.asarray(lengths),
-                             e0.order, e0.T, e0.B, e0.L)
-    out = np.asarray(out)
+    return _decode_batch_pass(jnp.asarray(states), jnp.asarray(words),
+                              jnp.asarray(luts), jnp.asarray(lengths),
+                              e0.order, e0.T, e0.B, e0.L)
+
+
+def decode_batch_fetch(out_dev, D: int):
+    out = np.asarray(out_dev)
     return [out[d] for d in range(D)]
+
+
+def decode_batch(encs, lengths_list):
+    """Decode several blocks' quality grids in ONE vmapped scan.
+
+    The decode scan's cost is per-STEP (each step does a table gather),
+    not per-lane — so stacking D blocks into the lane dimension decodes
+    D blocks for the price of one (SURVEY.md §7 decode GB/s).  Blocks
+    must share (B, L, T, order); word matrices are padded to the widest
+    bucket in the group.
+    """
+    return decode_batch_fetch(decode_batch_dispatch(encs, lengths_list),
+                              len(encs))
 
 
 @dataclasses.dataclass
