@@ -3,11 +3,12 @@ device (the driver runs this on real TPU hardware).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline assumption (documented because the reference's numbers are not
-retrievable offline — BASELINE.md): reference SCALCE is a single-node C
-tool that is "faster than gzip"; single-thread gzip-class FASTQ
-throughput is ~60 MB/s, so the reference baseline is pinned at
-0.06 GB/s.  vs_baseline = our GB/s / 0.06.
+Baseline (measured, not assumed — BASELINE.md): the reference SCALCE is
+a single-node C tool whose backend is zlib and whose paper claims it is
+FASTER than plain gzip (reordering makes deflate cheaper).  The honest
+per-host proxy is therefore measured at bench time: single-thread
+zlib-6 over a slice of the same FASTQ, scaled by 1.5x for the paper's
+"faster than gzip" claim.  vs_baseline = our GB/s / that proxy.
 """
 
 import json
@@ -15,10 +16,22 @@ import os
 import sys
 import tempfile
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REFERENCE_GBPS = 0.06
+#: paper-claimed speed advantage of reference SCALCE over plain gzip
+#: (qualitative "faster than gzip"; 1.5x is a generous reading)
+REFERENCE_SPEEDUP_VS_GZIP = 1.5
+
+
+def _measure_reference_proxy(payload: bytes) -> float:
+    """Single-thread zlib-6 GB/s over a slice of the bench input."""
+    slice_bytes = payload[: 16 << 20]
+    t0 = time.monotonic()
+    zlib.compress(slice_bytes, 6)
+    dt = time.monotonic() - t0
+    return len(slice_bytes) / dt / 1e9
 
 
 def _enable_compile_cache() -> None:
@@ -102,12 +115,16 @@ def main() -> None:
         log("over time budget - skipping decode timing")
     log("done")
 
+    log("measuring gzip-class reference proxy")
+    gzip_gbps = _measure_reference_proxy(payload)
+    ref_gbps = gzip_gbps * REFERENCE_SPEEDUP_VS_GZIP
+
     gbps = input_bytes / wall / 1e9
     result = {
         "metric": "encode_throughput",
         "value": round(gbps, 4),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / REFERENCE_GBPS, 2),
+        "vs_baseline": round(gbps / ref_gbps, 2),
     }
     print(json.dumps(result))
     # secondary detail on stderr for humans
@@ -116,6 +133,7 @@ def main() -> None:
     print(f"[bench] {n_reads} reads, {input_bytes/1e6:.1f} MB in "
           f"{wall:.2f}s; ratio {stats.input_bytes/stats.output_bytes:.2f}x; "
           f"{dec_str}"
+          f"host zlib-6 {gzip_gbps:.4f} GB/s -> ref proxy {ref_gbps:.4f}; "
           f"stages {stats.stage_s}; streams {stats.stream_bytes}",
           file=sys.stderr)
 
