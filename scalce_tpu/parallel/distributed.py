@@ -58,23 +58,25 @@ def init_multihost(coordinator_address: Optional[str] = None,
 
 
 def barrier(tag: int = 0) -> None:
-    """Cross-host barrier: a trivial global psum on every device.
+    """Cross-host barrier.
 
     Used between "all hosts finished encoding" and "rank 0 merges"
     (merge reads every host's files, so they must be durable first).
+
+    Multi-process: ``multihost_utils.sync_global_devices`` — a named
+    rendezvous through the coordination service + a tiny device
+    all-reduce (a plain ``device_put`` over a global mesh would fail on
+    the non-addressable devices of other hosts, which is why the naive
+    psum formulation cannot work here).  Single-process: local psum
+    sanity check only.
     """
-    from jax.sharding import Mesh, PartitionSpec as P
-    devs = np.array(jax.devices())
-    mesh = Mesh(devs, ("all",))
-
-    @jax.jit
-    def _one():
-        return jax.numpy.ones((len(devs),), jax.numpy.int32)
-
-    x = jax.device_put(
-        np.full(len(devs), tag + 1, np.int32),
-        jax.sharding.NamedSharding(mesh, P("all")))
-    total = int(jax.jit(lambda v: v.sum())(x))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"scalce_tpu_barrier_{tag}")
+        return
+    devs = np.array(jax.local_devices())
+    total = int(jax.jit(lambda v: v.sum())(
+        np.full(len(devs), tag + 1, np.int32)))
     assert total == (tag + 1) * len(devs)
 
 

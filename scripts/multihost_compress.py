@@ -28,6 +28,10 @@ def main() -> int:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--block-reads", type=int, default=1 << 17)
+    p.add_argument("-p", "--lossy", type=int, default=0,
+                   help="lossy quality percentage (every host samples "
+                        "the same input prefix, so the quantization map "
+                        "is identical across hosts by construction)")
     args = p.parse_args()
 
     from scalce_tpu.parallel.distributed import init_multihost, barrier
@@ -40,7 +44,7 @@ def main() -> int:
     from scalce_tpu.pipeline import driver
     cfg = Config(mode="compress", inputs=tuple(args.inputs),
                  output=args.output, paired=args.paired,
-                 block_reads=args.block_reads,
+                 block_reads=args.block_reads, lossy_pct=args.lossy,
                  n_hosts=topo.n_hosts, host_id=topo.host_id)
     stats = driver.compress(cfg)
     print(f"[multihost] host {topo.host_id}: {stats.n_blocks} blocks, "
