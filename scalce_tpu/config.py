@@ -142,7 +142,3 @@ class Config:
             raise ValueError("dict_mode must be 'hash' or 'lut'")
         if self.dict_mode == "lut" and self.core_k > 12:
             raise ValueError("dict_mode='lut' requires core_k <= 12")
-        if self.data_parallel and self.paired:
-            raise ValueError("--data-parallel currently supports "
-                             "single-end inputs (paired-end uses the "
-                             "threaded pipeline)")

@@ -44,6 +44,33 @@ def _block_stage1(seq, qual, lengths, n_reads, exc_mask, qual_map,
                         k, seed, order)
 
 
+def _block_stage_mate2(seq, qual, lengths, n_reads, exc_mask, perm,
+                       qual_map, rank_lut, k: int, seed: int, order: int):
+    """Mate-2 stage: follow mate 1's permutation (paired-end sync under
+    --data-parallel; SURVEY.md §2 "Paired-end sync")."""
+    from scalce_tpu.pipeline.encode import _encode_core_mate2
+    return _encode_core_mate2(seq, qual, lengths, n_reads, exc_mask,
+                              perm, qual_map, rank_lut, k, seed, order)
+
+
+def make_sharded_stage_mate2(mesh: Mesh, k: int, seed: int, order: int):
+    """jit'd mate-2 stage over stacked blocks sharded on 'data'."""
+    dspec = P("data")
+    rspec = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(dspec,) * 6 + (rspec, rspec),
+             out_specs=(dspec,) * 5)
+    def stage2(seq, qual, lengths, n_reads, exc_mask, perm, qual_map,
+               rank_lut):
+        f = partial(_block_stage_mate2, k=k, seed=seed, order=order)
+        return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            seq, qual, lengths, n_reads, exc_mask, perm, qual_map,
+            rank_lut)
+
+    return jax.jit(stage2)
+
+
 def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):
     """jit'd stage-1 over stacked blocks ``[D, B, L]`` sharded on 'data'.
 
@@ -114,6 +141,8 @@ class ShardedEncoder:
         self.D = self.mesh.devices.size * group
         self._stage1 = make_sharded_stage1(
             self.mesh, cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
+        self._stage2 = make_sharded_stage_mate2(
+            self.mesh, cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
         self._T = Q.pick_T(cfg.block_reads, cfg.max_read_len,
                            cfg.qual_T_target)
         self._qenc = make_sharded_qual_encode(
@@ -122,13 +151,7 @@ class ShardedEncoder:
         self._fallback = BlockEncoder(cfg, qual_map)
         self._qual_map = jnp.asarray(qual_map)
 
-    def encode_blocks(self, blocks):
-        """Encode up to D blocks; returns EncodedBlocks in input order."""
-        from scalce_tpu.streams import qualities as Q
-        if len(blocks) < self.D:
-            # tail group: per-block path (identical bytes)
-            return [self._fallback.encode_block(b) for b in blocks]
-        assert len(blocks) == self.D
+    def _stack_blocks(self, blocks):
         B, L = blocks[0].seq.shape
         seq = np.stack([b.seq for b in blocks])
         qual = np.stack([b.qual for b in blocks])
@@ -137,11 +160,28 @@ class ShardedEncoder:
         exc = np.zeros((self.D, B, L), bool)
         for d, b in enumerate(blocks):
             exc[d].reshape(-1)[b.exc_pos] = True
+        return (jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+                jnp.asarray(n_reads), jnp.asarray(exc))
+
+    # -- dispatch/assemble split (same contract as BlockEncoder's):
+    # the driver runs dispatches on its main thread and assembles on the
+    # worker pool, so the DP path pipelines like the single-device one
+
+    def encode_device(self, blocks):
+        """Async device dispatch for a full group of D blocks."""
+        assert len(blocks) == self.D
+        stacked = self._stack_blocks(blocks)
         perm, delta, len_s, sym, ctx, counts = self._stage1(
-            jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
-            jnp.asarray(n_reads), jnp.asarray(exc), self._qual_map,
-            self._fallback.rank_lut)
+            *stacked, self._qual_map, self._fallback.rank_lut)
         freqs, states, words, wcounts = self._qenc(sym, ctx, counts)
+        return (perm, delta, len_s, sym, ctx, counts,
+                freqs, states, words, wcounts)
+
+    def assemble(self, blocks, devout):
+        from scalce_tpu.streams import qualities as Q
+        (perm, delta, len_s, sym, ctx, counts,
+         freqs, states, words, wcounts) = devout
+        B, L = blocks[0].seq.shape
         out = []
         for d, b in enumerate(blocks):
             delta_d = {k: v[d] for k, v in delta.items()}
@@ -153,6 +193,41 @@ class ShardedEncoder:
                 b, np.asarray(perm[d]), delta_d, len_s[d], sym[d],
                 ctx[d], counts[d], enc_q=enc_q))
         return out
+
+    def encode_blocks(self, blocks):
+        """Encode up to D blocks; returns EncodedBlocks in input order."""
+        if len(blocks) < self.D:
+            # tail group: per-block path (identical bytes)
+            return [self._fallback.encode_block(b) for b in blocks]
+        return self.assemble(blocks, self.encode_device(blocks))
+
+    # -- paired-end: mate 1 defines each block's permutation; the
+    # mate-2 stage follows it (BASELINE.json configs 2+4 jointly)
+
+    def encode_device_pair(self, pairs):
+        b1s = [p[0] for p in pairs]
+        b2s = [p[1] for p in pairs]
+        out1 = self.encode_device(b1s)
+        perm = out1[0]
+        stacked2 = self._stack_blocks(b2s)
+        delta2, len2, sym2, ctx2, counts2 = self._stage2(
+            *stacked2, perm.astype(jnp.int32), self._qual_map,
+            self._fallback.rank_lut)
+        freqs2, states2, words2, wcounts2 = self._qenc(sym2, ctx2, counts2)
+        out2 = (perm, delta2, len2, sym2, ctx2, counts2,
+                freqs2, states2, words2, wcounts2)
+        return out1, out2
+
+    def assemble_pair(self, pairs, devout):
+        out1, out2 = devout
+        eb1 = self.assemble([p[0] for p in pairs], out1)
+        eb2 = self.assemble([p[1] for p in pairs], out2)
+        return list(zip(eb1, eb2))
+
+    def encode_block_pairs(self, pairs):
+        if len(pairs) < self.D:
+            return [self._fallback.encode_block_pair(*p) for p in pairs]
+        return self.assemble_pair(pairs, self.encode_device_pair(pairs))
 
 
 def make_lossy_hist_allreduce(mesh: Mesh, n_syms: int):

@@ -197,7 +197,7 @@ def compress(cfg: Config) -> RunStats:
                   f"{eb.total_bytes} bytes", file=sys.stderr)
 
     if cfg.data_parallel:
-        _run_sharded(cfg, _prefetch(owned), qual_map, emit)
+        _run_sharded(cfg, _prefetch(owned), qual_map, emit, stats.stage_s)
     else:
         _run_pipelined(_prefetch(owned), enc.encode_device, enc.assemble,
                        emit, cfg.threads, stats.stage_s)
@@ -208,22 +208,47 @@ def compress(cfg: Config) -> RunStats:
     return stats
 
 
-def _run_sharded(cfg: Config, blocks: Iterator, qual_map, emit) -> None:
+def _run_sharded(cfg: Config, blocks: Iterator, qual_map, emit,
+                 stage_s: Optional[Dict] = None, paired: bool = False
+                 ) -> None:
     """Single-host multi-device DP: groups of |mesh| blocks per
     super-step (SURVEY.md §3 / BASELINE.json config 4).  Output bytes
-    are identical to the single-device path."""
+    are identical to the single-device path.
+
+    Pipelined like the single-device path: group device dispatches stay
+    on the main thread (submission order), group assembly runs on the
+    worker pool, emits stay in block order.
+    """
     from scalce_tpu.parallel.mesh import ShardedEncoder
     senc = ShardedEncoder(cfg, qual_map)
-    group: List = []
-    for block in blocks:
-        group.append(block)
-        if len(group) == senc.D:
-            for eb in senc.encode_blocks(group):
-                emit(eb)
-            group = []
-    if group:
-        for eb in senc.encode_blocks(group):
+
+    def groups():
+        group: List = []
+        for block in blocks:
+            group.append(block)
+            if len(group) == senc.D:
+                yield group
+                group = []
+        if group:
+            yield group
+
+    if paired:
+        enc_dev = (lambda g: senc.encode_device_pair(g)
+                   if len(g) == senc.D else None)
+        asm = (lambda g, d: senc.assemble_pair(g, d) if d is not None
+               else [senc._fallback.encode_block_pair(*p) for p in g])
+    else:
+        enc_dev = (lambda g: senc.encode_device(g)
+                   if len(g) == senc.D else None)
+        asm = (lambda g, d: senc.assemble(g, d) if d is not None
+               else [senc._fallback.encode_block(b) for b in g])
+
+    def emit_group(ebs):
+        for eb in ebs:
             emit(eb)
+
+    _run_pipelined(groups(), enc_dev, asm, emit_group, cfg.threads,
+                   stage_s)
 
 
 def _host_output(cfg: Config):
@@ -282,10 +307,14 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
         for k in "nrq":
             stats.stream_bytes[k] += len(e1.payloads[k]) + len(e2.payloads[k])
 
-    _run_pipelined(_prefetch(owned),
-                   lambda p: enc.encode_device_pair(*p),
-                   lambda p, d: enc.assemble_pair(p[0], p[1], d),
-                   emit, cfg.threads, stats.stage_s)
+    if cfg.data_parallel:
+        _run_sharded(cfg, _prefetch(owned), qual_map, emit, stats.stage_s,
+                     paired=True)
+    else:
+        _run_pipelined(_prefetch(owned),
+                       lambda p: enc.encode_device_pair(*p),
+                       lambda p, d: enc.assemble_pair(p[0], p[1], d),
+                       emit, cfg.threads, stats.stage_s)
     w1.close()
     w2.close()
     stats.input_bytes = _file_size(path1) + _file_size(path2)

@@ -63,6 +63,24 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
     return perm, delta, len_s, sym, ctx, counts
 
 
+def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
+                       rank_lut, k: int, seed: int, order: int):
+    """Mate-2 shared core: same work as ``_encode_core`` but following
+    mate 1's permutation instead of computing one (paired-end sync).
+    Mirrors ``_device_stage_a2`` + ``_device_stage_b`` exactly so the
+    sharded paired path is byte-identical to the threaded one."""
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, qual, lengths, ck, cp, is_rc)
+    qual_m = qual_map[qual_s]
+    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    delta["rc_bits"] = _pack_bits(rc_s)
+    sym, ctx, counts = qualities.sym_ctx_hist(qual_m, len_s, order)
+    return delta, len_s, sym, ctx, counts
+
+
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     B = bits.shape[0]
     w = jnp.left_shift(jnp.uint8(1), jnp.arange(8, dtype=jnp.uint8))
