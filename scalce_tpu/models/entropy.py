@@ -61,6 +61,35 @@ def device_normalize(counts, n_ctx: int, n_syms: int):
     return f, cum
 
 
+def host_normalize(counts: np.ndarray, n_ctx: int, n_syms: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """NumPy mirror of :func:`device_normalize`, bit-identical by
+    construction: every arithmetic step is the same IEEE f32 / int32
+    operation in the same order, so the host quality codec path emits
+    exactly the bytes the device path would (pinned by test).
+    """
+    ci = np.asarray(counts).reshape(n_ctx, n_syms).astype(np.int32)
+    nz = ci > 0
+    nnz = nz.sum(axis=1).astype(np.int32)
+    total = ci.sum(axis=1).astype(np.int32)
+    c = ci.astype(np.float32)
+    scale = (M_TOTAL - nnz).astype(np.float32) / \
+        np.maximum(total, 1).astype(np.float32)
+    bias = np.float32(1.0 - 1e-5)      # f32-rounded, as jnp computes it
+    f_extra = np.floor(c * scale[:, None] * bias).astype(np.int32)
+    f = np.where(nz, 1 + f_extra, 0)
+    d = M_TOTAL - f.sum(axis=1).astype(np.int32)
+    top = np.argmax(ci, axis=1)
+    f[np.arange(n_ctx), top] += np.where(nnz > 0, d, 0)
+    empty = nnz == 0
+    if empty.any():
+        f[empty] = 0
+        f[empty, 0] = M_TOTAL
+    f = f.astype(np.uint32)
+    cum = np.cumsum(f, axis=1, dtype=np.uint32) - f
+    return f, cum
+
+
 def normalize_freqs(counts: np.ndarray, n_syms: int) -> np.ndarray:
     """Host REFERENCE normalizer (tests and offline tooling only).
 

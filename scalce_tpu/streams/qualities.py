@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -300,6 +300,145 @@ def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
                         jnp.asarray(lut), jnp.asarray(lengths),
                         enc.order, enc.T, enc.B, enc.L)
     return np.asarray(qual)
+
+
+# ---------------------------------------------------------------------------
+# host codec path — bit-identical to the device path by construction
+#
+# The quality stream needs no device compute: it is permuted (by the
+# device-computed sort), remapped, and entropy-coded — all byte-local.
+# On tunnel-attached devices (H2D ~40 MB/s, D2H ~20 MB/s measured) the
+# raw-quality upload plus word download dwarf the encode itself, so the
+# pipeline can keep qualities host-side (Config.qual_on_device=False).
+# Every arithmetic step below mirrors the device path exactly (same u32
+# coder ops, same f32 normalization via entropy.host_normalize), so the
+# two paths emit identical bytes — pinned by tests/test_rans.py.
+
+
+def _ctx_from_np(prev1, prev2, pb, c0, c1, valid, order: int) -> np.ndarray:
+    """NumPy mirror of :func:`_ctx_from` (integer ops only)."""
+    pq = np.where(c0, np.uint32(_PREV_LEVELS),
+                  np.minimum(prev1 >> 2, _PREV_LEVELS - 1)).astype(np.uint32)
+    ctx = pb.astype(np.uint32) * np.uint32(_PREV_LEVELS + 1) + pq
+    if order == 2:
+        p2 = np.where(c0 | c1, np.uint32(_PREV2_LEVELS - 1),
+                      np.minimum(prev2 >> 4, _PREV2_LEVELS - 2)
+                      ).astype(np.uint32)
+        ctx = ctx * np.uint32(_PREV2_LEVELS) + p2
+    return np.where(valid, ctx + np.uint32(1), np.uint32(0))
+
+
+def _sym_ctx_np(qual: np.ndarray, lengths: np.ndarray, order: int):
+    B, L = qual.shape
+    col = np.arange(L, dtype=np.int32)[None, :]
+    valid = col < lengths[:, None]
+    sym = np.clip(qual.astype(np.int32) - QUAL_OFFSET, 0, N_SYMS - 1)
+    sym = np.where(valid, sym, 0).astype(np.uint32)
+    prev1 = np.zeros_like(sym)
+    prev1[:, 1:] = sym[:, :-1]
+    prev2 = np.zeros_like(sym)
+    prev2[:, 2:] = sym[:, :-2]
+    pb = np.minimum(col // 16, _POS_BUCKETS - 1).astype(np.uint32)
+    ctx = _ctx_from_np(prev1, prev2, pb, col == 0, col == 1, valid, order)
+    return sym, ctx, valid
+
+
+def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
+                T_target: int = 1024,
+                qual_map: Optional[np.ndarray] = None) -> EncodedQuals:
+    """Host-side quality encode (qual already in SORTED order).
+
+    Bit-identical to :func:`encode` / the fused device passes."""
+    if qual_map is not None:
+        qual = np.asarray(qual_map)[qual]
+    B, L = qual.shape
+    sym, ctx, _ = _sym_ctx_np(qual, np.asarray(lengths), order)
+    C = n_contexts(order)
+    idx = ctx.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
+    counts = np.bincount(idx, minlength=C * N_SYMS)
+    freq, cum = entropy.host_normalize(counts, C, N_SYMS)
+    T = pick_T(B, L, T_target)
+    states, words, emits = _host_rans_encode(idx, freq, cum, T)
+    wt = words.T                        # [N, T]
+    et = emits.T
+    return EncodedQuals(freq=freq, states=states,
+                        counts=et.sum(axis=1).astype(np.int64),
+                        words=wt[et], B=B, L=L, T=T, order=order)
+
+
+def _host_rans_encode(idx: np.ndarray, freq: np.ndarray, cum: np.ndarray,
+                      T: int):
+    """NumPy mirror of ops.rans.rans_encode (u32 coder, 16-bit renorm).
+
+    idx: flat ``ctx*N_SYMS + sym`` per symbol, lane-major.  Returns
+    (states u32 [N], words u16 [T, N], emits bool [T, N]) with the time
+    axis in decode order — identical contract to the device scan."""
+    S = idx.shape[0]
+    N = S // T
+    f_all = freq.reshape(-1)[idx].reshape(N, T).astype(np.uint32)
+    c_all = cum.reshape(-1)[idx].reshape(N, T).astype(np.uint32)
+    x = np.full(N, 1 << 16, np.uint32)
+    words = np.zeros((T, N), np.uint16)
+    emits = np.zeros((T, N), bool)
+    for t in range(T - 1, -1, -1):
+        f = f_all[:, t]
+        cm = c_all[:, t]
+        emit = (x >> 20) >= f
+        words[t] = (x & 0xFFFF).astype(np.uint16)
+        x = np.where(emit, x >> 16, x)
+        q = x // f
+        r = x - q * f
+        x = (q << np.uint32(12)) + r + cm
+        emits[t] = emit
+    return x, words, emits
+
+
+def decode_host(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
+    """Host-side quality decode; same output as :func:`decode`."""
+    N = enc.states.shape[0]
+    T, B, L, order = enc.T, enc.B, enc.L, enc.order
+    k = T // L
+    cum = entropy.freq_to_cum(enc.freq)
+    lut = entropy.build_decode_lut(enc.freq, cum)
+    counts = enc.counts.astype(np.int64)
+    W = max(int(counts.max()), 1) if N else 1
+    words = np.zeros((N, W + 1), np.uint16)
+    fill = np.arange(W)[None, :] < counts[:, None]
+    words[:, :W][fill] = enc.words
+    lengths = np.asarray(lengths)
+
+    col_t = np.tile(np.arange(L, dtype=np.int32), k)        # [T]
+    read_of_t = np.repeat(np.arange(k, dtype=np.int64), L)  # [T]
+    lanes = np.arange(N, dtype=np.int64)
+    x = enc.states.astype(np.uint32).copy()
+    cursor = np.zeros(N, np.int64)
+    prev1 = np.zeros(N, np.uint32)
+    prev2 = np.zeros(N, np.uint32)
+    syms = np.zeros((T, N), np.uint32)
+    lane_len = lengths[(lanes[None, :] * k + read_of_t[:, None])]  # [T, N]
+    for t in range(T):
+        colv = int(col_t[t])
+        validt = colv < lane_len[t]
+        pb = np.uint32(min(colv // 16, _POS_BUCKETS - 1))
+        ctx = _ctx_from_np(prev1, prev2, pb, colv == 0, colv == 1,
+                           validt, order)
+        slot = x & np.uint32(4095)
+        e = lut[ctx.astype(np.int64) * 4096 + slot]
+        s = e >> np.uint32(24)
+        f = ((e >> np.uint32(12)) & np.uint32(4095)) + np.uint32(1)
+        cm = e & np.uint32(4095)
+        x = f * (x >> np.uint32(12)) + slot - cm
+        need = x < np.uint32(1 << 16)
+        w = words[lanes, np.minimum(cursor, W)]
+        x = np.where(need, (x << np.uint32(16)) | w.astype(np.uint32), x)
+        cursor += need
+        syms[t] = s
+        prev2 = prev1
+        prev1 = s
+    grid = syms.T.reshape(B, L)
+    col = np.arange(L, dtype=np.int32)[None, :]
+    valid = col < lengths[:, None]
+    return np.where(valid, grid + QUAL_OFFSET, 0).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

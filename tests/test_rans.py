@@ -212,3 +212,45 @@ def test_order2_wins_on_correlated_quals():
         dec = qualities.decode(enc, lengths)
         np.testing.assert_array_equal(dec, qual)
     assert sizes[2] < sizes[1], sizes
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_host_codec_bit_identical_to_device(order):
+    """The host quality codec must emit EXACTLY the device path's bytes
+    (same tables, same states, same word streams) — this is what makes
+    Config.qual_on_device a pure placement choice, not a format fork."""
+    rng = np.random.default_rng(99)
+    B, L = 64, 48
+    qual = (rng.integers(33, 74, size=(B, L))).astype(np.uint8)
+    lengths = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
+    col = np.arange(L)[None, :]
+    qual = np.where(col < lengths[:, None], qual, 0).astype(np.uint8)
+
+    dev = qualities.encode(qual, lengths, order=order)
+    host = qualities.encode_host(qual, lengths, order=order)
+    np.testing.assert_array_equal(host.freq, dev.freq)
+    np.testing.assert_array_equal(host.states, dev.states)
+    np.testing.assert_array_equal(host.counts, dev.counts)
+    np.testing.assert_array_equal(host.words, dev.words)
+    assert (host.B, host.L, host.T, host.order) == \
+        (dev.B, dev.L, dev.T, dev.order)
+
+    # and both decoders invert it
+    np.testing.assert_array_equal(qualities.decode_host(dev, lengths), qual)
+    np.testing.assert_array_equal(qualities.decode(host, lengths), qual)
+
+
+def test_host_codec_with_lossy_map():
+    from scalce_tpu.models import lossy
+    rng = np.random.default_rng(7)
+    B, L = 32, 32
+    qual = (rng.integers(35, 70, size=(B, L))).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    hist = lossy.sample_histogram(qual, lengths, B)
+    qmap = lossy.build_quant_map(hist, 30)
+    dev = qualities.encode(qmap[qual], lengths, order=1)
+    host = qualities.encode_host(qual, lengths, order=1, qual_map=qmap)
+    np.testing.assert_array_equal(host.words, dev.words)
+    np.testing.assert_array_equal(host.states, dev.states)
+    got = qualities.decode_host(host, lengths)
+    np.testing.assert_array_equal(got, qmap[qual])
