@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "explicit 4^k rank table (low-complexity cores "
                         "demoted)")
     p.add_argument("--qual-order", type=int, choices=(1, 2), default=1)
+    p.add_argument("--qual-device", action="store_true",
+                   help="place the quality entropy codec on the "
+                        "accelerator (best with locally-attached TPUs); "
+                        "default is the host path — both emit identical "
+                        "bytes")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the run to DIR")
@@ -100,6 +105,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         core_k=args.core_k,
         dict_mode=args.dict_mode,
         qual_context_order=args.qual_order,
+        qual_on_device=args.qual_device,
         stats_json=args.stats_json,
         profile_dir=args.profile,
         verbose=args.verbose,

@@ -88,6 +88,13 @@ class Config:
                                        # lane; lanes = B*L/T); larger T =
                                        # less state overhead, longer scan
     qual_context_order: int = 1        # 1 or 2 (prev-symbol contexts)
+    qual_on_device: bool = False       # place the quality entropy codec
+                                       # on the accelerator (best with
+                                       # locally-attached TPUs) or the
+                                       # host (best when the device link
+                                       # is narrow).  Both paths emit
+                                       # IDENTICAL bytes (pinned by test)
+                                       # — a pure placement choice.
 
     data_parallel: bool = False        # shard blocks over all local
                                        # devices (config 4; single-host DP)

@@ -39,9 +39,13 @@ DECODE_GROUP = 4
 
 
 class BlockDecoder:
-    def __init__(self, meta: Dict, keep_order: bool = False):
+    def __init__(self, meta: Dict, keep_order: bool = False,
+                 qual_on_device: bool = False):
         self.meta = meta
         self.keep_order = keep_order
+        #: quality-decode placement — a per-run choice, independent of
+        #: how the file was produced (the payload format is identical)
+        self.qual_on_device = qual_on_device
         self._name_counter = 1          # template-mode running index
 
     # -- pipeline-friendly split (driver threads the host halves):
@@ -57,31 +61,48 @@ class BlockDecoder:
         return parsed, enc_q
 
     def dispatch_quals(self, parsed_list, encs):
-        """Async device dispatch of the group's quality decode."""
+        """Async device dispatch of the group's quality decode (device
+        placement) or a passthrough (host placement decodes in
+        finish_group on the worker)."""
+        if not self.qual_on_device:
+            return encs
         return qualities.decode_batch_dispatch(
             encs, [pr[1] for pr in parsed_list])
 
+    def decode_qual_single(self, enc, lengths):
+        if self.qual_on_device:
+            return qualities.decode(enc, lengths)
+        return qualities.decode_host(enc, lengths)
+
     def finish_group(self, payload_list, parsed_list, dev,
                      name_starts) -> "list[DecodedBlock]":
-        quals = qualities.decode_batch_fetch(dev, len(payload_list))
+        if self.qual_on_device:
+            quals = qualities.decode_batch_fetch(dev, len(payload_list))
+        else:
+            quals = [qualities.decode_host(enc, pr[1])
+                     for enc, pr in zip(dev, parsed_list)]
         return [self._finish(p, pr, q, ns)
                 for p, pr, q, ns in zip(payload_list, parsed_list, quals,
                                         name_starts)]
 
     def decode_blocks(self, payload_list):
         """Decode a group of blocks, batching the quality scans."""
-        if len(payload_list) != DECODE_GROUP:
+        if len(payload_list) != DECODE_GROUP and self.qual_on_device:
             return [self.decode_block(p) for p in payload_list]
         parsed_encs = [self.parse_block(p) for p in payload_list]
         parsed = [pe[0] for pe in parsed_encs]
         encs = [pe[1] for pe in parsed_encs]
-        quals = qualities.decode_batch(encs, [pr[1] for pr in parsed])
+        if self.qual_on_device:
+            quals = qualities.decode_batch(encs, [pr[1] for pr in parsed])
+        else:
+            quals = [qualities.decode_host(e, pr[1])
+                     for e, pr in zip(encs, parsed)]
         return [self._finish(p, pr, q)
                 for p, pr, q in zip(payload_list, parsed, quals)]
 
     def decode_block(self, payloads: Dict[str, bytes]) -> DecodedBlock:
         parsed, enc_q = self.parse_block(payloads)
-        qual = qualities.decode(enc_q, parsed[1])
+        qual = self.decode_qual_single(enc_q, parsed[1])
         return self._finish(payloads, parsed, qual)
 
     def _finish(self, payloads: Dict[str, bytes], parsed,

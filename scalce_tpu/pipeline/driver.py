@@ -359,7 +359,7 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
 
     def finish_single(c, payloads, parsed_enc, start):
         parsed, enc = parsed_enc
-        qual = qualities.decode(enc, parsed[1])
+        qual = decs[c].decode_qual_single(enc, parsed[1])
         b = decs[c]._finish(payloads, parsed, qual, start)
         return [b], render_all([b])
 
@@ -436,7 +436,8 @@ def decompress(cfg: Config) -> RunStats:
     meta = reader.meta
     if meta.get("paired"):
         return _decompress_paired(cfg, stats, reader, meta, t0)
-    dec = BlockDecoder(meta, keep_order=cfg.keep_order)
+    dec = BlockDecoder(meta, keep_order=cfg.keep_order,
+                   qual_on_device=cfg.qual_on_device)
     if cfg.output == "-":
         out_path = None
         out_cm = _stdout_cm()
@@ -475,8 +476,10 @@ def _decompress_paired(cfg: Config, stats: RunStats,
     r1 = reader if reader.mate == 1 else container.TripletReader(
         container.part_paths(prefix, 0, 1)["r"])
     r2 = container.TripletReader(container.part_paths(prefix, 0, 2)["r"])
-    d1 = BlockDecoder(meta, keep_order=cfg.keep_order)
-    d2 = BlockDecoder(meta, keep_order=cfg.keep_order)
+    d1 = BlockDecoder(meta, keep_order=cfg.keep_order,
+                      qual_on_device=cfg.qual_on_device)
+    d2 = BlockDecoder(meta, keep_order=cfg.keep_order,
+                      qual_on_device=cfg.qual_on_device)
     out1 = open(f"{cfg.output}_1.fastq", "wb")
     out2 = open(f"{cfg.output}_2.fastq", "wb")
     try:

@@ -112,7 +112,11 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
     row = jnp.arange(B, dtype=jnp.int32)
     valid = col < len_s[:, None]
 
-    best_match = jnp.zeros((B, L), jnp.bool_)
+    # pass 1 — pick the winning predecessor with REDUCTIONS ONLY.
+    # XLA fuses each gather→compare→reduce chain without materializing
+    # any [B, L] intermediate (~0.1 ms/candidate on the dev emulator);
+    # the old formulation kept a select-chain over [B, L] grids and
+    # cost ~30 ms per materialized pass, ~850 ms/block in total.
     best_count = jnp.full(B, -1, jnp.int32)
     best_shift = jnp.zeros(B, jnp.int32)
     best_k = jnp.zeros(B, jnp.int32)
@@ -130,12 +134,23 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
         m = (same[:, None] & inb & (aligned == codes_s) & valid)
         cnt = jnp.where(same, jnp.sum(m, axis=1, dtype=jnp.int32), -1)
         better = cnt > best_count
-        best_match = jnp.where(better[:, None], m, best_match)
         best_count = jnp.where(better, cnt, best_count)
         best_shift = jnp.where(better, shift, best_shift)
         best_k = jnp.where(better, k - 1, best_k)
-    match = best_match
+
+    # pass 2 — rebuild the winning mask ONCE (row gather + one compare):
+    # bit-identical to selecting it inside the loop, since the winning
+    # candidate's (same, shift, predecessor) fully determine its mask
     shift = best_shift
+    ok = best_count >= 0
+    src_row = jnp.maximum(row - 1 - best_k, 0)
+    prev_codes = codes_s[src_row]
+    prev_len = len_s[src_row]
+    pidx = col + shift[:, None]
+    inb = (pidx >= 0) & (pidx < prev_len[:, None])
+    aligned = jnp.take_along_axis(prev_codes, jnp.clip(pidx, 0, L - 1),
+                                  axis=1)
+    match = ok[:, None] & inb & (aligned == codes_s) & valid
 
     # literals: row-major compaction of non-matching valid bases
     lit_mask = (~match) & valid
@@ -205,6 +220,51 @@ def _device_stage_b(codes_s, qual_s, len_s, ck_s, cp_s, rc_s, n_reads,
     delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_m, len_s, order)
     return delta, sym, ctx, counts
+
+
+@partial(jax.jit, static_argnames=("k", "seed"))
+def _device_stage_a_nq(seq_packed, lengths, n_reads, exc_pos, rank_lut,
+                       k: int, seed: int):
+    """Stage A for the host-quality placement: identical to
+    ``_device_stage_a`` minus the quality upload/permute — qualities
+    never touch the device (Config.qual_on_device=False), which on a
+    narrow device link removes the largest H2D transfer ([B, L] u8)."""
+    from scalce_tpu.ops.bitops import unpack_bases_u32
+    codes = unpack_bases_u32(seq_packed, axis=1)
+    B, L = codes.shape
+    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
+        True, mode="drop").reshape(B, L)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
+    perm = reorder.sort_permutation(keys)
+    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, lengths, ck, cp, is_rc)
+    return perm, codes_s, len_s, ck_s, cp_s, rc_s
+
+
+@jax.jit
+def _device_stage_b_nq(codes_s, len_s, ck_s, cp_s, rc_s, n_reads):
+    """Stage B for the host-quality placement: predecessor delta only."""
+    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    delta["rc_bits"] = _pack_bits(rc_s)
+    return delta
+
+
+@partial(jax.jit, static_argnames=("k", "seed"))
+def _device_stage_a2_nq(seq_packed, lengths, exc_pos, perm, rank_lut,
+                        k: int, seed: int):
+    """Mate-2 stage A for the host-quality placement."""
+    from scalce_tpu.ops.bitops import unpack_bases_u32
+    codes = unpack_bases_u32(seq_packed, axis=1)
+    B, L = codes.shape
+    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
+        True, mode="drop").reshape(B, L)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    return reorder.apply_permutation(perm, codes_o, lengths, ck, cp, is_rc)
 
 
 @partial(jax.jit, static_argnames=("k", "seed"))
@@ -281,6 +341,7 @@ class BlockEncoder:
         if qual_map is None:
             from scalce_tpu.models import lossy
             qual_map = lossy.identity_map()
+        self.qual_map_np = np.asarray(qual_map)
         self.qual_map = jnp.asarray(qual_map)
         if cfg.dict_mode == "lut":
             from scalce_tpu.models import core_dict
@@ -299,6 +360,16 @@ class BlockEncoder:
     def encode_device(self, block: ReadBlock):
         cfg = self.cfg
         B, L = block.seq.shape
+        if not cfg.qual_on_device:
+            perm, codes_s, len_s, ck_s, cp_s, rc_s = _device_stage_a_nq(
+                jnp.asarray(_host_pack(block.seq)),
+                jnp.asarray(block.lengths), jnp.int32(block.n_reads),
+                jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
+                                     B * L)),
+                self.rank_lut, cfg.core_k, cfg.dict_seed)
+            delta = _device_stage_b_nq(codes_s, len_s, ck_s, cp_s, rc_s,
+                                       jnp.int32(block.n_reads))
+            return perm, delta, len_s, None, None, None
         perm, codes_s, qual_s, len_s, ck_s, cp_s, rc_s = _device_stage_a(
             jnp.asarray(_host_pack(block.seq)), jnp.asarray(block.qual),
             jnp.asarray(block.lengths), jnp.int32(block.n_reads),
@@ -323,6 +394,15 @@ class BlockEncoder:
         out1 = self.encode_device(b1)
         perm = out1[0]
         B, L = b2.seq.shape
+        if not cfg.qual_on_device:
+            codes_s, len2, ck_s, cp_s, rc_s = _device_stage_a2_nq(
+                jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.lengths),
+                jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
+                perm.astype(jnp.int32), self.rank_lut,
+                cfg.core_k, cfg.dict_seed)
+            delta2 = _device_stage_b_nq(codes_s, len2, ck_s, cp_s, rc_s,
+                                        jnp.int32(b2.n_reads))
+            return out1, (delta2, len2, None, None, None)
         codes_s, qual_s, len2, ck_s, cp_s, rc_s = _device_stage_a2(
             jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.qual),
             jnp.asarray(b2.lengths),
@@ -352,7 +432,16 @@ class BlockEncoder:
                   len_s, sym, ctx, counts, enc_q=None) -> EncodedBlock:
         cfg = self.cfg
         B, L = block.seq.shape
-        if enc_q is None:
+        if enc_q is None and sym is None:
+            # host-placement quality stream: permute on host, encode
+            # with the bit-identical numpy codec (qualities never
+            # crossed the device link)
+            qual_s = block.qual[perm_np]
+            enc_q = qualities.encode_host(qual_s, np.asarray(len_s),
+                                          cfg.qual_context_order,
+                                          T_target=cfg.qual_T_target,
+                                          qual_map=self.qual_map_np)
+        elif enc_q is None:
             # quality stream pass B (device tables + rANS)
             enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,
                                                 cfg.qual_context_order,
@@ -427,14 +516,15 @@ def warm_slice_variants(cfg: Config) -> None:
     the TIMED phase (and production runs) never stall on the remote
     compiler for a block whose payload crossed a bucket boundary."""
     B, L = cfg.block_reads, cfg.max_read_len
-    T = qualities.pick_T(B, L, cfg.qual_T_target)
-    N = B * L // T
-    words_dummy = jnp.zeros((N, T), jnp.uint16)
-    W = max(64, T // 8)
-    while W <= T:
-        jax.block_until_ready(qualities._slice_words(words_dummy,
-                                                     min(W, T)))
-        W <<= 1
+    if cfg.qual_on_device:
+        T = qualities.pick_T(B, L, cfg.qual_T_target)
+        N = B * L // T
+        words_dummy = jnp.zeros((N, T), jnp.uint16)
+        W = max(64, T // 8)
+        while W <= T:
+            jax.block_until_ready(qualities._slice_words(words_dummy,
+                                                         min(W, T)))
+            W <<= 1
     lit_dummy = jnp.zeros(B * L // 16, jnp.uint32)
     W = max(64, (B * L // 16) // 16)
     while W <= B * L // 16:
