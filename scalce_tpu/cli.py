@@ -69,7 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="core dictionary: implicit minimizer hash or "
                         "explicit 4^k rank table (low-complexity cores "
                         "demoted)")
-    p.add_argument("--qual-order", type=int, choices=(1, 2), default=1)
+    p.add_argument("--qual-order", type=int, choices=(0, 1, 2), default=0,
+                   help="quality context order; 0 (default) auto-selects "
+                        "1 or 2 per block by trial table cost")
     p.add_argument("--qual-device", action="store_true",
                    help="place the quality entropy codec on the "
                         "accelerator (best with locally-attached TPUs); "

@@ -87,7 +87,9 @@ class Config:
     qual_T_target: int = 1024          # rANS lane span target (symbols per
                                        # lane; lanes = B*L/T); larger T =
                                        # less state overhead, longer scan
-    qual_context_order: int = 1        # 1 or 2 (prev-symbol contexts)
+    qual_context_order: int = 0        # 0 = auto-select 1/2 per block by
+                                       # trial table cost (host path);
+                                       # 1 or 2 fixes the order
     qual_on_device: bool = False       # place the quality entropy codec
                                        # on the accelerator (best with
                                        # locally-attached TPUs) or the
@@ -141,8 +143,12 @@ class Config:
                 self.qual_T_target & (self.qual_T_target - 1):
             raise ValueError("qual_T_target must be a power of two in "
                              "[64, 32768] (word counts are 16-bit)")
-        if self.qual_context_order not in (1, 2):
-            raise ValueError("qual_context_order must be 1 or 2")
+        if self.qual_context_order not in (0, 1, 2):
+            raise ValueError("qual_context_order must be 0 (auto), 1 or 2")
+        if self.qual_context_order == 0 and self.qual_on_device:
+            raise ValueError("qual_context_order=0 (auto) requires the "
+                             "host quality path (the device path "
+                             "compiles per order)")
         if not (0 <= self.host_id < self.n_hosts):
             raise ValueError("host_id must be in [0, n_hosts)")
         if self.dict_mode not in ("hash", "lut"):

@@ -53,6 +53,40 @@ def _block_stage_mate2(seq, qual, lengths, n_reads, exc_mask, perm,
                               perm, qual_map, rank_lut, k, seed, order)
 
 
+def make_sharded_stage1_nq(mesh: Mesh, k: int, seed: int):
+    """Host-quality placement: sharded sequence-side stage (no quality
+    upload — the largest H2D transfer stays on the host)."""
+    from scalce_tpu.pipeline.encode import _encode_core_nq
+    dspec = P("data")
+    rspec = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(dspec, dspec, dspec, dspec, rspec),
+             out_specs=(dspec,) * 3)
+    def stage1(seq, lengths, n_reads, exc_mask, rank_lut):
+        f = partial(_encode_core_nq, k=k, seed=seed)
+        return jax.vmap(f, in_axes=(0, 0, 0, 0, None))(
+            seq, lengths, n_reads, exc_mask, rank_lut)
+
+    return jax.jit(stage1)
+
+
+def make_sharded_stage_mate2_nq(mesh: Mesh, k: int, seed: int):
+    from scalce_tpu.pipeline.encode import _encode_core_mate2_nq
+    dspec = P("data")
+    rspec = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(dspec, dspec, dspec, dspec, dspec, rspec),
+             out_specs=(dspec,) * 2)
+    def stage2(seq, lengths, n_reads, exc_mask, perm, rank_lut):
+        f = partial(_encode_core_mate2_nq, k=k, seed=seed)
+        return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None))(
+            seq, lengths, n_reads, exc_mask, perm, rank_lut)
+
+    return jax.jit(stage2)
+
+
 def make_sharded_stage_mate2(mesh: Mesh, k: int, seed: int, order: int):
     """jit'd mate-2 stage over stacked blocks sharded on 'data'."""
     dspec = P("data")
@@ -139,27 +173,38 @@ class ShardedEncoder:
             group = 1
         self.group = group
         self.D = self.mesh.devices.size * group
-        self._stage1 = make_sharded_stage1(
-            self.mesh, cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
-        self._stage2 = make_sharded_stage_mate2(
-            self.mesh, cfg.core_k, cfg.dict_seed, cfg.qual_context_order)
-        self._T = Q.pick_T(cfg.block_reads, cfg.max_read_len,
-                           cfg.qual_T_target)
-        self._qenc = make_sharded_qual_encode(
-            self.mesh, Q.n_contexts(cfg.qual_context_order), Q.N_SYMS,
-            self._T)
+        if cfg.qual_on_device:
+            self._stage1 = make_sharded_stage1(
+                self.mesh, cfg.core_k, cfg.dict_seed,
+                cfg.qual_context_order)
+            self._stage2 = make_sharded_stage_mate2(
+                self.mesh, cfg.core_k, cfg.dict_seed,
+                cfg.qual_context_order)
+            self._T = Q.pick_T(cfg.block_reads, cfg.max_read_len,
+                               cfg.qual_T_target)
+            self._qenc = make_sharded_qual_encode(
+                self.mesh, Q.n_contexts(cfg.qual_context_order), Q.N_SYMS,
+                self._T)
+        else:
+            self._stage1 = make_sharded_stage1_nq(
+                self.mesh, cfg.core_k, cfg.dict_seed)
+            self._stage2 = make_sharded_stage_mate2_nq(
+                self.mesh, cfg.core_k, cfg.dict_seed)
         self._fallback = BlockEncoder(cfg, qual_map)
         self._qual_map = jnp.asarray(qual_map)
 
-    def _stack_blocks(self, blocks):
+    def _stack_blocks(self, blocks, with_qual: bool):
         B, L = blocks[0].seq.shape
         seq = np.stack([b.seq for b in blocks])
-        qual = np.stack([b.qual for b in blocks])
         lengths = np.stack([b.lengths for b in blocks])
         n_reads = np.asarray([b.n_reads for b in blocks], np.int32)
         exc = np.zeros((self.D, B, L), bool)
         for d, b in enumerate(blocks):
             exc[d].reshape(-1)[b.exc_pos] = True
+        if not with_qual:
+            return (jnp.asarray(seq), jnp.asarray(lengths),
+                    jnp.asarray(n_reads), jnp.asarray(exc))
+        qual = np.stack([b.qual for b in blocks])
         return (jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
                 jnp.asarray(n_reads), jnp.asarray(exc))
 
@@ -170,7 +215,13 @@ class ShardedEncoder:
     def encode_device(self, blocks):
         """Async device dispatch for a full group of D blocks."""
         assert len(blocks) == self.D
-        stacked = self._stack_blocks(blocks)
+        if not self.cfg.qual_on_device:
+            stacked = self._stack_blocks(blocks, with_qual=False)
+            perm, delta, len_s = self._stage1(*stacked,
+                                              self._fallback.rank_lut)
+            return (perm, delta, len_s, None, None, None,
+                    None, None, None, None)
+        stacked = self._stack_blocks(blocks, with_qual=True)
         perm, delta, len_s, sym, ctx, counts = self._stage1(
             *stacked, self._qual_map, self._fallback.rank_lut)
         freqs, states, words, wcounts = self._qenc(sym, ctx, counts)
@@ -185,13 +236,19 @@ class ShardedEncoder:
         out = []
         for d, b in enumerate(blocks):
             delta_d = {k: v[d] for k, v in delta.items()}
-            enc_q = Q.finish_encoded(np.asarray(freqs[d]),
-                                     np.asarray(states[d]), words[d],
-                                     np.asarray(wcounts[d]), B, L, self._T,
-                                     self.cfg.qual_context_order)
+            if freqs is None:
+                enc_q = None           # host path built inside _assemble
+                sym_d = ctx_d = counts_d = None
+            else:
+                enc_q = Q.finish_encoded(np.asarray(freqs[d]),
+                                         np.asarray(states[d]), words[d],
+                                         np.asarray(wcounts[d]), B, L,
+                                         self._T,
+                                         self.cfg.qual_context_order)
+                sym_d, ctx_d, counts_d = sym[d], ctx[d], counts[d]
             out.append(self._fallback._assemble(
-                b, np.asarray(perm[d]), delta_d, len_s[d], sym[d],
-                ctx[d], counts[d], enc_q=enc_q))
+                b, np.asarray(perm[d]), delta_d, len_s[d], sym_d,
+                ctx_d, counts_d, enc_q=enc_q))
         return out
 
     def encode_blocks(self, blocks):
@@ -209,7 +266,13 @@ class ShardedEncoder:
         b2s = [p[1] for p in pairs]
         out1 = self.encode_device(b1s)
         perm = out1[0]
-        stacked2 = self._stack_blocks(b2s)
+        if not self.cfg.qual_on_device:
+            stacked2 = self._stack_blocks(b2s, with_qual=False)
+            delta2, len2 = self._stage2(*stacked2, perm.astype(jnp.int32),
+                                        self._fallback.rank_lut)
+            return out1, (perm, delta2, len2, None, None, None,
+                          None, None, None, None)
+        stacked2 = self._stack_blocks(b2s, with_qual=True)
         delta2, len2, sym2, ctx2, counts2 = self._stage2(
             *stacked2, perm.astype(jnp.int32), self._qual_map,
             self._fallback.rank_lut)

@@ -63,6 +63,35 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
     return perm, delta, len_s, sym, ctx, counts
 
 
+def _encode_core_nq(codes, lengths, n_reads, exc, rank_lut, k: int,
+                    seed: int):
+    """``_encode_core`` for the host-quality placement: sequence side
+    only (cores → sort → delta); qualities never reach the device."""
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
+    perm = reorder.sort_permutation(keys)
+    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, lengths, ck, cp, is_rc)
+    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    delta["rc_bits"] = _pack_bits(rc_s)
+    return perm, delta, len_s
+
+
+def _encode_core_mate2_nq(codes, lengths, n_reads, exc, perm, rank_lut,
+                          k: int, seed: int):
+    """Mate-2 counterpart of ``_encode_core_nq``."""
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, lengths, ck, cp, is_rc)
+    delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
+    delta["rc_bits"] = _pack_bits(rc_s)
+    return delta, len_s
+
+
 def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
                        rank_lut, k: int, seed: int, order: int):
     """Mate-2 shared core: same work as ``_encode_core`` but following

@@ -348,14 +348,22 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
                 qual_map: Optional[np.ndarray] = None) -> EncodedQuals:
     """Host-side quality encode (qual already in SORTED order).
 
-    Bit-identical to :func:`encode` / the fused device passes."""
+    Bit-identical to :func:`encode` / the fused device passes.
+    ``order=0`` auto-selects the cheaper of order 1/2 per block by
+    table-aware trial cost on the histograms (the adaptivity the
+    reference's AC gets for free, recovered at negligible host cost).
+    """
     if qual_map is not None:
         qual = np.asarray(qual_map)[qual]
     B, L = qual.shape
-    sym, ctx, _ = _sym_ctx_np(qual, np.asarray(lengths), order)
+    lengths = np.asarray(lengths)
+    if order == 0:
+        order, idx, counts = _choose_order(qual, lengths)
+    else:
+        sym, ctx, _ = _sym_ctx_np(qual, lengths, order)
+        idx = ctx.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
+        counts = np.bincount(idx, minlength=n_contexts(order) * N_SYMS)
     C = n_contexts(order)
-    idx = ctx.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
-    counts = np.bincount(idx, minlength=C * N_SYMS)
     freq, cum = entropy.host_normalize(counts, C, N_SYMS)
     T = pick_T(B, L, T_target)
     states, words, emits = _host_rans_encode(idx, freq, cum, T)
@@ -364,6 +372,38 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
     return EncodedQuals(freq=freq, states=states,
                         counts=et.sum(axis=1).astype(np.int64),
                         words=wt[et], B=B, L=L, T=T, order=order)
+
+
+def _table_cost_bytes(freq: np.ndarray) -> int:
+    """Stored size of a normalized table (the container deflates the u16
+    image; measured directly — tables are tiny)."""
+    from scalce_tpu.io.backend import compress_bytes
+    return len(compress_bytes(freq.astype("<u2").tobytes(), "zstd", 3))
+
+
+def _trial_cost(counts: np.ndarray, order: int) -> float:
+    """Total coded bytes under a static table built from ``counts``:
+    data bits with the ACTUAL normalized frequencies + table bytes."""
+    C = n_contexts(order)
+    freq, _ = entropy.host_normalize(counts, C, N_SYMS)
+    cs = counts.reshape(C, N_SYMS)
+    nz = (cs > 0) & (freq > 0)
+    bits = (cs[nz] * (rans.PROB_BITS - np.log2(freq[nz]))).sum()
+    return bits / 8.0 + _table_cost_bytes(freq)
+
+
+def _choose_order(qual: np.ndarray, lengths: np.ndarray):
+    """Per-block order auto-selection (order=0): trial table-aware cost
+    for order 1 and 2; ties favor the smaller model."""
+    sym, ctx1, _ = _sym_ctx_np(qual, lengths, 1)
+    idx1 = ctx1.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
+    counts1 = np.bincount(idx1, minlength=n_contexts(1) * N_SYMS)
+    _, ctx2, _ = _sym_ctx_np(qual, lengths, 2)
+    idx2 = ctx2.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
+    counts2 = np.bincount(idx2, minlength=n_contexts(2) * N_SYMS)
+    if _trial_cost(counts2, 2) < _trial_cost(counts1, 1):
+        return 2, idx2, counts2
+    return 1, idx1, counts1
 
 
 def _host_rans_encode(idx: np.ndarray, freq: np.ndarray, cum: np.ndarray,

@@ -254,3 +254,28 @@ def test_host_codec_with_lossy_map():
     np.testing.assert_array_equal(host.states, dev.states)
     got = qualities.decode_host(host, lengths)
     np.testing.assert_array_equal(got, qmap[qual])
+
+
+def test_order_auto_selection():
+    """order=0 picks the cheaper model per block: correlated qualities
+    should choose order 2, position-only noise order 1 — and both must
+    round-trip through the host decoder."""
+    rng = np.random.default_rng(123)
+    B, L = 256, 64
+    lengths = np.full(B, L, np.int32)
+    # strongly prev-correlated walk
+    steps = rng.integers(-1, 2, size=(B, L)).cumsum(axis=1)
+    corr = np.clip(40 + steps, 33, 104).astype(np.uint8)
+    enc_c = qualities.encode_host(corr, lengths, order=0)
+    np.testing.assert_array_equal(qualities.decode_host(enc_c, lengths),
+                                  corr)
+    # iid noise: order-2 table buys nothing
+    iid = rng.integers(35, 70, size=(B, L)).astype(np.uint8)
+    enc_i = qualities.encode_host(iid, lengths, order=0)
+    assert enc_i.order == 1
+    np.testing.assert_array_equal(qualities.decode_host(enc_i, lengths),
+                                  iid)
+    # the auto pick for correlated data must not LOSE to the fixed orders
+    sizes = {o: qualities.encode_host(corr, lengths, order=o).payload_bytes()
+             for o in (1, 2)}
+    assert enc_c.payload_bytes() <= max(sizes.values())
