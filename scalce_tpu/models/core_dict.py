@@ -71,3 +71,48 @@ def build_rank_lut(k: int, seed: int) -> np.ndarray:
     rank = (run_class << np.uint32(28)) | (poverty << np.uint32(24)) \
         | (h >> np.uint32(8))
     return rank.astype(np.uint32)
+
+
+def lcp_landmarks(k: int) -> np.ndarray:
+    """bool [4^k]: the k-mer's center is a locally-consistent landmark.
+
+    The paper's LCP construction (SCALCE §2, Sahinalp–Vishkin parsing)
+    marks positions that are local extrema under the (iterated) alphabet
+    order; blocks anchored at marked positions form cores, and the
+    marking depends only on a bounded neighbourhood — which is what
+    makes it consistent across strings sharing a substring.  For the
+    fixed-k LUT slot, the equivalent property is computed on the k-mer's
+    own bases: the center position must be a strict local extremum, with
+    ties broken by the run-boundary rule (first position of an equal
+    run counts, later ones don't — the standard tie handling that keeps
+    markings sparse inside homopolymers).
+    """
+    bases = kmer_bases(k)
+    c = k // 2
+    left = bases[:, c - 1].astype(np.int16)
+    mid = bases[:, c].astype(np.int16)
+    right = bases[:, c + 1].astype(np.int16)
+    is_max = (mid > left) & (mid > right)
+    is_min = (mid < left) & (mid < right)
+    # run-boundary: equal to the left neighbour never marks (only the
+    # first position of an equal run may be a landmark)
+    run_start = mid != left
+    return (is_max | is_min) & run_start
+
+
+def build_rank_lut_lcp(k: int, seed: int) -> np.ndarray:
+    """LCP-mode priority table: landmark k-mers (paper-§2 cores) rank
+    ahead of all others; complexity demotion and the seeded hash break
+    ties — measured against ``build_rank_lut`` and the implicit mix32
+    ranking in scripts/exp_dictionary.py."""
+    if k > 12:
+        raise ValueError("explicit LUT limited to k <= 12 (4^k entries)")
+    n = 4 ** k
+    distinct, runs = complexity_scores(k)
+    run_class = np.minimum(runs * 4 // k, 3).astype(np.uint32)
+    mark = lcp_landmarks(k)
+    h = _mix32_np(np.arange(n, dtype=np.uint32), seed)
+    rank = (run_class << np.uint32(30)) \
+        | ((~mark).astype(np.uint32) << np.uint32(29)) \
+        | (h >> np.uint32(3))
+    return rank.astype(np.uint32)

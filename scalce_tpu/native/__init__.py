@@ -83,6 +83,21 @@ def _bind() -> None:
                                  ctypes.c_void_p, ctypes.c_void_p,
                                  _u8p, _i64p]
     lib.render_fastq.restype = None
+    _u16p = ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    _u32p = ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.qual_sym_ctx_hist.argtypes = [_u8p, _i64p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      _u8p, _u16p, _i64p]
+    lib.qual_sym_ctx_hist.restype = None
+    lib.rans_encode_lanes.argtypes = [_u8p, _u16p, _u32p, _u32p,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      _u32p, _i64p, _u16p]
+    lib.rans_encode_lanes.restype = ctypes.c_int64
+    lib.rans_decode_lanes.argtypes = [_u32p, _u16p, _i64p, _u32p, _i64p,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      _u8p]
+    lib.rans_decode_lanes.restype = None
     _lib = lib
     AVAILABLE = True
 
@@ -145,6 +160,47 @@ def reconstruct_delta(mask_bits: np.ndarray, shifts: np.ndarray,
                            np.ascontiguousarray(lits),
                            np.ascontiguousarray(lens), len(lens), L,
                            out.reshape(-1))
+
+
+def qual_sym_ctx_hist(qual: np.ndarray, lengths: np.ndarray, L: int,
+                      order: int, n_ctx: int):
+    """One-pass sym/ctx grids + (ctx, sym) histogram."""
+    B = len(lengths)
+    sym = np.empty(B * L, np.uint8)
+    ctx = np.empty(B * L, np.uint16)
+    counts = np.zeros(n_ctx * 94, np.int64)
+    _lib.qual_sym_ctx_hist(np.ascontiguousarray(qual).reshape(-1),
+                           np.ascontiguousarray(lengths.astype(np.int64)),
+                           B, L, order, sym, ctx, counts)
+    return sym, ctx, counts
+
+
+def rans_encode_lanes(sym: np.ndarray, ctx: np.ndarray, freq: np.ndarray,
+                      cum: np.ndarray, N: int, T: int):
+    states = np.empty(N, np.uint32)
+    wcounts = np.empty(N, np.int64)
+    words_cat = np.empty(N * T, np.uint16)
+    total = _lib.rans_encode_lanes(sym, ctx,
+                                   np.ascontiguousarray(
+                                       freq.reshape(-1).astype(np.uint32)),
+                                   np.ascontiguousarray(
+                                       cum.reshape(-1).astype(np.uint32)),
+                                   N, T, states, wcounts, words_cat)
+    return states, wcounts, words_cat[:total].copy()
+
+
+def rans_decode_lanes(states: np.ndarray, words_cat: np.ndarray,
+                      wcounts: np.ndarray, decode_lut: np.ndarray,
+                      lengths: np.ndarray, B: int, L: int, T: int,
+                      order: int) -> np.ndarray:
+    qual = np.empty(B * L, np.uint8)
+    _lib.rans_decode_lanes(np.ascontiguousarray(states.astype(np.uint32)),
+                           np.ascontiguousarray(words_cat),
+                           np.ascontiguousarray(wcounts.astype(np.int64)),
+                           decode_lut,
+                           np.ascontiguousarray(lengths.astype(np.int64)),
+                           B, L, T, order, qual)
+    return qual.reshape(B, L)
 
 
 def render_fastq(bases: np.ndarray, qual: np.ndarray, lens: np.ndarray,

@@ -159,3 +159,153 @@ EXPORT void render_fastq(const uint8_t *bases,      /* [B*L], already ASCII */
         *o++ = '\n';
     }
 }
+
+/* ---- quality stream codec (host placement) --------------------------
+ *
+ * Bit-identical C implementations of streams/qualities.py's host path:
+ * the context model, the interleaved-lane rANS encode (u32 state,
+ * 16-bit renorm, PROB_BITS=12) and decode.  The NumPy versions remain
+ * as fallbacks and as the executable spec; tests pin equality.
+ */
+
+#define Q_OFFSET 33
+#define Q_NSYMS 94
+#define Q_POS_BUCKETS 8
+#define Q_PREV_LEVELS 24
+#define Q_PREV2_LEVELS 7
+#define RANS_PROB_BITS 12
+#define RANS_M (1u << RANS_PROB_BITS)
+#define RANS_LOW (1u << 16)
+
+static inline uint32_t q_ctx(uint32_t prev1, uint32_t prev2, uint32_t pb,
+                             int c0, int c1, int valid, int order)
+{
+    uint32_t pq = c0 ? (uint32_t)Q_PREV_LEVELS
+                     : ((prev1 >> 2) < Q_PREV_LEVELS - 1 ? (prev1 >> 2)
+                                                         : Q_PREV_LEVELS - 1);
+    uint32_t ctx = pb * (uint32_t)(Q_PREV_LEVELS + 1) + pq;
+    if (order == 2) {
+        uint32_t p2 = (c0 || c1) ? (uint32_t)(Q_PREV2_LEVELS - 1)
+                                 : ((prev2 >> 4) < Q_PREV2_LEVELS - 2
+                                        ? (prev2 >> 4)
+                                        : Q_PREV2_LEVELS - 2);
+        ctx = ctx * (uint32_t)Q_PREV2_LEVELS + p2;
+    }
+    return valid ? ctx + 1u : 0u;
+}
+
+/* sym/ctx grids + (ctx, sym) histogram in one pass.
+ * qual [B*L] u8, lengths [B] i64 -> sym [B*L] u8, ctx [B*L] u16,
+ * counts [n_ctx*94] i64 (caller zeroes counts). */
+EXPORT void qual_sym_ctx_hist(const uint8_t *qual, const int64_t *lengths,
+                              int64_t B, int64_t L, int64_t order,
+                              uint8_t *sym, uint16_t *ctx, int64_t *counts)
+{
+    for (int64_t i = 0; i < B; i++) {
+        int64_t len = lengths[i];
+        const uint8_t *qrow = qual + i * L;
+        uint8_t *srow = sym + i * L;
+        uint16_t *crow = ctx + i * L;
+        uint32_t prev1 = 0, prev2 = 0;
+        for (int64_t col = 0; col < L; col++) {
+            int valid = col < len;
+            int v = (int)qrow[col] - Q_OFFSET;
+            if (v < 0) v = 0;
+            if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
+            uint32_t s = valid ? (uint32_t)v : 0u;
+            uint32_t pb = (uint32_t)(col >> 4);
+            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
+                               valid, (int)order);
+            srow[col] = (uint8_t)s;
+            crow[col] = (uint16_t)c;
+            counts[(int64_t)c * Q_NSYMS + s]++;
+            prev2 = prev1;
+            prev1 = s;
+        }
+    }
+}
+
+/* Interleaved-lane rANS encode over lane-major (sym, ctx).
+ * N lanes of T symbols; lane n owns span [n*T, (n+1)*T).
+ * freq/cum: u32 [n_ctx*94].  Outputs: states u32 [N], wcounts i64 [N],
+ * words_cat u16 (capacity N*T, actual sum(wcounts), per-lane streams
+ * concatenated in decode order).  Returns total word count. */
+EXPORT int64_t rans_encode_lanes(const uint8_t *sym, const uint16_t *ctx,
+                                 const uint32_t *freq, const uint32_t *cum,
+                                 int64_t N, int64_t T, uint32_t *states,
+                                 int64_t *wcounts, uint16_t *words_cat)
+{
+    int64_t off = 0;
+    uint16_t tmp[32768];               /* T <= 32768 by config */
+    for (int64_t n = 0; n < N; n++) {
+        const uint8_t *s = sym + n * T;
+        const uint16_t *c = ctx + n * T;
+        uint32_t x = RANS_LOW;
+        int64_t cnt = 0;
+        for (int64_t t = T - 1; t >= 0; t--) {
+            uint32_t f = freq[(int64_t)c[t] * Q_NSYMS + s[t]];
+            uint32_t cm = cum[(int64_t)c[t] * Q_NSYMS + s[t]];
+            if ((x >> 20) >= f) {
+                tmp[cnt++] = (uint16_t)(x & 0xFFFFu);
+                x >>= 16;
+            }
+            uint32_t q = x / f;
+            uint32_t r = x - q * f;
+            x = (q << RANS_PROB_BITS) + r + cm;
+        }
+        states[n] = x;
+        wcounts[n] = cnt;
+        for (int64_t j = 0; j < cnt; j++)       /* decode order */
+            words_cat[off + j] = tmp[cnt - 1 - j];
+        off += cnt;
+    }
+    return off;
+}
+
+/* Interleaved-lane rANS decode back to the quality grid.
+ * decode_lut: u32 [n_ctx*4096], entry = sym<<24 | (freq-1)<<12 | cum.
+ * words_cat/wcounts as produced by rans_encode_lanes; lengths [B] i64.
+ * Writes qual u8 [B*L] (0 past each read's length). */
+EXPORT void rans_decode_lanes(const uint32_t *states,
+                              const uint16_t *words_cat,
+                              const int64_t *wcounts,
+                              const uint32_t *decode_lut,
+                              const int64_t *lengths, int64_t B, int64_t L,
+                              int64_t T, int64_t order, uint8_t *qual)
+{
+    int64_t N = (B * L) / T;
+    int64_t k = T / L;
+    int64_t woff = 0;
+    for (int64_t n = 0; n < N; n++) {
+        uint32_t x = states[n];
+        const uint16_t *w = words_cat + woff;
+        int64_t wend = wcounts[n];
+        int64_t wp = 0;
+        uint32_t prev1 = 0, prev2 = 0;
+        for (int64_t t = 0; t < T; t++) {
+            int64_t read = n * k + t / L;
+            int64_t col = t % L;
+            int valid = col < lengths[read];
+            uint32_t pb = (uint32_t)(col >> 4);
+            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
+                               valid, (int)order);
+            uint32_t slot = x & (RANS_M - 1);
+            uint32_t e = decode_lut[(int64_t)c * RANS_M + slot];
+            uint32_t s = e >> 24;
+            uint32_t f = ((e >> RANS_PROB_BITS) & (RANS_M - 1)) + 1u;
+            uint32_t cm = e & (RANS_M - 1);
+            x = f * (x >> RANS_PROB_BITS) + slot - cm;
+            if (x < RANS_LOW) {
+                uint32_t word = wp < wend ? w[wp] : 0u;  /* corrupt-safe */
+                x = (x << 16) | word;
+                wp++;
+            }
+            qual[read * L + col] = valid ? (uint8_t)(s + Q_OFFSET) : 0u;
+            prev2 = prev1;
+            prev1 = s;
+        }
+        woff += wend;
+    }
+}

@@ -315,6 +315,14 @@ def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
 # two paths emit identical bytes — pinned by tests/test_rans.py.
 
 
+try:
+    from scalce_tpu import native as _native
+    _NATIVE_Q = _native.AVAILABLE and hasattr(_native, "rans_encode_lanes")
+except Exception:  # pragma: no cover
+    _native = None
+    _NATIVE_Q = False
+
+
 def _ctx_from_np(prev1, prev2, pb, c0, c1, valid, order: int) -> np.ndarray:
     """NumPy mirror of :func:`_ctx_from` (integer ops only)."""
     pq = np.where(c0, np.uint32(_PREV_LEVELS),
@@ -357,6 +365,25 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
         qual = np.asarray(qual_map)[qual]
     B, L = qual.shape
     lengths = np.asarray(lengths)
+    T = pick_T(B, L, T_target)
+    if _NATIVE_Q:
+        if order == 0:
+            cands = {}
+            for o in (1, 2):
+                cands[o] = _native.qual_sym_ctx_hist(qual, lengths, L, o,
+                                                     n_contexts(o))
+            order = 2 if _trial_cost(cands[2][2], 2) < \
+                _trial_cost(cands[1][2], 1) else 1
+            sym, ctx, counts = cands[order]
+        else:
+            sym, ctx, counts = _native.qual_sym_ctx_hist(
+                qual, lengths, L, order, n_contexts(order))
+        freq, cum = entropy.host_normalize(counts, n_contexts(order),
+                                           N_SYMS)
+        states, wcounts, words = _native.rans_encode_lanes(
+            sym, ctx, freq, cum, B * L // T, T)
+        return EncodedQuals(freq=freq, states=states, counts=wcounts,
+                            words=words, B=B, L=L, T=T, order=order)
     if order == 0:
         order, idx, counts = _choose_order(qual, lengths)
     else:
@@ -365,7 +392,6 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
         counts = np.bincount(idx, minlength=n_contexts(order) * N_SYMS)
     C = n_contexts(order)
     freq, cum = entropy.host_normalize(counts, C, N_SYMS)
-    T = pick_T(B, L, T_target)
     states, words, emits = _host_rans_encode(idx, freq, cum, T)
     wt = words.T                        # [N, T]
     et = emits.T
@@ -440,6 +466,11 @@ def decode_host(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     k = T // L
     cum = entropy.freq_to_cum(enc.freq)
     lut = entropy.build_decode_lut(enc.freq, cum)
+    if _NATIVE_Q:
+        return _native.rans_decode_lanes(enc.states, enc.words,
+                                         enc.counts, lut,
+                                         np.asarray(lengths), B, L, T,
+                                         order)
     counts = enc.counts.astype(np.int64)
     W = max(int(counts.max()), 1) if N else 1
     words = np.zeros((N, W + 1), np.uint16)

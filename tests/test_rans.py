@@ -279,3 +279,42 @@ def test_order_auto_selection():
     sizes = {o: qualities.encode_host(corr, lengths, order=o).payload_bytes()
              for o in (1, 2)}
     assert enc_c.payload_bytes() <= max(sizes.values())
+
+
+def test_native_qual_codec_matches_numpy():
+    """The C kernels and the NumPy reference implementation must agree
+    exactly (the NumPy path is the executable spec)."""
+    if not qualities._NATIVE_Q:
+        pytest.skip("native lib unavailable")
+    from scalce_tpu.models import entropy
+    rng = np.random.default_rng(5)
+    B, L = 128, 32
+    qual = rng.integers(33, 90, size=(B, L)).astype(np.uint8)
+    lengths = rng.integers(2, L + 1, size=B).astype(np.int64)
+    col = np.arange(L)[None, :]
+    qual = np.where(col < lengths[:, None], qual, 0).astype(np.uint8)
+    for order in (1, 2):
+        C = qualities.n_contexts(order)
+        sym_n, ctx_n, counts_n = qualities._native.qual_sym_ctx_hist(
+            qual, lengths, L, order, C)
+        sym_p, ctx_p, _ = qualities._sym_ctx_np(qual, lengths, order)
+        np.testing.assert_array_equal(sym_n, sym_p.reshape(-1))
+        np.testing.assert_array_equal(ctx_n, ctx_p.reshape(-1))
+        idx = ctx_p.reshape(-1).astype(np.int64) * qualities.N_SYMS + \
+            sym_p.reshape(-1)
+        np.testing.assert_array_equal(
+            counts_n, np.bincount(idx, minlength=C * qualities.N_SYMS))
+        freq, cum = entropy.host_normalize(counts_n, C, qualities.N_SYMS)
+        T = qualities.pick_T(B, L)
+        st_n, wc_n, w_n = qualities._native.rans_encode_lanes(
+            sym_n, ctx_n, freq, cum, B * L // T, T)
+        st_p, words_p, emits_p = qualities._host_rans_encode(idx, freq,
+                                                             cum, T)
+        np.testing.assert_array_equal(st_n, st_p)
+        np.testing.assert_array_equal(wc_n, emits_p.T.sum(axis=1))
+        np.testing.assert_array_equal(w_n, words_p.T[emits_p.T])
+        lut = entropy.build_decode_lut(freq, entropy.freq_to_cum(freq))
+        got = qualities._native.rans_decode_lanes(
+            st_n, w_n, wc_n, lut, lengths, B, L, T, order)
+        np.testing.assert_array_equal(
+            got, np.where(col < lengths[:, None], qual, 0))
