@@ -65,10 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-reads", type=int, default=1 << 17)
     p.add_argument("--max-read-len", type=int, default=128)
     p.add_argument("--core-k", type=int, default=12)
-    p.add_argument("--dict-mode", choices=("hash", "lut"), default="hash",
-                   help="core dictionary: implicit minimizer hash or "
+    p.add_argument("--dict-mode", choices=("hash", "lut", "lcp"),
+                   default="hash",
+                   help="core dictionary: implicit minimizer hash, "
                         "explicit 4^k rank table (low-complexity cores "
-                        "demoted)")
+                        "demoted), or LCP-landmark ranking (paper-like "
+                        "cores; see EXPERIMENTS.md for the A/B)")
     p.add_argument("--qual-order", type=int, choices=(0, 1, 2), default=0,
                    help="quality context order; 0 (default) auto-selects "
                         "1 or 2 per block by trial table cost")

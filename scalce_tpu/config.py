@@ -81,7 +81,9 @@ class Config:
     dict_seed: int = 0x5CA1CE          # core-dictionary ranking seed
     dict_mode: str = "hash"            # "hash" = implicit minimizer ranking
                                        # "lut"  = explicit 4^k rank table
-                                       #          (models/core_dict.py)
+                                       # "lcp"  = LCP-landmark ranking
+                                       #          (models/core_dict.py;
+                                       #          A/B: EXPERIMENTS.md)
 
     # --- entropy coder shape -------------------------------------------
     qual_T_target: int = 1024          # rANS lane span target (symbols per
@@ -151,7 +153,8 @@ class Config:
                              "compiles per order)")
         if not (0 <= self.host_id < self.n_hosts):
             raise ValueError("host_id must be in [0, n_hosts)")
-        if self.dict_mode not in ("hash", "lut"):
-            raise ValueError("dict_mode must be 'hash' or 'lut'")
-        if self.dict_mode == "lut" and self.core_k > 12:
-            raise ValueError("dict_mode='lut' requires core_k <= 12")
+        if self.dict_mode not in ("hash", "lut", "lcp"):
+            raise ValueError("dict_mode must be 'hash', 'lut' or 'lcp'")
+        if self.dict_mode in ("lut", "lcp") and self.core_k > 12:
+            raise ValueError(f"dict_mode={self.dict_mode!r} requires "
+                             "core_k <= 12 (4^k LUT)")

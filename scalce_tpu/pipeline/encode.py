@@ -376,6 +376,10 @@ class BlockEncoder:
             from scalce_tpu.models import core_dict
             self.rank_lut = jnp.asarray(
                 core_dict.build_rank_lut(cfg.core_k, cfg.dict_seed))
+        elif cfg.dict_mode == "lcp":
+            from scalce_tpu.models import core_dict
+            self.rank_lut = jnp.asarray(
+                core_dict.build_rank_lut_lcp(cfg.core_k, cfg.dict_seed))
         else:
             # single-entry sentinel selects the implicit hash dictionary
             self.rank_lut = jnp.zeros(1, jnp.uint32)

@@ -29,7 +29,8 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
                 genome_len: int = 100_000, n_rate: float = 0.002,
                 var_len: bool = False, qual_model: str = "illumina",
                 name_style: str = "sra", rc_rate: float = 0.0,
-                mate: Optional[int] = None) -> bytes:
+                mate: Optional[int] = None,
+                genome: Optional[np.ndarray] = None) -> bytes:
     """Generate a FASTQ payload as bytes (vectorized).
 
     qual_model:
@@ -41,8 +42,12 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
     """
     rng = np.random.default_rng(seed)
     L = read_len
-    genome_len = max(genome_len, L + 1)     # genome must fit one read
-    genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+    if genome is None:
+        genome_len = max(genome_len, L + 1)  # genome must fit one read
+        genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+    else:
+        genome = np.asarray(genome, np.uint8)
+        genome_len = len(genome)
     starts = rng.integers(0, genome_len - L, size=n_reads)
     if var_len:
         lens = rng.integers(max(20, L // 2), L + 1, size=n_reads)
