@@ -91,6 +91,7 @@ def _bind() -> None:
     lib.qual_sym_ctx_hist.restype = None
     lib.rans_encode_lanes.argtypes = [_u8p, _u16p, _u32p, _u32p,
                                       ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64,
                                       _u32p, _i64p, _u16p]
     lib.rans_encode_lanes.restype = ctypes.c_int64
     lib.rans_decode_lanes.argtypes = [_u32p, _u16p, _i64p, _u32p, _i64p,
@@ -98,6 +99,10 @@ def _bind() -> None:
                                       ctypes.c_int64, ctypes.c_int64,
                                       _u8p]
     lib.rans_decode_lanes.restype = None
+    lib.rans_decode_lits.argtypes = [_u32p, _u16p, _i64p, _u32p,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, _u8p]
+    lib.rans_decode_lits.restype = None
     _lib = lib
     AVAILABLE = True
 
@@ -176,7 +181,7 @@ def qual_sym_ctx_hist(qual: np.ndarray, lengths: np.ndarray, L: int,
 
 
 def rans_encode_lanes(sym: np.ndarray, ctx: np.ndarray, freq: np.ndarray,
-                      cum: np.ndarray, N: int, T: int):
+                      cum: np.ndarray, N: int, T: int, n_syms: int = 94):
     states = np.empty(N, np.uint32)
     wcounts = np.empty(N, np.int64)
     words_cat = np.empty(N * T, np.uint16)
@@ -185,8 +190,19 @@ def rans_encode_lanes(sym: np.ndarray, ctx: np.ndarray, freq: np.ndarray,
                                        freq.reshape(-1).astype(np.uint32)),
                                    np.ascontiguousarray(
                                        cum.reshape(-1).astype(np.uint32)),
-                                   N, T, states, wcounts, words_cat)
+                                   N, T, n_syms, states, wcounts, words_cat)
     return states, wcounts, words_cat[:total].copy()
+
+
+def rans_decode_lits(states: np.ndarray, words_cat: np.ndarray,
+                     wcounts: np.ndarray, decode_lut: np.ndarray,
+                     n_lits: int, N: int, T: int) -> np.ndarray:
+    out = np.zeros(n_lits, np.uint8)
+    _lib.rans_decode_lits(np.ascontiguousarray(states.astype(np.uint32)),
+                          np.ascontiguousarray(words_cat),
+                          np.ascontiguousarray(wcounts.astype(np.int64)),
+                          decode_lut, n_lits, N, T, out)
+    return out
 
 
 def rans_decode_lanes(states: np.ndarray, words_cat: np.ndarray,

@@ -233,7 +233,8 @@ EXPORT void qual_sym_ctx_hist(const uint8_t *qual, const int64_t *lengths,
  * concatenated in decode order).  Returns total word count. */
 EXPORT int64_t rans_encode_lanes(const uint8_t *sym, const uint16_t *ctx,
                                  const uint32_t *freq, const uint32_t *cum,
-                                 int64_t N, int64_t T, uint32_t *states,
+                                 int64_t N, int64_t T, int64_t n_syms,
+                                 uint32_t *states,
                                  int64_t *wcounts, uint16_t *words_cat)
 {
     int64_t off = 0;
@@ -244,8 +245,8 @@ EXPORT int64_t rans_encode_lanes(const uint8_t *sym, const uint16_t *ctx,
         uint32_t x = RANS_LOW;
         int64_t cnt = 0;
         for (int64_t t = T - 1; t >= 0; t--) {
-            uint32_t f = freq[(int64_t)c[t] * Q_NSYMS + s[t]];
-            uint32_t cm = cum[(int64_t)c[t] * Q_NSYMS + s[t]];
+            uint32_t f = freq[(int64_t)c[t] * n_syms + s[t]];
+            uint32_t cm = cum[(int64_t)c[t] * n_syms + s[t]];
             if ((x >> 20) >= f) {
                 tmp[cnt++] = (uint16_t)(x & 0xFFFFu);
                 x >>= 16;
@@ -303,6 +304,46 @@ EXPORT void rans_decode_lanes(const uint32_t *states,
                 wp++;
             }
             qual[read * L + col] = valid ? (uint8_t)(s + Q_OFFSET) : 0u;
+            prev2 = prev1;
+            prev1 = s;
+        }
+        woff += wend;
+    }
+}
+
+/* Literal-base rANS decode: order-2 base context (ctx = 1 + p1*4 + p2,
+ * ctx 0 = tail padding past n_lits).  Mirrors the encode-side context
+ * grid built in streams/seqs.py. */
+EXPORT void rans_decode_lits(const uint32_t *states,
+                             const uint16_t *words_cat,
+                             const int64_t *wcounts,
+                             const uint32_t *decode_lut, int64_t n_lits,
+                             int64_t N, int64_t T, uint8_t *out)
+{
+    int64_t woff = 0;
+    for (int64_t n = 0; n < N; n++) {
+        uint32_t x = states[n];
+        const uint16_t *w = words_cat + woff;
+        int64_t wend = wcounts[n];
+        int64_t wp = 0;
+        uint32_t prev1 = 0, prev2 = 0;
+        for (int64_t t = 0; t < T; t++) {
+            int64_t gpos = n * T + t;
+            int valid = gpos < n_lits;
+            uint32_t c = valid ? 1u + prev1 * 4u + prev2 : 0u;
+            uint32_t slot = x & (RANS_M - 1);
+            uint32_t e = decode_lut[(int64_t)c * RANS_M + slot];
+            uint32_t s = e >> 24;
+            uint32_t f = ((e >> RANS_PROB_BITS) & (RANS_M - 1)) + 1u;
+            uint32_t cm = e & (RANS_M - 1);
+            x = f * (x >> RANS_PROB_BITS) + slot - cm;
+            if (x < RANS_LOW) {
+                uint32_t word = wp < wend ? w[wp] : 0u;
+                x = (x << 16) | word;
+                wp++;
+            }
+            if (valid)
+                out[gpos] = (uint8_t)s;
             prev2 = prev1;
             prev1 = s;
         }

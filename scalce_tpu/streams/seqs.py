@@ -43,15 +43,111 @@ def unpack2bit_np(words: np.ndarray, n: int) -> np.ndarray:
     return codes[:n]
 
 
+#: literal rANS lane span (fixed so decode derives the lane count)
+_T_LIT = 4096
+_LIT_CTX = 17       # 0 = tail padding; 1 + prev1*4 + prev2 otherwise
+
+
+def _lit_ctx_grid(flat: np.ndarray, n_lits: int, N: int) -> np.ndarray:
+    g = flat.reshape(N, _T_LIT)
+    p1 = np.zeros_like(g)
+    p1[:, 1:] = g[:, :-1]
+    p2 = np.zeros_like(g)
+    p2[:, 2:] = g[:, :-2]
+    valid = np.arange(N * _T_LIT).reshape(N, _T_LIT) < n_lits
+    return np.where(valid,
+                    1 + p1.astype(np.int32) * 4 + p2.astype(np.int32),
+                    0).astype(np.uint16).reshape(-1)
+
+
+def _encode_lits_rans(lits: np.ndarray, n_lits: int):
+    """Order-2 base-context rANS over the literal stream (the reference
+    gets this redundancy from its gz backend on raw bases; the in-house
+    engine beats 2-bit packing whenever base composition or context
+    structure is biased — real genomes, not the uniform synthetic).
+
+    Returns (freq u16 [17,4], states u32 [N], wcounts u16 [N],
+    words u16 [*]) or None when empty."""
+    from scalce_tpu.models import entropy
+    if n_lits == 0:
+        return None
+    N = (n_lits + _T_LIT - 1) // _T_LIT
+    flat = np.zeros(N * _T_LIT, np.uint8)
+    flat[:n_lits] = lits[:n_lits]
+    ctx = _lit_ctx_grid(flat, n_lits, N)
+    idx = ctx.astype(np.int64) * 4 + flat
+    counts = np.bincount(idx, minlength=_LIT_CTX * 4)
+    freq, cum = entropy.host_normalize(counts, _LIT_CTX, 4)
+    if _NATIVE and hasattr(_native, "rans_encode_lanes"):
+        states, wcounts, words = _native.rans_encode_lanes(
+            flat, ctx, freq, cum, N, _T_LIT, 4)
+    else:
+        from scalce_tpu.streams.qualities import _host_rans_encode
+        states, wgrid, emits = _host_rans_encode(idx, freq, cum, _T_LIT)
+        wt, et = wgrid.T, emits.T
+        wcounts = et.sum(axis=1).astype(np.int64)
+        words = wt[et]
+    return (freq.astype(np.uint16), states, wcounts.astype(np.uint16),
+            words)
+
+
+def _decode_lits_rans(a: Dict[str, np.ndarray], n_lits: int) -> np.ndarray:
+    from scalce_tpu.models import entropy
+    freq = a["lit_freq"].astype(np.uint32)
+    if freq.shape != (_LIT_CTX, 4) or (freq.sum(axis=1) != 4096).any():
+        raise ValueError("corrupt .scalcer block: bad literal freq table")
+    N = (n_lits + _T_LIT - 1) // _T_LIT
+    states = a["lit_states"]
+    wcounts = a["lit_counts"].astype(np.int64)
+    words = a["lit_words"]
+    if states.shape[0] != N or wcounts.shape[0] != N:
+        raise ValueError("corrupt .scalcer block: literal lane mismatch")
+    if int(wcounts.sum()) != words.shape[0] or (wcounts > _T_LIT).any():
+        raise ValueError("corrupt .scalcer block: literal word mismatch")
+    lut = entropy.build_decode_lut(freq, entropy.freq_to_cum(freq))
+    if _NATIVE and hasattr(_native, "rans_decode_lits"):
+        return _native.rans_decode_lits(states, words, wcounts, lut,
+                                        n_lits, N, _T_LIT)
+    # NumPy fallback (mirrors native/host_ops.c rans_decode_lits)
+    x = states.astype(np.uint32).copy()
+    W = int(wcounts.max()) if N else 0
+    wpad = np.zeros((N, W + 1), np.uint16)
+    fill = np.arange(W)[None, :] < wcounts[:, None]
+    wpad[:, :W][fill] = words
+    cursor = np.zeros(N, np.int64)
+    prev1 = np.zeros(N, np.uint32)
+    prev2 = np.zeros(N, np.uint32)
+    out = np.zeros(N * _T_LIT, np.uint8)
+    lanes = np.arange(N)
+    base = lanes * _T_LIT
+    for t in range(_T_LIT):
+        validt = base + t < n_lits
+        c = np.where(validt, 1 + prev1 * 4 + prev2, 0).astype(np.int64)
+        slot = x & np.uint32(4095)
+        e = lut[c * 4096 + slot]
+        s = e >> np.uint32(24)
+        f = ((e >> np.uint32(12)) & np.uint32(4095)) + np.uint32(1)
+        cm = e & np.uint32(4095)
+        x = f * (x >> np.uint32(12)) + slot - cm
+        need = x < np.uint32(1 << 16)
+        w = wpad[lanes, np.minimum(cursor, W)]
+        x = np.where(need, (x << np.uint32(16)) | w.astype(np.uint32), x)
+        cursor += need
+        out[base + t] = np.where(validt, s, 0)
+        prev2 = prev1
+        prev1 = s
+    return out[:n_lits]
+
+
 def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             exc_pos: np.ndarray, exc_byte: np.ndarray,
             perm: np.ndarray, level: int = 6, backend: str = "gz") -> bytes:
+    n_lits = int(delta["n_lits"])
     arrays = {
         "n_reads": np.asarray([n_reads], np.int64),
         "mask_bits": np.ascontiguousarray(delta["mask_bits"][:n_reads]),
         "shifts": np.ascontiguousarray(delta["shifts"][:n_reads]),
-        "lit_packed": delta["lit_packed"],
-        "n_lits": np.asarray([int(delta["n_lits"])], np.int64),
+        "n_lits": np.asarray([n_lits], np.int64),
         "pred_k": np.ascontiguousarray(delta["pred_k"][:n_reads]),
         "rc_bits": delta["rc_bits"][: (n_reads + 7) // 8],
         "lengths": lengths[:n_reads].astype(np.uint16),
@@ -59,6 +155,26 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "exc_byte": exc_byte.astype(np.uint8),
         "perm": perm[:n_reads].astype(np.uint32),
     }
+    # literal stream: per-block trial of order-2 rANS vs raw 2-bit pack
+    enc = _encode_lits_rans(unpack2bit_np(
+        delta["lit_packed"].astype(np.uint32), n_lits), n_lits) \
+        if n_lits else None
+    packed_bytes = ((n_lits + 15) // 16) * 4
+    if enc is not None:
+        freq, states, wcounts, words = enc
+        rans_bytes = (words.nbytes + states.nbytes + wcounts.nbytes
+                      + len(freq.tobytes()))
+        if rans_bytes < packed_bytes:
+            arrays["lit_mode"] = np.asarray([1], np.uint8)
+            arrays["lit_freq"] = freq
+            arrays["lit_states"] = states
+            arrays["lit_counts"] = wcounts
+            arrays["lit_words"] = words
+        else:
+            enc = None
+    if enc is None:
+        arrays["lit_mode"] = np.asarray([0], np.uint8)
+        arrays["lit_packed"] = delta["lit_packed"]
     # per-array codec levels (measured on the bench workload):
     #   lit_packed is entropy-coded 2-bit data — incompressible, stored
     #   raw (attempting it costs ~25 ms/block for nothing)
@@ -80,7 +196,10 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     n = int(a["n_reads"][0])
     n_lits = int(a["n_lits"][0])
     _validate(a, n, B, L, n_lits)
-    lits = unpack2bit_np(a["lit_packed"].astype(np.uint32), n_lits)
+    if int(a["lit_mode"][0]) if "lit_mode" in a else 0:
+        lits = _decode_lits_rans(a, n_lits)
+    else:
+        lits = unpack2bit_np(a["lit_packed"].astype(np.uint32), n_lits)
     lengths = np.zeros(B, np.int32)
     lengths[:n] = a["lengths"].astype(np.int32)
     codes = np.zeros((B, L), np.uint8)
@@ -146,8 +265,15 @@ def _validate(a, n: int, B: int, L: int, n_lits: int) -> None:
     need = int(lens.sum() - bits.sum())
     if n_lits != need or n_lits < 0:
         raise ValueError("corrupt .scalcer block: literal count mismatch")
-    if a["lit_packed"].shape[0] < (n_lits + 15) // 16:
-        raise ValueError("corrupt .scalcer block: literal stream short")
+    lit_mode = int(a["lit_mode"][0]) if "lit_mode" in a else 0
+    if lit_mode == 0:
+        if a["lit_packed"].shape[0] < (n_lits + 15) // 16:
+            raise ValueError("corrupt .scalcer block: literal stream short")
+    else:
+        for f in ("lit_freq", "lit_states", "lit_counts", "lit_words"):
+            if f not in a:
+                raise ValueError(f"corrupt .scalcer block: missing {f}")
+        # deeper lit_* consistency checks live in _decode_lits_rans
     perm = a["perm"].astype(np.int64)
     if perm.shape[0] != n or (n and (perm.min() < 0 or perm.max() >= n)):
         raise ValueError("corrupt .scalcer block: bad permutation")
