@@ -94,6 +94,19 @@ def _bind() -> None:
                                       ctypes.c_int64,
                                       _u32p, _i64p, _u16p]
     lib.rans_encode_lanes.restype = ctypes.c_int64
+    lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
+                               ctypes.c_int64, _i64p, _i64p]
+    lib.qual_hist2.restype = None
+    lib.build_rcp44.argtypes = [_u32p, ctypes.c_int64,
+                                ndpointer(np.uint64, flags="C_CONTIGUOUS")]
+    lib.build_rcp44.restype = None
+    lib.rans_encode_qual.argtypes = [_u8p, _i64p, _u32p, _u32p,
+                                     ndpointer(np.uint64,
+                                               flags="C_CONTIGUOUS"),
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     _u32p, _i64p, _u16p]
+    lib.rans_encode_qual.restype = ctypes.c_int64
     lib.rans_decode_lanes.argtypes = [_u32p, _u16p, _i64p, _u32p, _i64p,
                                       ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64, ctypes.c_int64,
@@ -191,6 +204,38 @@ def rans_encode_lanes(sym: np.ndarray, ctx: np.ndarray, freq: np.ndarray,
                                    np.ascontiguousarray(
                                        cum.reshape(-1).astype(np.uint32)),
                                    N, T, n_syms, states, wcounts, words_cat)
+    return states, wcounts, words_cat[:total].copy()
+
+
+def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int):
+    """One pass over the quality grid -> (counts_order1, counts_order2)."""
+    B = len(lengths)
+    counts1 = np.zeros(201 * 94, np.int64)      # n_contexts(1) * N_SYMS
+    counts2 = np.zeros(1401 * 94, np.int64)     # n_contexts(2) * N_SYMS
+    _lib.qual_hist2(np.ascontiguousarray(qual).reshape(-1),
+                    np.ascontiguousarray(lengths.astype(np.int64)),
+                    B, L, counts1, counts2)
+    return counts1, counts2
+
+
+def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,
+                     freq: np.ndarray, cum: np.ndarray, T: int, order: int):
+    """Grid-direct quality encode (inline contexts, reciprocal divide);
+    byte-identical to rans_encode_lanes over qual_sym_ctx_hist grids."""
+    B, L = qual.shape
+    N = B * L // T
+    f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
+    c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
+    rcp = np.empty(f32.shape[0], np.uint64)
+    _lib.build_rcp44(f32, f32.shape[0], rcp)
+    states = np.empty(N, np.uint32)
+    wcounts = np.empty(N, np.int64)
+    words_cat = np.empty(N * T, np.uint16)
+    total = _lib.rans_encode_qual(np.ascontiguousarray(qual).reshape(-1),
+                                  np.ascontiguousarray(
+                                      lengths.astype(np.int64)),
+                                  f32, c32, rcp, B, L, T, order,
+                                  states, wcounts, words_cat)
     return states, wcounts, words_cat[:total].copy()
 
 

@@ -311,6 +311,143 @@ EXPORT void rans_decode_lanes(const uint32_t *states,
     }
 }
 
+/* Dual-order histogram in ONE pass over the quality grid: the order-0
+ * (auto) mode needs both order-1 and order-2 (ctx,sym) histograms to
+ * trial their coded cost; walking the 13MB-per-block grid once instead
+ * of twice halves the dominant memory traffic of the host quality path.
+ * counts1 [n_ctx(1)*94], counts2 [n_ctx(2)*94] (caller zeroes both). */
+EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
+                       int64_t B, int64_t L,
+                       int64_t *counts1, int64_t *counts2)
+{
+    for (int64_t i = 0; i < B; i++) {
+        int64_t len = lengths[i];
+        const uint8_t *qrow = qual + i * L;
+        uint32_t prev1 = 0, prev2 = 0;
+        for (int64_t col = 0; col < L; col++) {
+            int valid = col < len;
+            int v = (int)qrow[col] - Q_OFFSET;
+            if (v < 0) v = 0;
+            if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
+            uint32_t s = valid ? (uint32_t)v : 0u;
+            uint32_t pb = (uint32_t)(col >> 4);
+            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            uint32_t c1 = q_ctx(prev1, prev2, pb, col == 0, col == 1,
+                                valid, 1);
+            uint32_t c2 = q_ctx(prev1, prev2, pb, col == 0, col == 1,
+                                valid, 2);
+            counts1[(int64_t)c1 * Q_NSYMS + s]++;
+            counts2[(int64_t)c2 * Q_NSYMS + s]++;
+            prev2 = prev1;
+            prev1 = s;
+        }
+    }
+}
+
+/* Exact unsigned division by reciprocal multiplication
+ * (Granlund-Montgomery): for divisor f <= 2^12 and x < 2^32,
+ * floor(x * ceil(2^44 / f) / 2^44) == x / f.  rcp fits u64 (f=1 ->
+ * 2^44); the product needs 77 bits -> __uint128_t. */
+static inline uint64_t rcp44(uint32_t f)
+{
+    return (((uint64_t)1 << 44) + f - 1) / f;
+}
+
+static inline uint32_t div_rcp(uint32_t x, uint64_t rcp)
+{
+    return (uint32_t)((unsigned __int128)x * rcp >> 44);
+}
+
+/* Quality-grid rANS encode with INLINE context derivation: no sym/ctx
+ * intermediate arrays (saves ~40MB of stores+loads per block vs the
+ * grid-based path), division-free coder step, and 4-way lane
+ * interleaving to hide the serial x-update dependency chain.
+ *
+ * Bit-identical to rans_encode_lanes over qual_sym_ctx_hist's grids:
+ * contexts are recomputed from the same q_ctx; the reciprocal divide
+ * is exactly x/f.  Lane n owns rows [n*k, (n+1)*k), k = T/L.
+ *
+ * rcp: u64 [n_ctx*94] table built by build_rcp44 from freq.
+ * Returns total emitted words. */
+EXPORT void build_rcp44(const uint32_t *freq, int64_t n, uint64_t *rcp)
+{
+    for (int64_t i = 0; i < n; i++)
+        rcp[i] = freq[i] ? rcp44(freq[i]) : 0;
+}
+
+EXPORT int64_t rans_encode_qual(const uint8_t *qual,
+                                const int64_t *lengths,
+                                const uint32_t *freq, const uint32_t *cum,
+                                const uint64_t *rcp,
+                                int64_t B, int64_t L, int64_t T,
+                                int64_t order, uint32_t *states,
+                                int64_t *wcounts, uint16_t *words_cat)
+{
+    int64_t N = (B * L) / T;
+    int64_t k = T / L;
+    int64_t off = 0;
+    enum { IL = 4 };
+    uint16_t tmp[IL][32768];           /* T <= 32768 by config */
+    int64_t cnt[IL];
+    uint32_t x[IL];
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        for (int j = 0; j < nl; j++) {
+            x[j] = RANS_LOW;
+            cnt[j] = 0;
+        }
+        for (int64_t t = T - 1; t >= 0; t--) {
+            int64_t r_off = t / L;         /* row within the lane */
+            int64_t col = t % L;
+            uint32_t pb = (uint32_t)(col >> 4);
+            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            for (int j = 0; j < nl; j++) {
+                int64_t read = (n0 + j) * k + r_off;
+                const uint8_t *qrow = qual + read * L;
+                int64_t len = lengths[read];
+                int valid = col < len;
+                int v = (int)qrow[col] - Q_OFFSET;
+                if (v < 0) v = 0;
+                if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
+                uint32_t s = valid ? (uint32_t)v : 0u;
+                uint32_t prev1 = 0, prev2 = 0;
+                if (col >= 1 && col - 1 < len) {
+                    int p = (int)qrow[col - 1] - Q_OFFSET;
+                    if (p < 0) p = 0;
+                    if (p > Q_NSYMS - 1) p = Q_NSYMS - 1;
+                    prev1 = (uint32_t)p;
+                }
+                if (col >= 2 && col - 2 < len) {
+                    int p = (int)qrow[col - 2] - Q_OFFSET;
+                    if (p < 0) p = 0;
+                    if (p > Q_NSYMS - 1) p = Q_NSYMS - 1;
+                    prev2 = (uint32_t)p;
+                }
+                uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
+                                   valid, (int)order);
+                int64_t e = (int64_t)c * Q_NSYMS + s;
+                uint32_t f = freq[e];
+                uint32_t cm = cum[e];
+                uint32_t xj = x[j];
+                if ((xj >> 20) >= f) {
+                    tmp[j][cnt[j]++] = (uint16_t)(xj & 0xFFFFu);
+                    xj >>= 16;
+                }
+                uint32_t q = div_rcp(xj, rcp[e]);
+                x[j] = (q << RANS_PROB_BITS) + (xj - q * f) + cm;
+            }
+        }
+        for (int j = 0; j < nl; j++) {
+            states[n0 + j] = x[j];
+            wcounts[n0 + j] = cnt[j];
+            for (int64_t i = 0; i < cnt[j]; i++)   /* decode order */
+                words_cat[off + i] = tmp[j][cnt[j] - 1 - i];
+            off += cnt[j];
+        }
+    }
+    return off;
+}
+
 /* Literal-base rANS decode: order-2 base context (ctx = 1 + p1*4 + p2,
  * ctx 0 = tail padding past n_lits).  Mirrors the encode-side context
  * grid built in streams/seqs.py. */

@@ -366,6 +366,21 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
     B, L = qual.shape
     lengths = np.asarray(lengths)
     T = pick_T(B, L, T_target)
+    if _NATIVE_Q and hasattr(_native, "rans_encode_qual"):
+        # grid-free path: one dual-order histogram pass, then encode
+        # straight off the quality grid (contexts recomputed inline,
+        # reciprocal divide) — byte-identical to the grid path below
+        counts1, counts2 = _native.qual_hist2(qual, lengths, L)
+        if order == 0:
+            order = 2 if _trial_cost(counts2, 2) < \
+                _trial_cost(counts1, 1) else 1
+        counts = counts2 if order == 2 else counts1
+        freq, cum = entropy.host_normalize(counts, n_contexts(order),
+                                           N_SYMS)
+        states, wcounts, words = _native.rans_encode_qual(
+            qual, lengths, freq, cum, T, order)
+        return EncodedQuals(freq=freq, states=states, counts=wcounts,
+                            words=words, B=B, L=L, T=T, order=order)
     if _NATIVE_Q:
         if order == 0:
             cands = {}

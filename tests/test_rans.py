@@ -318,3 +318,36 @@ def test_native_qual_codec_matches_numpy():
             st_n, w_n, wc_n, lut, lengths, B, L, T, order)
         np.testing.assert_array_equal(
             got, np.where(col < lengths[:, None], qual, 0))
+
+
+def test_grid_direct_encoder_matches_grid_path():
+    """The grid-direct native encoder (inline contexts + reciprocal
+    divide + lane interleave, native.rans_encode_qual) must emit the
+    exact bytes of the grid-based native path for every order,
+    including ragged lengths and the dual-order histogram."""
+    if not qualities._NATIVE_Q or not hasattr(qualities._native,
+                                              "rans_encode_qual"):
+        pytest.skip("native lib unavailable")
+    from scalce_tpu.models import entropy
+    native = qualities._native
+    rng = np.random.default_rng(11)
+    B, L = 256, 64
+    qual = rng.integers(33, 120, size=(B, L)).astype(np.uint8)
+    lengths = rng.integers(1, L + 1, size=B).astype(np.int64)
+    col = np.arange(L)[None, :]
+    qual = np.where(col < lengths[:, None], qual, 0).astype(np.uint8)
+    c1, c2 = native.qual_hist2(qual, lengths, L)
+    T = qualities.pick_T(B, L)
+    for order, counts in ((1, c1), (2, c2)):
+        C = qualities.n_contexts(order)
+        sym, ctx, counts_ref = native.qual_sym_ctx_hist(qual, lengths, L,
+                                                        order, C)
+        np.testing.assert_array_equal(counts, counts_ref)
+        freq, cum = entropy.host_normalize(counts, C, qualities.N_SYMS)
+        st_g, wc_g, w_g = native.rans_encode_lanes(sym, ctx, freq, cum,
+                                                   B * L // T, T)
+        st_d, wc_d, w_d = native.rans_encode_qual(qual, lengths, freq,
+                                                  cum, T, order)
+        np.testing.assert_array_equal(st_d, st_g)
+        np.testing.assert_array_equal(wc_d, wc_g)
+        np.testing.assert_array_equal(w_d, w_g)
