@@ -100,6 +100,21 @@ class Config:
                                        # IDENTICAL bytes (pinned by test)
                                        # — a pure placement choice.
 
+    delta_on_device: bool = False      # place the predecessor-delta
+                                       # match on the accelerator or the
+                                       # host.  Host placement downloads
+                                       # the sorted 2-bit-packed block
+                                       # (L/4 bytes/read) instead of the
+                                       # delta products and runs the
+                                       # byte-compare match in native C
+                                       # — the win on narrow links, like
+                                       # qual_on_device.  Identical
+                                       # output bytes either way (pinned
+                                       # by test).  Device placement is
+                                       # forced when the native library
+                                       # is unavailable or qualities are
+                                       # device-placed.
+
     data_parallel: bool = False        # shard blocks over all local
                                        # devices (config 4; single-host DP)
 

@@ -94,6 +94,18 @@ def _bind() -> None:
                                       ctypes.c_int64,
                                       _u32p, _i64p, _u16p]
     lib.rans_encode_lanes.restype = ctypes.c_int64
+    lib.unpack2bit_u32.argtypes = [ndpointer(np.uint32,
+                                             flags="C_CONTIGUOUS"),
+                                   ctypes.c_int64, _u8p]
+    lib.unpack2bit_u32.restype = None
+    lib.delta_match.argtypes = [_u8p,
+                                ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                                ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                                _i64p, ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int64, _u8p,
+                                ndpointer(np.int16, flags="C_CONTIGUOUS"),
+                                _u8p, _u8p]
+    lib.delta_match.restype = ctypes.c_int64
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                ctypes.c_int64, _i64p, _i64p]
     lib.qual_hist2.restype = None
@@ -205,6 +217,34 @@ def rans_encode_lanes(sym: np.ndarray, ctx: np.ndarray, freq: np.ndarray,
                                        cum.reshape(-1).astype(np.uint32)),
                                    N, T, n_syms, states, wcounts, words_cat)
     return states, wcounts, words_cat[:total].copy()
+
+
+def unpack2bit(words: np.ndarray) -> np.ndarray:
+    """uint32 [..., n] -> uint8 [..., n*16] 2-bit codes (pack2bit inverse)."""
+    flat = np.ascontiguousarray(words).reshape(-1)
+    out = np.empty(flat.size * 16, np.uint8)
+    _lib.unpack2bit_u32(flat, flat.size, out)
+    return out.reshape(words.shape[:-1] + (words.shape[-1] * 16,))
+
+
+def delta_match(codes: np.ndarray, ck: np.ndarray, cp: np.ndarray,
+                lens: np.ndarray, K: int = 4):
+    """Best-of-K aligned-predecessor delta over the sorted block.
+
+    Returns (mask_bits u8 [n, L/8], shifts i16 [n], pred_k u8 [n],
+    lits u8 [n_lits]) — byte-identical to the device _delta_seq."""
+    n, L = codes.shape
+    mask_bits = np.empty((n, L // 8), np.uint8)
+    shifts = np.empty(n, np.int16)
+    pred_k = np.empty(n, np.uint8)
+    lits = np.empty(n * L, np.uint8)
+    n_lits = _lib.delta_match(np.ascontiguousarray(codes).reshape(-1),
+                              np.ascontiguousarray(ck.astype(np.uint32)),
+                              np.ascontiguousarray(cp.astype(np.int32)),
+                              np.ascontiguousarray(lens.astype(np.int64)),
+                              n, L, K, mask_bits.reshape(-1), shifts,
+                              pred_k, lits)
+    return mask_bits, shifts, pred_k, lits[:n_lits].copy()
 
 
 def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int):

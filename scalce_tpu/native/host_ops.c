@@ -100,6 +100,20 @@ EXPORT void pack2bit_u32(const uint8_t *codes, int64_t n_words,
     }
 }
 
+/* Inverse of pack2bit_u32: uint32 words -> 16 2-bit codes each. */
+EXPORT void unpack2bit_u32(const uint32_t *words, int64_t n_words,
+                           uint8_t *out)
+{
+    for (int64_t w = 0; w < n_words; w++) {
+        uint32_t v = words[w];
+        uint8_t *o = out + w * 16;
+        for (int j = 15; j >= 0; j--) {
+            o[j] = (uint8_t)(v & 3u);
+            v >>= 2;
+        }
+    }
+}
+
 /* Rebuild delta-coded sequence rows.  Row i copies bit-masked positions
  * from row i-1 at a column shift; the rest come from the literal
  * stream.  Mask bits are LSB-first within each byte (bit j of byte b
@@ -309,6 +323,74 @@ EXPORT void rans_decode_lanes(const uint32_t *states,
         }
         woff += wend;
     }
+}
+
+/* Aligned-predecessor delta match over the SORTED block — the host
+ * placement of pipeline/encode.py::_delta_seq (best-of-K predecessor,
+ * strict ">" so the nearest candidate wins ties, identical literal
+ * order).  Byte-identical outputs to the device path are pinned by
+ * tests; keeping both lets the pipeline place this stage by link
+ * bandwidth, like the quality codec.
+ *
+ * codes [n, L] u8 (2-bit values), ck u32 [n] core ids (0xffffffff =
+ * no core), cp i32 [n] core positions, lens i64 [n].
+ * Outputs: mask_bits u8 [n, L/8] (LSB-first), shifts i16 [n],
+ * pred_k u8 [n], lits u8 [<= sum(lens)].  Returns n_lits. */
+EXPORT int64_t delta_match(const uint8_t *codes, const uint32_t *ck,
+                           const int32_t *cp, const int64_t *lens,
+                           int64_t n, int64_t L, int64_t K,
+                           uint8_t *mask_bits, int16_t *shifts,
+                           uint8_t *pred_k, uint8_t *lits)
+{
+    const uint32_t NO_CORE = 0xFFFFFFFFu;
+    int64_t stride = L / 8;
+    int64_t n_lits = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t len_i = lens[i];
+        const uint8_t *ci = codes + i * L;
+        int32_t best_count = -1, best_shift = 0, best_k = 0;
+        if (ck[i] != NO_CORE) {
+            for (int64_t k = 1; k <= K && k <= i; k++) {
+                int64_t j = i - k;
+                if (ck[j] != ck[i])
+                    continue;                /* device: cnt = -1 */
+                int32_t sh = cp[j] - cp[i];
+                /* overlap where 0 <= col < len_i and 0 <= col+sh < len_j */
+                int64_t c0 = sh < 0 ? -sh : 0;
+                int64_t c1 = lens[j] - sh < len_i ? lens[j] - sh : len_i;
+                int32_t cnt = 0;
+                const uint8_t *cj = codes + j * L + sh;
+                for (int64_t col = c0; col < c1; col++)
+                    cnt += ci[col] == cj[col];
+                if (cnt > best_count) {
+                    best_count = cnt;
+                    best_shift = sh;
+                    best_k = (int32_t)(k - 1);
+                }
+            }
+        }
+        shifts[i] = (int16_t)best_shift;
+        pred_k[i] = (uint8_t)best_k;
+        uint8_t *mb = mask_bits + i * stride;
+        memset(mb, 0, (size_t)stride);
+        if (best_count < 0) {                /* whole row is literal */
+            for (int64_t col = 0; col < len_i; col++)
+                lits[n_lits++] = ci[col];
+            continue;
+        }
+        int64_t j = i - 1 - best_k;
+        int64_t c0 = best_shift < 0 ? -best_shift : 0;
+        int64_t c1 = lens[j] - best_shift < len_i ? lens[j] - best_shift
+                                                  : len_i;
+        const uint8_t *cj = codes + j * L + best_shift;
+        for (int64_t col = 0; col < len_i; col++) {
+            int m = col >= c0 && col < c1 && ci[col] == cj[col];
+            mb[col >> 3] |= (uint8_t)(m << (col & 7));
+            if (!m)
+                lits[n_lits++] = ci[col];
+        }
+    }
+    return n_lits;
 }
 
 /* Dual-order histogram in ONE pass over the quality grid: the order-0

@@ -71,6 +71,40 @@ def make_sharded_stage1_nq(mesh: Mesh, k: int, seed: int):
     return jax.jit(stage1)
 
 
+def make_sharded_stage1_hd(mesh: Mesh, k: int, seed: int):
+    """Host-delta placement: sharded cores→sort→orient returning each
+    block's packed buffer (+ its permutation for mate-2 chaining)."""
+    from scalce_tpu.pipeline.encode import _encode_core_hd
+    dspec = P("data")
+    rspec = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(dspec, dspec, dspec, dspec, rspec),
+             out_specs=(dspec,) * 2)
+    def stage1(seq, lengths, n_reads, exc_mask, rank_lut):
+        f = partial(_encode_core_hd, k=k, seed=seed)
+        return jax.vmap(f, in_axes=(0, 0, 0, 0, None))(
+            seq, lengths, n_reads, exc_mask, rank_lut)
+
+    return jax.jit(stage1)
+
+
+def make_sharded_stage_mate2_hd(mesh: Mesh, k: int, seed: int):
+    from scalce_tpu.pipeline.encode import _encode_core_mate2_hd
+    dspec = P("data")
+    rspec = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(dspec, dspec, dspec, dspec, dspec, rspec),
+             out_specs=dspec)
+    def stage2(seq, lengths, n_reads, exc_mask, perm, rank_lut):
+        f = partial(_encode_core_mate2_hd, k=k, seed=seed)
+        return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None))(
+            seq, lengths, n_reads, exc_mask, perm, rank_lut)
+
+    return jax.jit(stage2)
+
+
 def make_sharded_stage_mate2_nq(mesh: Mesh, k: int, seed: int):
     from scalce_tpu.pipeline.encode import _encode_core_mate2_nq
     dspec = P("data")
@@ -173,6 +207,7 @@ class ShardedEncoder:
             group = 1
         self.group = group
         self.D = self.mesh.devices.size * group
+        self._host_delta = False
         if cfg.qual_on_device:
             self._stage1 = make_sharded_stage1(
                 self.mesh, cfg.core_k, cfg.dict_seed,
@@ -186,10 +221,19 @@ class ShardedEncoder:
                 self.mesh, Q.n_contexts(cfg.qual_context_order), Q.N_SYMS,
                 self._T)
         else:
-            self._stage1 = make_sharded_stage1_nq(
-                self.mesh, cfg.core_k, cfg.dict_seed)
-            self._stage2 = make_sharded_stage_mate2_nq(
-                self.mesh, cfg.core_k, cfg.dict_seed)
+            from scalce_tpu.pipeline.encode import host_delta_available
+            self._host_delta = (not cfg.delta_on_device
+                                and host_delta_available())
+            if self._host_delta:
+                self._stage1 = make_sharded_stage1_hd(
+                    self.mesh, cfg.core_k, cfg.dict_seed)
+                self._stage2 = make_sharded_stage_mate2_hd(
+                    self.mesh, cfg.core_k, cfg.dict_seed)
+            else:
+                self._stage1 = make_sharded_stage1_nq(
+                    self.mesh, cfg.core_k, cfg.dict_seed)
+                self._stage2 = make_sharded_stage_mate2_nq(
+                    self.mesh, cfg.core_k, cfg.dict_seed)
         self._fallback = BlockEncoder(cfg, qual_map)
         self._qual_map = jnp.asarray(qual_map)
 
@@ -217,6 +261,14 @@ class ShardedEncoder:
         assert len(blocks) == self.D
         if not self.cfg.qual_on_device:
             stacked = self._stack_blocks(blocks, with_qual=False)
+            if self._host_delta:
+                bufs, perms = self._stage1(*stacked,
+                                           self._fallback.rank_lut)
+                try:
+                    bufs.copy_to_host_async()
+                except Exception:
+                    pass
+                return ("hd", bufs, perms)
             perm, delta, len_s = self._stage1(*stacked,
                                               self._fallback.rank_lut)
             return (perm, delta, len_s, None, None, None,
@@ -230,6 +282,15 @@ class ShardedEncoder:
 
     def assemble(self, blocks, devout):
         from scalce_tpu.streams import qualities as Q
+        if isinstance(devout[0], str):     # "hd"/"hd2" markers
+            bufs = np.asarray(devout[1])
+            if devout[0] == "hd2":         # mate-2: no perm in buffer
+                perms = np.asarray(devout[2]).astype(np.int64)
+                return [self._fallback._assemble_hd(
+                            b, bufs[d], with_perm=False, perm_np=perms[d])
+                        for d, b in enumerate(blocks)]
+            return [self._fallback._assemble_hd(b, bufs[d])
+                    for d, b in enumerate(blocks)]
         (perm, delta, len_s, sym, ctx, counts,
          freqs, states, words, wcounts) = devout
         B, L = blocks[0].seq.shape
@@ -265,13 +326,23 @@ class ShardedEncoder:
         b1s = [p[0] for p in pairs]
         b2s = [p[1] for p in pairs]
         out1 = self.encode_device(b1s)
-        perm = out1[0]
         if not self.cfg.qual_on_device:
             stacked2 = self._stack_blocks(b2s, with_qual=False)
+            if self._host_delta:
+                perms = out1[2]
+                bufs2 = self._stage2(*stacked2, perms.astype(jnp.int32),
+                                     self._fallback.rank_lut)
+                try:
+                    bufs2.copy_to_host_async()
+                except Exception:
+                    pass
+                return out1, ("hd2", bufs2, perms)
+            perm = out1[0]
             delta2, len2 = self._stage2(*stacked2, perm.astype(jnp.int32),
                                         self._fallback.rank_lut)
             return out1, (perm, delta2, len2, None, None, None,
                           None, None, None, None)
+        perm = out1[0]
         stacked2 = self._stack_blocks(b2s, with_qual=True)
         delta2, len2, sym2, ctx2, counts2 = self._stage2(
             *stacked2, perm.astype(jnp.int32), self._qual_map,

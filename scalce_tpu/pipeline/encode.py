@@ -92,6 +92,33 @@ def _encode_core_mate2_nq(codes, lengths, n_reads, exc, perm, rank_lut,
     return delta, len_s
 
 
+def _encode_core_hd(codes, lengths, n_reads, exc, rank_lut, k: int,
+                    seed: int):
+    """``_encode_core_nq`` for the host-delta placement: device does
+    cores → sort → orient and returns the packed sorted block; the
+    delta match runs host-side (native.delta_match)."""
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
+    perm = reorder.sort_permutation(keys)
+    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, lengths, ck, cp, is_rc)
+    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm), perm
+
+
+def _encode_core_mate2_hd(codes, lengths, n_reads, exc, perm, rank_lut,
+                          k: int, seed: int):
+    """Mate-2 counterpart of ``_encode_core_hd``."""
+    del n_reads
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, lengths, ck, cp, is_rc)
+    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s)
+
+
 def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
                        rank_lut, k: int, seed: int, order: int):
     """Mate-2 shared core: same work as ``_encode_core`` but following
@@ -281,6 +308,94 @@ def _device_stage_b_nq(codes_s, len_s, ck_s, cp_s, rc_s, n_reads):
     return delta
 
 
+def _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm=None):
+    """Pack the host-delta stage outputs into ONE u32 buffer for a
+    single D2H transfer (each separate fresh-array download pays ~40ms
+    of tunnel latency): [perm?, ck, cp<<16|rc<<15|len, 2-bit codes].
+    cp < L <= 32752 and len <= 32752 both fit 15/16 bits by config."""
+    word = ((cp_s.astype(jnp.uint32) << 16)
+            | (rc_s.astype(jnp.uint32) << 15)
+            | len_s.astype(jnp.uint32))
+    packed = pack_bases_u32(codes_s, axis=1).reshape(-1)
+    parts = ([] if perm is None else [perm.astype(jnp.uint32)]) + \
+        [ck_s.astype(jnp.uint32), word, packed]
+    return jnp.concatenate(parts)
+
+
+def _hd_unpack(buf: np.ndarray, B: int, L: int, with_perm: bool = True):
+    """Host mirror of :func:`_hd_pack`."""
+    o = 0
+    perm = None
+    if with_perm:
+        perm = buf[:B].astype(np.int64)
+        o = B
+    ck = buf[o:o + B]
+    w = buf[o + B:o + 2 * B]
+    cp = (w >> 16).astype(np.int32)
+    rc = ((w >> 15) & 1).astype(np.uint8)
+    len_s = (w & 0x7FFF).astype(np.int32)
+    words = buf[o + 2 * B:].reshape(B, L // 16)
+    try:
+        from scalce_tpu import native
+        if native.AVAILABLE:
+            codes = native.unpack2bit(words)
+        else:
+            raise ImportError
+    except Exception:
+        shifts = (2 * np.arange(15, -1, -1)).astype(np.uint32)
+        codes = ((words[:, :, None] >> shifts) & 3).astype(
+            np.uint8).reshape(B, L)
+    return perm, ck, cp, rc, len_s, codes
+
+
+@partial(jax.jit, static_argnames=("k", "seed"))
+def _device_stage_a_hd(seq_packed, lengths, n_reads, exc_pos, rank_lut,
+                       k: int, seed: int):
+    """Stage A for the host-delta placement: cores → sort → orient, then
+    repack; the delta match itself runs in native C on the host off the
+    downloaded sorted block (narrow-link placement, like the host
+    quality codec).  Also removes the delta graph's multi-minute remote
+    compile from the critical path."""
+    from scalce_tpu.ops.bitops import unpack_bases_u32
+    codes = unpack_bases_u32(seq_packed, axis=1)
+    B, L = codes.shape
+    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
+        True, mode="drop").reshape(B, L)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
+    perm = reorder.sort_permutation(keys)
+    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, lengths, ck, cp, is_rc)
+    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm), perm
+
+
+@partial(jax.jit, static_argnames=("k", "seed"))
+def _device_stage_a2_hd(seq_packed, lengths, exc_pos, perm, rank_lut,
+                        k: int, seed: int):
+    """Mate-2 stage A for the host-delta placement."""
+    from scalce_tpu.ops.bitops import unpack_bases_u32
+    codes = unpack_bases_u32(seq_packed, axis=1)
+    B, L = codes.shape
+    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
+        True, mode="drop").reshape(B, L)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut)
+    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, codes_o, lengths, ck, cp, is_rc)
+    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s)
+
+
+def host_delta_available() -> bool:
+    try:
+        from scalce_tpu import native
+        return native.AVAILABLE and hasattr(native, "delta_match")
+    except Exception:
+        return False
+
+
 @partial(jax.jit, static_argnames=("k", "seed"))
 def _device_stage_a2_nq(seq_packed, lengths, exc_pos, perm, rank_lut,
                         k: int, seed: int):
@@ -383,6 +498,12 @@ class BlockEncoder:
         else:
             # single-entry sentinel selects the implicit hash dictionary
             self.rank_lut = jnp.zeros(1, jnp.uint32)
+        # host-delta placement: only meaningful with host-placed
+        # qualities (the device-quality graph already holds the sorted
+        # block) and a working native library
+        self.host_delta = (not cfg.delta_on_device
+                           and not cfg.qual_on_device
+                           and host_delta_available())
 
     # -- stage split: ``encode_device`` runs only device dispatches (kept
     # on the driver's main thread so device work pipelines in submission
@@ -393,6 +514,18 @@ class BlockEncoder:
     def encode_device(self, block: ReadBlock):
         cfg = self.cfg
         B, L = block.seq.shape
+        if self.host_delta:
+            buf, perm = _device_stage_a_hd(
+                jnp.asarray(_host_pack(block.seq)),
+                jnp.asarray(block.lengths), jnp.int32(block.n_reads),
+                jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
+                                     B * L)),
+                self.rank_lut, cfg.core_k, cfg.dict_seed)
+            try:
+                buf.copy_to_host_async()   # overlap D2H with later work
+            except Exception:
+                pass
+            return ("hd", buf, perm, None, None, None)
         if not cfg.qual_on_device:
             perm, codes_s, len_s, ck_s, cp_s, rc_s = _device_stage_a_nq(
                 jnp.asarray(_host_pack(block.seq)),
@@ -415,9 +548,33 @@ class BlockEncoder:
         return perm, delta, len_s, sym, ctx, counts
 
     def assemble(self, block: ReadBlock, devout) -> EncodedBlock:
+        if isinstance(devout[0], str):     # "hd" marker
+            return self._assemble_hd(block, devout[1])
         perm, delta, len_s, sym, ctx, counts = devout
         return self._assemble(block, np.asarray(perm), delta, len_s,
                               sym, ctx, counts)
+
+    def _assemble_hd(self, block: ReadBlock, buf,
+                     with_perm: bool = True,
+                     perm_np: Optional[np.ndarray] = None) -> EncodedBlock:
+        """Host-delta assembly: one D2H of the packed sorted block, then
+        the native byte-compare match (bit-identical to _delta_seq)."""
+        from scalce_tpu import native
+        B, L = block.seq.shape
+        p, ck, cp, rc, len_s, codes = _hd_unpack(np.asarray(buf), B, L,
+                                                 with_perm)
+        if perm_np is None:
+            perm_np = p
+        n = block.n_reads
+        mask_bits, shifts, pred_k, lits = native.delta_match(
+            codes[:n], ck[:n], cp[:n], len_s[:n], _DELTA_K)
+        delta_np = {
+            "mask_bits": mask_bits, "shifts": shifts, "pred_k": pred_k,
+            "rc_bits": np.packbits(rc, bitorder="little"),
+            "lits": lits, "n_lits": len(lits),
+        }
+        return self._assemble(block, perm_np, delta_np, len_s, None,
+                              None, None)
 
     def encode_block(self, block: ReadBlock) -> EncodedBlock:
         return self.assemble(block, self.encode_device(block))
@@ -425,8 +582,20 @@ class BlockEncoder:
     def encode_device_pair(self, b1: ReadBlock, b2: ReadBlock):
         cfg = self.cfg
         out1 = self.encode_device(b1)
-        perm = out1[0]
         B, L = b2.seq.shape
+        if self.host_delta:
+            perm = out1[2]
+            buf2 = _device_stage_a2_hd(
+                jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.lengths),
+                jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
+                perm.astype(jnp.int32), self.rank_lut,
+                cfg.core_k, cfg.dict_seed)
+            try:
+                buf2.copy_to_host_async()
+            except Exception:
+                pass
+            return out1, ("hd", buf2)
+        perm = out1[0]
         if not cfg.qual_on_device:
             codes_s, len2, ck_s, cp_s, rc_s = _device_stage_a2_nq(
                 jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.lengths),
@@ -451,6 +620,15 @@ class BlockEncoder:
     def assemble_pair(self, b1: ReadBlock, b2: ReadBlock, devout
                       ) -> Tuple[EncodedBlock, EncodedBlock]:
         out1, out2 = devout
+        if isinstance(out1[0], str):       # "hd" marker
+            buf1 = np.asarray(out1[1])     # materialize ONCE (D2H)
+            eb1 = self._assemble_hd(b1, buf1)
+            # mate 2 reuses mate 1's permutation (already applied on
+            # device); its buffer carries no perm copy
+            perm_np = buf1[: b1.seq.shape[0]].astype(np.int64)
+            eb2 = self._assemble_hd(b2, out2[1], with_perm=False,
+                                    perm_np=perm_np)
+            return eb1, eb2
         perm_np = np.asarray(out1[0])
         eb1 = self._assemble(b1, perm_np, *out1[1:])
         eb2 = self._assemble(b2, perm_np, *out2)
@@ -494,24 +672,28 @@ class BlockEncoder:
             exc_pos_s = block.exc_pos
             exc_byte_s = block.exc_byte
 
-        # download the delta arrays; literals sliced to a pow2 bucket on
-        # device first (same D2H-thrift pattern as the rANS words)
-        n_lits = int(delta["n_lits"])
-        n_words = (n_lits + 15) // 16
-        # same bucket-floor rationale as qualities.finish_encoded
-        W = max(64, (B * L // 16) // 16)
-        while W < n_words:
-            W <<= 1
-        delta_np = {
-            "mask_bits": np.asarray(delta["mask_bits"]),
-            "shifts": np.asarray(delta["shifts"]),
-            "lit_packed": np.asarray(_slice_flat(
-                delta["lit_packed"], min(W, delta["lit_packed"].shape[0]))
-            )[:n_words],
-            "n_lits": n_lits,
-            "pred_k": np.asarray(delta["pred_k"]),
-            "rc_bits": np.asarray(delta["rc_bits"]),
-        }
+        if "lits" in delta:
+            delta_np = delta       # host-delta path: already NumPy
+        else:
+            # download the delta arrays; literals sliced to a pow2 bucket
+            # on device first (same D2H-thrift pattern as the rANS words)
+            n_lits = int(delta["n_lits"])
+            n_words = (n_lits + 15) // 16
+            # same bucket-floor rationale as qualities.finish_encoded
+            W = max(64, (B * L // 16) // 16)
+            while W < n_words:
+                W <<= 1
+            delta_np = {
+                "mask_bits": np.asarray(delta["mask_bits"]),
+                "shifts": np.asarray(delta["shifts"]),
+                "lit_packed": np.asarray(_slice_flat(
+                    delta["lit_packed"],
+                    min(W, delta["lit_packed"].shape[0]))
+                )[:n_words],
+                "n_lits": n_lits,
+                "pred_k": np.asarray(delta["pred_k"]),
+                "rc_bits": np.asarray(delta["rc_bits"]),
+            }
         r_payload = seqs.payload(delta_np, np.asarray(len_s),
                                  block.n_reads, exc_pos_s, exc_byte_s,
                                  perm_np, backend=cfg.backend)

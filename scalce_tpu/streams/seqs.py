@@ -139,6 +139,15 @@ def _decode_lits_rans(a: Dict[str, np.ndarray], n_lits: int) -> np.ndarray:
     return out[:n_lits]
 
 
+def _pack2bit_np(codes: np.ndarray) -> np.ndarray:
+    """Host 2-bit pack (pack_bases_u32 layout); codes length % 16 == 0."""
+    if _NATIVE and hasattr(_native, "pack2bit"):
+        return _native.pack2bit(codes)
+    grouped = codes.reshape(-1, 16).astype(np.uint32)
+    shifts = (2 * np.arange(15, -1, -1)).astype(np.uint32)
+    return (grouped << shifts).sum(axis=1, dtype=np.uint32)
+
+
 def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             exc_pos: np.ndarray, exc_byte: np.ndarray,
             perm: np.ndarray, level: int = 6, backend: str = "gz") -> bytes:
@@ -156,9 +165,15 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "perm": perm[:n_reads].astype(np.uint32),
     }
     # literal stream: per-block trial of order-2 rANS vs raw 2-bit pack
-    enc = _encode_lits_rans(unpack2bit_np(
-        delta["lit_packed"].astype(np.uint32), n_lits), n_lits) \
-        if n_lits else None
+    # (host-delta blocks hand literal BYTES; device blocks hand the
+    # packed words — same downstream bytes either way)
+    if "lits" in delta:
+        lits = delta["lits"]
+    elif n_lits:
+        lits = unpack2bit_np(delta["lit_packed"].astype(np.uint32), n_lits)
+    else:
+        lits = np.zeros(0, np.uint8)
+    enc = _encode_lits_rans(lits, n_lits) if n_lits else None
     packed_bytes = ((n_lits + 15) // 16) * 4
     if enc is not None:
         freq, states, wcounts, words = enc
@@ -174,7 +189,12 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             enc = None
     if enc is None:
         arrays["lit_mode"] = np.asarray([0], np.uint8)
-        arrays["lit_packed"] = delta["lit_packed"]
+        if "lit_packed" in delta:
+            arrays["lit_packed"] = delta["lit_packed"]
+        else:
+            padded = np.zeros(((n_lits + 15) // 16) * 16, np.uint8)
+            padded[:n_lits] = lits[:n_lits]
+            arrays["lit_packed"] = _pack2bit_np(padded)
     # per-array codec levels (measured on the bench workload):
     #   lit_packed is entropy-coded 2-bit data — incompressible, stored
     #   raw (attempting it costs ~25 ms/block for nothing)

@@ -252,3 +252,39 @@ def test_literal_rans_engages_on_biased_composition(tmp_path):
         ls = open(p, "rb").read().split(b"\n")
         return sorted(tuple(ls[i:i + 4]) for i in range(0, len(ls) - 1, 4))
     assert recs(str(inp)) == recs(str(tmp_path / "dec.fastq"))
+
+
+def test_delta_placement_never_changes_bytes(tmp_path):
+    """Host-placed delta (native byte-compare match) and device-placed
+    delta (_delta_seq) must emit IDENTICAL payloads — placement is a
+    bandwidth decision, never a format one.  Covers single-end and
+    paired, with ragged lengths and N exceptions."""
+    import numpy as np
+    from scalce_tpu.config import Config
+    from scalce_tpu.io import fastq
+    from scalce_tpu.pipeline.encode import BlockEncoder, \
+        host_delta_available
+    from scalce_tpu.utils.synth import synth_fastq
+
+    if not host_delta_available():
+        import pytest
+        pytest.skip("native delta_match unavailable")
+    p1 = tmp_path / "a.fastq"
+    p2 = tmp_path / "b.fastq"
+    p1.write_bytes(synth_fastq(2048, 100, seed=21, var_len=True,
+                               n_rate=0.01))
+    p2.write_bytes(synth_fastq(2048, 100, seed=22, var_len=True,
+                               n_rate=0.01))
+    b1 = next(fastq.iter_blocks(str(p1), 2048, 128))
+    b2 = next(fastq.iter_blocks(str(p2), 2048, 128))
+    host = BlockEncoder(Config(mode="compress", inputs=("x",),
+                               block_reads=2048))
+    dev = BlockEncoder(Config(mode="compress", inputs=("x",),
+                              block_reads=2048, delta_on_device=True))
+    assert host.host_delta and not dev.host_delta
+    eh, ed = host.encode_block(b1), dev.encode_block(b1)
+    assert eh.payloads == ed.payloads
+    ph = host.encode_block_pair(b1, b2)
+    pd = dev.encode_block_pair(b1, b2)
+    for h, d in zip(ph, pd):
+        assert h.payloads == d.payloads
