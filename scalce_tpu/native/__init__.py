@@ -124,6 +124,15 @@ def _bind() -> None:
                                       ctypes.c_int64, ctypes.c_int64,
                                       _u8p]
     lib.rans_decode_lanes.restype = None
+    lib.lit_hist.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                             ctypes.c_int64, _i64p]
+    lib.lit_hist.restype = None
+    lib.rans_encode_lits.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, _u32p, _u32p,
+                                     ndpointer(np.uint64,
+                                               flags="C_CONTIGUOUS"),
+                                     _u32p, _i64p, _u16p]
+    lib.rans_encode_lits.restype = ctypes.c_int64
     lib.rans_decode_lits.argtypes = [_u32p, _u16p, _i64p, _u32p,
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int64, _u8p]
@@ -276,6 +285,26 @@ def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,
                                       lengths.astype(np.int64)),
                                   f32, c32, rcp, B, L, T, order,
                                   states, wcounts, words_cat)
+    return states, wcounts, words_cat[:total].copy()
+
+
+def lit_hist(lits: np.ndarray, n_lits: int, N: int, T: int) -> np.ndarray:
+    counts = np.zeros(17 * 4, np.int64)
+    _lib.lit_hist(np.ascontiguousarray(lits), n_lits, N, T, counts)
+    return counts
+
+
+def rans_encode_lits(lits: np.ndarray, n_lits: int, N: int, T: int,
+                     freq: np.ndarray, cum: np.ndarray):
+    f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
+    c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
+    rcp = np.empty(f32.shape[0], np.uint64)
+    _lib.build_rcp44(f32, f32.shape[0], rcp)
+    states = np.empty(N, np.uint32)
+    wcounts = np.empty(N, np.int64)
+    words_cat = np.empty(N * T, np.uint16)
+    total = _lib.rans_encode_lits(np.ascontiguousarray(lits), n_lits, N, T,
+                                  f32, c32, rcp, states, wcounts, words_cat)
     return states, wcounts, words_cat[:total].copy()
 
 

@@ -530,6 +530,79 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
     return off;
 }
 
+/* Literal-stream helpers: order-2 base-context histogram and encode
+ * with INLINE contexts (no sym/ctx grids), mirroring the lane layout of
+ * streams/seqs.py (_T_LIT-long lanes over the zero-padded literal
+ * stream; ctx 0 = padding past n_lits). */
+EXPORT void lit_hist(const uint8_t *lits, int64_t n_lits, int64_t N,
+                     int64_t T, int64_t *counts /* [17*4], zeroed */)
+{
+    for (int64_t lane = 0; lane < N; lane++) {
+        int64_t base = lane * T;
+        uint32_t p1 = 0, p2 = 0;
+        for (int64_t t = 0; t < T; t++) {
+            int64_t g = base + t;
+            uint32_t s = g < n_lits ? lits[g] : 0u;
+            uint32_t c = g < n_lits ? 1u + p1 * 4u + p2 : 0u;
+            counts[(int64_t)c * 4 + s]++;
+            p2 = p1;
+            p1 = s;
+        }
+    }
+}
+
+EXPORT int64_t rans_encode_lits(const uint8_t *lits, int64_t n_lits,
+                                int64_t N, int64_t T,
+                                const uint32_t *freq, const uint32_t *cum,
+                                const uint64_t *rcp, uint32_t *states,
+                                int64_t *wcounts, uint16_t *words_cat)
+{
+    int64_t off = 0;
+    enum { IL = 4 };
+    uint16_t tmp[IL][32768];
+    int64_t cnt[IL];
+    uint32_t x[IL];
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        for (int j = 0; j < nl; j++) {
+            x[j] = RANS_LOW;
+            cnt[j] = 0;
+        }
+        for (int64_t t = T - 1; t >= 0; t--) {
+            for (int j = 0; j < nl; j++) {
+                int64_t g = (n0 + j) * T + t;
+                uint32_t s = g < n_lits ? lits[g] : 0u;
+                uint32_t c = 0;
+                if (g < n_lits) {
+                    uint32_t p1 = t >= 1 && g - 1 < n_lits ? lits[g - 1]
+                                                           : 0u;
+                    uint32_t p2 = t >= 2 && g - 2 < n_lits ? lits[g - 2]
+                                                           : 0u;
+                    c = 1u + p1 * 4u + p2;
+                }
+                int64_t e = (int64_t)c * 4 + s;
+                uint32_t f = freq[e];
+                uint32_t cm = cum[e];
+                uint32_t xj = x[j];
+                if ((xj >> 20) >= f) {
+                    tmp[j][cnt[j]++] = (uint16_t)(xj & 0xFFFFu);
+                    xj >>= 16;
+                }
+                uint32_t q = div_rcp(xj, rcp[e]);
+                x[j] = (q << RANS_PROB_BITS) + (xj - q * f) + cm;
+            }
+        }
+        for (int j = 0; j < nl; j++) {
+            states[n0 + j] = x[j];
+            wcounts[n0 + j] = cnt[j];
+            for (int64_t i = 0; i < cnt[j]; i++)
+                words_cat[off + i] = tmp[j][cnt[j] - 1 - i];
+            off += cnt[j];
+        }
+    }
+    return off;
+}
+
 /* Literal-base rANS decode: order-2 base context (ctx = 1 + p1*4 + p2,
  * ctx 0 = tail padding past n_lits).  Mirrors the encode-side context
  * grid built in streams/seqs.py. */

@@ -362,7 +362,11 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
     reference's AC gets for free, recovered at negligible host cost).
     """
     if qual_map is not None:
-        qual = np.asarray(qual_map)[qual]
+        qual_map = np.asarray(qual_map)
+        # the lossless identity map is the common case: skip the 16MB
+        # remap gather entirely
+        if not np.array_equal(qual_map, np.arange(256, dtype=np.uint8)):
+            qual = qual_map[qual]
     B, L = qual.shape
     lengths = np.asarray(lengths)
     T = pick_T(B, L, T_target)

@@ -66,19 +66,41 @@ def _encode_lits_rans(lits: np.ndarray, n_lits: int):
     engine beats 2-bit packing whenever base composition or context
     structure is biased — real genomes, not the uniform synthetic).
 
+    The raw-pack-vs-rANS decision is made from the HISTOGRAM (static
+    -table entropy + coder overheads) before any encoding work, so
+    blocks where 2-bit packing wins (uniform genomes) never pay the
+    encoder; the rule is a pure function of block content, keeping
+    output bytes deterministic.
+
     Returns (freq u16 [17,4], states u32 [N], wcounts u16 [N],
-    words u16 [*]) or None when empty."""
+    words u16 [*]) or None when raw 2-bit packing is estimated smaller."""
     from scalce_tpu.models import entropy
     if n_lits == 0:
         return None
     N = (n_lits + _T_LIT - 1) // _T_LIT
-    flat = np.zeros(N * _T_LIT, np.uint8)
-    flat[:n_lits] = lits[:n_lits]
-    ctx = _lit_ctx_grid(flat, n_lits, N)
-    idx = ctx.astype(np.int64) * 4 + flat
-    counts = np.bincount(idx, minlength=_LIT_CTX * 4)
+    native_path = _NATIVE and hasattr(_native, "rans_encode_lits")
+    if native_path:
+        counts = _native.lit_hist(lits[:n_lits], n_lits, N, _T_LIT)
+    else:
+        flat = np.zeros(N * _T_LIT, np.uint8)
+        flat[:n_lits] = lits[:n_lits]
+        ctx = _lit_ctx_grid(flat, n_lits, N)
+        idx = ctx.astype(np.int64) * 4 + flat
+        counts = np.bincount(idx, minlength=_LIT_CTX * 4)
     freq, cum = entropy.host_normalize(counts, _LIT_CTX, 4)
-    if _NATIVE and hasattr(_native, "rans_encode_lanes"):
+    # estimated coded bytes: data bits at the normalized frequencies
+    # plus per-lane state/count overhead and the stored table
+    cs = counts.reshape(_LIT_CTX, 4)
+    fr = freq.reshape(_LIT_CTX, 4)
+    nz = (cs > 0) & (fr > 0)
+    bits = float((cs[nz] * (12.0 - np.log2(fr[nz]))).sum())
+    est = bits / 8.0 + N * 6 + freq.astype(np.uint16).nbytes
+    if est >= ((n_lits + 15) // 16) * 4:
+        return None
+    if native_path:
+        states, wcounts, words = _native.rans_encode_lits(
+            lits[:n_lits], n_lits, N, _T_LIT, freq, cum)
+    elif _NATIVE and hasattr(_native, "rans_encode_lanes"):
         states, wcounts, words = _native.rans_encode_lanes(
             flat, ctx, freq, cum, N, _T_LIT, 4)
     else:
@@ -174,19 +196,13 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
     else:
         lits = np.zeros(0, np.uint8)
     enc = _encode_lits_rans(lits, n_lits) if n_lits else None
-    packed_bytes = ((n_lits + 15) // 16) * 4
     if enc is not None:
         freq, states, wcounts, words = enc
-        rans_bytes = (words.nbytes + states.nbytes + wcounts.nbytes
-                      + len(freq.tobytes()))
-        if rans_bytes < packed_bytes:
-            arrays["lit_mode"] = np.asarray([1], np.uint8)
-            arrays["lit_freq"] = freq
-            arrays["lit_states"] = states
-            arrays["lit_counts"] = wcounts
-            arrays["lit_words"] = words
-        else:
-            enc = None
+        arrays["lit_mode"] = np.asarray([1], np.uint8)
+        arrays["lit_freq"] = freq
+        arrays["lit_states"] = states
+        arrays["lit_counts"] = wcounts
+        arrays["lit_words"] = words
     if enc is None:
         arrays["lit_mode"] = np.asarray([0], np.uint8)
         if "lit_packed" in delta:
@@ -198,11 +214,13 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
     # per-array codec levels (measured on the bench workload):
     #   lit_packed is entropy-coded 2-bit data — incompressible, stored
     #   raw (attempting it costs ~25 ms/block for nothing)
-    #   mask_bits is the big compressible one — pay a higher level there
+    #   mask_bits: zstd-9 vs zstd-3 is 333K vs 381K of a 2MB array but
+    #   89ms vs 10ms per block — the 0.6% size is not worth 15% of the
+    #   whole assemble budget
     #   perm is a near-random permutation — low level loses nothing
     return container.pack_arrays(
-        arrays, deflate={"mask_bits": 9, "shifts": 6, "pred_k": 6,
-                         "rc_bits": 6, "lengths": 3, "exc_pos": 3,
+        arrays, deflate={"mask_bits": 3, "shifts": 3, "pred_k": 3,
+                         "rc_bits": 3, "lengths": 3, "exc_pos": 3,
                          "exc_byte": 3, "perm": 3},
         level=level, backend=backend)
 
