@@ -137,6 +137,17 @@ def _bind() -> None:
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int64, _u8p]
     lib.rans_decode_lits.restype = None
+    lib.rc_flip_rows.argtypes = [_u8p, _i64p, _u8p, ctypes.c_int64,
+                                 ctypes.c_int64]
+    lib.rc_flip_rows.restype = None
+    lib.reconstruct_delta_checked.argtypes = [
+        _u8p, ndpointer(np.int16, flags="C_CONTIGUOUS"), _u8p, _u8p,
+        ctypes.c_int64, _i64p, ctypes.c_int64, ctypes.c_int64, _u8p]
+    lib.reconstruct_delta_checked.restype = ctypes.c_int64
+    lib.dec_lens_i64.argtypes = [_i64p, ctypes.c_int64, _i64p]
+    lib.dec_lens_i64.restype = None
+    lib.render_ints_i64.argtypes = [_i64p, ctypes.c_int64, _i64p, _u8p]
+    lib.render_ints_i64.restype = None
     _lib = lib
     AVAILABLE = True
 
@@ -199,6 +210,19 @@ def reconstruct_delta(mask_bits: np.ndarray, shifts: np.ndarray,
                            np.ascontiguousarray(lits),
                            np.ascontiguousarray(lens), len(lens), L,
                            out.reshape(-1))
+
+
+def reconstruct_delta_checked(mask_bits: np.ndarray, shifts: np.ndarray,
+                              pred_k: np.ndarray, lits: np.ndarray,
+                              lens: np.ndarray, L: int,
+                              out: np.ndarray) -> int:
+    """Checked variant: returns literals consumed, or -1 on any
+    out-of-bounds copy (caller raises on -1 or != n_lits)."""
+    return int(_lib.reconstruct_delta_checked(
+        np.ascontiguousarray(mask_bits), np.ascontiguousarray(shifts),
+        np.ascontiguousarray(pred_k), np.ascontiguousarray(lits),
+        lits.shape[0], np.ascontiguousarray(lens), len(lens), L,
+        out.reshape(-1)))
 
 
 def qual_sym_ctx_hist(qual: np.ndarray, lengths: np.ndarray, L: int,
@@ -331,6 +355,28 @@ def rans_decode_lanes(states: np.ndarray, words_cat: np.ndarray,
                            np.ascontiguousarray(lengths.astype(np.int64)),
                            B, L, T, order, qual)
     return qual.reshape(B, L)
+
+
+def rc_flip_rows(seq: np.ndarray, lens: np.ndarray,
+                 rc: np.ndarray) -> None:
+    """In-place reverse-complement of rows where rc[i] is set."""
+    n, L = seq.shape
+    _lib.rc_flip_rows(seq.reshape(-1), np.ascontiguousarray(
+        lens.astype(np.int64)), np.ascontiguousarray(
+        rc.astype(np.uint8)), n, L)
+
+
+def render_ints_i64(vals: np.ndarray):
+    """Non-negative int64 column -> (cat u8, offsets i64) decimal ASCII."""
+    v = np.ascontiguousarray(vals.astype(np.int64))
+    n = v.shape[0]
+    lens = np.empty(n, np.int64)
+    _lib.dec_lens_i64(v, n, lens)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    out = np.empty(int(offs[-1]), np.uint8)
+    _lib.render_ints_i64(v, n, offs, out)
+    return out, offs
 
 
 def render_fastq(bases: np.ndarray, qual: np.ndarray, lens: np.ndarray,

@@ -642,3 +642,101 @@ EXPORT void rans_decode_lits(const uint32_t *states,
         woff += wend;
     }
 }
+
+/* In-place reverse-complement of flagged rows: reads travel
+ * strand-canonical (rc flag per read); decode must flip them back to
+ * input orientation [SURVEY.md §1 item 6 pair-sync; qualities are never
+ * flipped].  Replaces a whole-block numpy take_along_axis that
+ * materialized int64 [B, L] index matrices.
+ */
+EXPORT void rc_flip_rows(uint8_t *seq, const int64_t *lens,
+                         const uint8_t *rc, int64_t n, int64_t L)
+{
+    for (int64_t i = 0; i < n; i++) {
+        if (!rc[i])
+            continue;
+        uint8_t *row = seq + i * L;
+        int64_t l = lens[i];
+        int64_t a = 0, b = l - 1;
+        while (a < b) {
+            uint8_t x = row[a], y = row[b];
+            row[a++] = (uint8_t)(3u - y);
+            row[b--] = (uint8_t)(3u - x);
+        }
+        if (a == b)
+            row[a] = (uint8_t)(3u - row[a]);
+    }
+}
+
+/* Decimal lengths of non-negative int64 values (name numeric columns
+ * are digit-only by construction — streams/names.py field classifier).
+ */
+EXPORT void dec_lens_i64(const int64_t *vals, int64_t n, int64_t *lens)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t v = vals[i];
+        int64_t l = 1;
+        while (v >= 10) {
+            v /= 10;
+            l++;
+        }
+        lens[i] = l;
+    }
+}
+
+/* Render non-negative int64 values as decimal ASCII at offs[i] (offsets
+ * precomputed from dec_lens_i64). */
+EXPORT void render_ints_i64(const int64_t *vals, int64_t n,
+                            const int64_t *offs, uint8_t *out)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t v = vals[i];
+        int64_t end = offs[i + 1];
+        uint8_t *p = out + end;
+        do {
+            *--p = (uint8_t)('0' + (v % 10));
+            v /= 10;
+        } while (v > 0);
+    }
+}
+
+/* reconstruct_delta with inline bounds validation — replaces the
+ * decode-side whole-matrix numpy pre-validation (unpackbits + five
+ * [n, L] passes) that dominated parse cost.  Returns the number of
+ * literals consumed, or -1 on any out-of-bounds copy (corrupt block:
+ * predecessor before block start, source column outside [0, L), or
+ * literal stream overrun).  The caller must verify the return equals
+ * n_lits (catches short/overlong literal streams).
+ */
+EXPORT int64_t reconstruct_delta_checked(
+    const uint8_t *mask_bits,  /* [n, L/8] */
+    const int16_t *shifts,     /* [n] */
+    const uint8_t *pred_k,     /* [n] */
+    const uint8_t *lits, int64_t n_lits,
+    const int64_t *lens, int64_t n, int64_t L,
+    uint8_t *out /* [>=n, L], zeroed */)
+{
+    int64_t stride = L / 8;
+    int64_t lit_off = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t l = lens[i];
+        const uint8_t *mb = mask_bits + i * stride;
+        int64_t pi = i - 1 - (int64_t)pred_k[i];
+        const uint8_t *prev = out + pi * L;
+        uint8_t *row = out + i * L;
+        int64_t sh = shifts[i];
+        for (int64_t j = 0; j < l; j++) {
+            if (mb[j >> 3] & (1u << (j & 7))) {
+                int64_t s = j + sh;
+                if (pi < 0 || s < 0 || s >= L)
+                    return -1;
+                row[j] = prev[s];
+            } else {
+                if (lit_off >= n_lits)
+                    return -1;
+                row[j] = lits[lit_off++];
+            }
+        }
+    }
+    return lit_off;
+}

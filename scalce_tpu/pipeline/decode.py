@@ -114,12 +114,17 @@ class BlockDecoder:
         if rc.any():
             # flip strand-canonicalized sequences back to input
             # orientation (qualities were never flipped)
-            col = np.arange(L)[None, :]
-            src = lengths[:, None] - 1 - col
-            safe = np.maximum(src, 0)
-            fseq = np.take_along_axis(seq, safe, axis=1)
-            fseq = np.where(src >= 0, 3 - fseq, 0).astype(np.uint8)
-            seq = np.where(rc[:, None], fseq, seq)
+            from scalce_tpu import native
+            if native.AVAILABLE:
+                seq = np.ascontiguousarray(seq)
+                native.rc_flip_rows(seq, lengths, rc)
+            else:
+                col = np.arange(L)[None, :]
+                src = lengths[:, None] - 1 - col
+                safe = np.maximum(src, 0)
+                fseq = np.take_along_axis(seq, safe, axis=1)
+                fseq = np.where(src >= 0, 3 - fseq, 0).astype(np.uint8)
+                seq = np.where(rc[:, None], fseq, seq)
 
         na = container.unpack_arrays(payloads["n"])
         n = int(na["n"][0])

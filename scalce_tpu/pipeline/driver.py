@@ -389,13 +389,16 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
             for pr in parsed_list:
                 starts.append(name_ctr[c])
                 name_ctr[c] += pr[2]
-            if len(group) == DECODE_GROUP:
+            if len(group) == DECODE_GROUP and decs[c].qual_on_device:
                 dev = decs[c].dispatch_quals(parsed_list,
                                              [x[1] for x in pe])
                 futs.append((c, pool.submit(finish_group, c, plist,
                                             parsed_list, dev, starts)))
             else:
-                # tail group: per-block single decode on workers
+                # host placement (or tail group): per-block decode on
+                # workers — grouping only exists to batch DEVICE quality
+                # scans; on the host path it would serialize the whole
+                # group inside one worker
                 for p, x, s in zip(plist, pe, starts):
                     futs.append((c, pool.submit(finish_single, c, p, x, s)))
         out_pending.append(futs)

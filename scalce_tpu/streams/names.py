@@ -176,6 +176,10 @@ def _render_ints(vals: np.ndarray) -> Ragged:
     n = len(vals)
     if n == 0:
         return Ragged(np.empty(0, np.uint8), np.zeros(1, np.int64))
+    from scalce_tpu import native
+    if native.AVAILABLE and vals.min() >= 0:
+        cat, off = native.render_ints_i64(vals)
+        return Ragged(cat, off)
     lens = np.char.str_len(vals.astype("U")).astype(np.int64)
     total = int(lens.sum())
     out = np.zeros(total, np.uint8)

@@ -233,7 +233,10 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     a = container.unpack_arrays(blob)
     n = int(a["n_reads"][0])
     n_lits = int(a["n_lits"][0])
-    _validate(a, n, B, L, n_lits)
+    # native path validates copy bounds INSIDE the reconstruction loop
+    # (reconstruct_delta_checked) — the whole-matrix numpy pre-checks
+    # are only needed for the unchecked numpy fallback
+    _validate(a, n, B, L, n_lits, deep=not _NATIVE)
     if int(a["lit_mode"][0]) if "lit_mode" in a else 0:
         lits = _decode_lits_rans(a, n_lits)
     else:
@@ -250,10 +253,16 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
         a["exc_byte"], a["perm"].astype(np.int64), rc
 
 
-def _validate(a, n: int, B: int, L: int, n_lits: int) -> None:
+def _validate(a, n: int, B: int, L: int, n_lits: int,
+              deep: bool = True) -> None:
     """Bounds-check container-supplied fields BEFORE they reach the
-    native reconstruction loop — a corrupt/truncated/malicious block
-    must raise, not write out of bounds."""
+    reconstruction loop — a corrupt/truncated/malicious block must
+    raise, not read/write out of bounds.
+
+    ``deep=False`` (native path) skips the O(n*L) matrix checks — the
+    checked native loop enforces copy bounds per element and the caller
+    verifies literal-count equality; only the cheap O(n) field checks
+    run here."""
     if not (0 <= n <= B):
         raise ValueError("corrupt .scalcer block: n_reads out of range")
     lens = a["lengths"].astype(np.int64)
@@ -277,32 +286,39 @@ def _validate(a, n: int, B: int, L: int, n_lits: int) -> None:
                          "of range")
     if lens.size and (lens.max() > L or lens.min() < 0):
         raise ValueError("corrupt .scalcer block: read length > max")
-    bits = np.unpackbits(a["mask_bits"], axis=1, bitorder="little")[:, :L]
-    rows = np.arange(n)
-    # a row that copies anything must have its predecessor INSIDE the
-    # block: source row = i - 1 - pred_k >= 0  <=>  pred_k < i
-    has_mask = bits.any(axis=1) if n else np.zeros(0, bool)
-    if n and ((pred_k < 0) | ((pred_k >= rows) & has_mask)).any():
-        raise ValueError("corrupt .scalcer block: predecessor before "
-                         "block start")
-    # every masked copy must read in-bounds of the predecessor row:
-    # 0 <= col + shift < L for all cols < len is over-strict (mask may
-    # not cover all cols), but |shift| < L is the safe envelope the
-    # native loop needs together with the mask bound below
     if n and (np.abs(shifts) >= L).any():
         raise ValueError("corrupt .scalcer block: shift out of range")
-    col = np.arange(L)[None, :]
-    if n and (bits & (col >= lens[:, None])).any():
-        raise ValueError("corrupt .scalcer block: mask past read length")
-    # masked source columns must be in-bounds
-    if n:
-        src = col + shifts[:, None]
-        if (bits & ((src < 0) | (src >= L))).any():
-            raise ValueError("corrupt .scalcer block: copy source out of "
-                             "bounds")
-    need = int(lens.sum() - bits.sum())
-    if n_lits != need or n_lits < 0:
-        raise ValueError("corrupt .scalcer block: literal count mismatch")
+    if deep:
+        bits = np.unpackbits(a["mask_bits"], axis=1,
+                             bitorder="little")[:, :L]
+        rows = np.arange(n)
+        # a row that copies anything must have its predecessor INSIDE
+        # the block: source row = i - 1 - pred_k >= 0  <=>  pred_k < i
+        has_mask = bits.any(axis=1) if n else np.zeros(0, bool)
+        if n and ((pred_k < 0) | ((pred_k >= rows) & has_mask)).any():
+            raise ValueError("corrupt .scalcer block: predecessor before "
+                             "block start")
+        col = np.arange(L)[None, :]
+        if n and (bits & (col >= lens[:, None])).any():
+            raise ValueError("corrupt .scalcer block: mask past read "
+                             "length")
+        # masked source columns must be in-bounds
+        if n:
+            src = col + shifts[:, None]
+            if (bits & ((src < 0) | (src >= L))).any():
+                raise ValueError("corrupt .scalcer block: copy source out "
+                                 "of bounds")
+        need = int(lens.sum() - bits.sum())
+        if n_lits != need or n_lits < 0:
+            raise ValueError("corrupt .scalcer block: literal count "
+                             "mismatch")
+    else:
+        # native path: per-element copy bounds + exact literal count are
+        # enforced inside reconstruct_delta_checked; only the allocation
+        # bound is needed before decoding the literal stream
+        if n_lits < 0 or n_lits > int(lens.sum()):
+            raise ValueError("corrupt .scalcer block: literal count "
+                             "mismatch")
     lit_mode = int(a["lit_mode"][0]) if "lit_mode" in a else 0
     if lit_mode == 0:
         if a["lit_packed"].shape[0] < (n_lits + 15) // 16:
@@ -326,10 +342,13 @@ def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,
     if n == 0:
         return
     if _NATIVE:
-        _native.reconstruct_delta(np.ascontiguousarray(mask_bits),
-                                  np.ascontiguousarray(shifts),
-                                  np.ascontiguousarray(pred_k),
-                                  np.ascontiguousarray(lits), lens, L, out)
+        got = _native.reconstruct_delta_checked(
+            np.ascontiguousarray(mask_bits), np.ascontiguousarray(shifts),
+            np.ascontiguousarray(pred_k), np.ascontiguousarray(lits),
+            lens, L, out)
+        if got != lits.shape[0]:
+            raise ValueError("corrupt .scalcer block: out-of-bounds copy "
+                             "or literal count mismatch")
         return
     # NumPy fallback: vectorized within each row, sequential across rows
     bits = np.unpackbits(mask_bits, axis=1, bitorder="little")[:, :L]
