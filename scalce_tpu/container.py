@@ -41,8 +41,10 @@ END_MAGIC = b"1UPTCLCS"
 #: bumped on any change to payload SEMANTICS, not just framing (v2:
 #: qualities stored in original orientation for rc reads; v3: zstd
 #: array codec added — v2 files remain readable)
-VERSION = 3
-_READABLE_VERSIONS = (2, 3)
+VERSION = 4            # v4: order-1 quality contexts use full prev1
+_READABLE_VERSIONS = (4,)   # older versions used a different quality
+                            # context map — decoding them with this code
+                            # would silently corrupt, so reject them
 _BLK = b"BLK0"
 _FTR = b"FTR0"
 

@@ -283,7 +283,7 @@ def delta_match(codes: np.ndarray, ck: np.ndarray, cp: np.ndarray,
 def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int):
     """One pass over the quality grid -> (counts_order1, counts_order2)."""
     B = len(lengths)
-    counts1 = np.zeros(201 * 94, np.int64)      # n_contexts(1) * N_SYMS
+    counts1 = np.zeros(761 * 94, np.int64)      # n_contexts(1) * N_SYMS
     counts2 = np.zeros(1401 * 94, np.int64)     # n_contexts(2) * N_SYMS
     _lib.qual_hist2(np.ascontiguousarray(qual).reshape(-1),
                     np.ascontiguousarray(lengths.astype(np.int64)),

@@ -185,7 +185,8 @@ EXPORT void render_fastq(const uint8_t *bases,      /* [B*L], already ASCII */
 #define Q_OFFSET 33
 #define Q_NSYMS 94
 #define Q_POS_BUCKETS 8
-#define Q_PREV_LEVELS 24
+#define Q_PREV_LEVELS 24       /* order-2 prev1 quantization (>> 2) */
+#define Q_PREV1_FULL 94        /* order-1 full prev1 */
 #define Q_PREV2_LEVELS 7
 #define RANS_PROB_BITS 12
 #define RANS_M (1u << RANS_PROB_BITS)
@@ -194,16 +195,24 @@ EXPORT void render_fastq(const uint8_t *bases,      /* [B*L], already ASCII */
 static inline uint32_t q_ctx(uint32_t prev1, uint32_t prev2, uint32_t pb,
                              int c0, int c1, int valid, int order)
 {
-    uint32_t pq = c0 ? (uint32_t)Q_PREV_LEVELS
-                     : ((prev1 >> 2) < Q_PREV_LEVELS - 1 ? (prev1 >> 2)
-                                                         : Q_PREV_LEVELS - 1);
-    uint32_t ctx = pb * (uint32_t)(Q_PREV_LEVELS + 1) + pq;
+    uint32_t ctx;
     if (order == 2) {
+        uint32_t pq = c0 ? (uint32_t)Q_PREV_LEVELS
+                         : ((prev1 >> 2) < Q_PREV_LEVELS - 1
+                                ? (prev1 >> 2) : Q_PREV_LEVELS - 1);
+        ctx = pb * (uint32_t)(Q_PREV_LEVELS + 1) + pq;
         uint32_t p2 = (c0 || c1) ? (uint32_t)(Q_PREV2_LEVELS - 1)
                                  : ((prev2 >> 4) < Q_PREV2_LEVELS - 2
                                         ? (prev2 >> 4)
                                         : Q_PREV2_LEVELS - 2);
         ctx = ctx * (uint32_t)Q_PREV2_LEVELS + p2;
+    } else {
+        /* order 1: FULL previous symbol (+ start sentinel) — see
+         * streams/qualities.py _PREV1_FULL for the rationale */
+        uint32_t pq = c0 ? (uint32_t)Q_PREV1_FULL
+                         : (prev1 < Q_PREV1_FULL - 1 ? prev1
+                                                     : Q_PREV1_FULL - 1);
+        ctx = pb * (uint32_t)(Q_PREV1_FULL + 1) + pq;
     }
     return valid ? ctx + 1u : 0u;
 }

@@ -41,13 +41,21 @@ from scalce_tpu.ops.bitops import U32
 N_SYMS = 94          # printable FASTQ quality range
 QUAL_OFFSET = 33
 _POS_BUCKETS = 8
-_PREV_LEVELS = 24    # prev_sym >> 2, clipped
+_PREV1_FULL = 94     # order-1: UNQUANTIZED prev symbol (+ start sentinel).
+                     # On serially-correlated qualities (every real
+                     # instrument) quantizing prev1 merges exactly the
+                     # most likely next values — full prev1 is worth ~6%
+                     # of the stream (EXPERIMENTS.md); the o1 decode LUT
+                     # stays a manageable 761*4096*4B = 12.5MB
+_PREV_LEVELS = 24    # order-2 prev_sym >> 2, clipped (full prev1 x prev2
+                     # would need an 87MB decode LUT for <0.2% gain)
 _PREV2_LEVELS = 7    # prev2_sym >> 4 (6 levels) + start sentinel
 
 
 def n_contexts(order: int) -> int:
-    base = _POS_BUCKETS * (_PREV_LEVELS + 1)
-    return 1 + (base if order == 1 else base * _PREV2_LEVELS)
+    if order == 1:
+        return 1 + _POS_BUCKETS * (_PREV1_FULL + 1)
+    return 1 + _POS_BUCKETS * (_PREV_LEVELS + 1) * _PREV2_LEVELS
 
 
 def pick_T(B: int, L: int, target: int = 1024) -> int:
@@ -67,13 +75,17 @@ def _pos_bucket(col: jnp.ndarray) -> jnp.ndarray:
 def _ctx_from(prev1: jnp.ndarray, prev2: jnp.ndarray, pb: jnp.ndarray,
               c0, c1, valid: jnp.ndarray, order: int) -> jnp.ndarray:
     """The one context function used by both encode grid and decode scan."""
-    pq = jnp.where(c0, U32(_PREV_LEVELS),
-                   jnp.minimum(prev1 >> 2, _PREV_LEVELS - 1))
-    ctx = pb * U32(_PREV_LEVELS + 1) + pq
     if order == 2:
+        pq = jnp.where(c0, U32(_PREV_LEVELS),
+                       jnp.minimum(prev1 >> 2, _PREV_LEVELS - 1))
+        ctx = pb * U32(_PREV_LEVELS + 1) + pq
         p2 = jnp.where(c0 | c1, U32(_PREV2_LEVELS - 1),
                        jnp.minimum(prev2 >> 4, _PREV2_LEVELS - 2))
         ctx = ctx * U32(_PREV2_LEVELS) + p2
+    else:
+        pq = jnp.where(c0, U32(_PREV1_FULL),
+                       jnp.minimum(prev1, _PREV1_FULL - 1))
+        ctx = pb * U32(_PREV1_FULL + 1) + pq
     return jnp.where(valid, ctx + U32(1), U32(0))
 
 
@@ -325,14 +337,19 @@ except Exception:  # pragma: no cover
 
 def _ctx_from_np(prev1, prev2, pb, c0, c1, valid, order: int) -> np.ndarray:
     """NumPy mirror of :func:`_ctx_from` (integer ops only)."""
-    pq = np.where(c0, np.uint32(_PREV_LEVELS),
-                  np.minimum(prev1 >> 2, _PREV_LEVELS - 1)).astype(np.uint32)
-    ctx = pb.astype(np.uint32) * np.uint32(_PREV_LEVELS + 1) + pq
     if order == 2:
+        pq = np.where(c0, np.uint32(_PREV_LEVELS),
+                      np.minimum(prev1 >> 2, _PREV_LEVELS - 1)
+                      ).astype(np.uint32)
+        ctx = pb.astype(np.uint32) * np.uint32(_PREV_LEVELS + 1) + pq
         p2 = np.where(c0 | c1, np.uint32(_PREV2_LEVELS - 1),
                       np.minimum(prev2 >> 4, _PREV2_LEVELS - 2)
                       ).astype(np.uint32)
         ctx = ctx * np.uint32(_PREV2_LEVELS) + p2
+    else:
+        pq = np.where(c0, np.uint32(_PREV1_FULL),
+                      np.minimum(prev1, _PREV1_FULL - 1)).astype(np.uint32)
+        ctx = pb.astype(np.uint32) * np.uint32(_PREV1_FULL + 1) + pq
     return np.where(valid, ctx + np.uint32(1), np.uint32(0))
 
 

@@ -72,9 +72,34 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
         bases = np.where(nmask, np.uint8(ord("N")), bases)
 
     if qual_model == "illumina":
+        # Pre-binning Illumina structure: position-dependent mean with
+        # 3'-end degradation, a per-read quality offset (good/bad
+        # clusters), an AR(1) walk along the read (serial correlation —
+        # what the reference's adaptive order-k AC exploits), and rare
+        # low-quality bursts.  iid noise would make qualities
+        # memoryless given position, which no real instrument is.
         pos_mean = 38.0 - 12.0 * (np.arange(L) / max(L - 1, 1)) ** 2
-        q = np.clip(pos_mean[None, :] + rng.normal(0, 3, size=(n_reads, L)),
-                    2, 40)
+        read_off = rng.normal(0, 2.0, size=(n_reads, 1))
+        rho = 0.85
+        # AR walk transposed ([L, n]) so each step is a contiguous row
+        innov = rng.normal(0, 3.0 * np.sqrt(1 - rho * rho),
+                           size=(L, n_reads))
+        e = np.empty((L, n_reads))
+        e[0] = innov[0] / np.sqrt(1 - rho * rho)
+        for j in range(1, L):
+            np.multiply(e[j - 1], rho, out=e[j])
+            e[j] += innov[j]
+        q = pos_mean[None, :] + read_off + e.T
+        # bursts: ~2% of reads get one 5-20bp stretch pulled toward Q2
+        n_burst = int(n_reads * 0.02)
+        if n_burst:
+            rows = rng.choice(n_reads, size=n_burst, replace=False)
+            bstart = rng.integers(0, max(L - 5, 1), size=n_burst)
+            blen = rng.integers(5, 21, size=n_burst)
+            bcol = np.arange(L)[None, :]
+            hit = (bcol >= bstart[:, None]) & (bcol < (bstart + blen)[:, None])
+            q[rows] = np.where(hit, q[rows] - 25.0, q[rows])
+        q = np.clip(q, 2, 40)
         qual = (q.astype(np.int64) + 33).astype(np.uint8)
     elif qual_model == "binned":
         # modern Illumina bins: {2, 12, 23, 37}, heavily skewed to Q37

@@ -193,25 +193,36 @@ def test_pallas_encode_matches_xla_scan():
                                   np.asarray(words_ref)[e])
 
 
-def test_order2_wins_on_correlated_quals():
-    """Order-2 contexts must beat order-1 on serially-correlated quality
-    data (the regime where the reference's higher-order adaptive AC
-    earns its keep)."""
+def test_contexts_win_on_correlated_quals():
+    """Previous-symbol contexts must exploit serial correlation (the
+    regime where the reference's higher-order adaptive AC earns its
+    keep): the same values shuffled within each read must cost far more
+    than the correlated original, and the auto-selected order must not
+    lose to either fixed order."""
     rng = np.random.default_rng(11)
     B, L = 4096, 100
     lengths = np.full(B, L, np.int32)
-    # AR(1)-style: quality walks slowly -> prev two symbols are highly
+    # AR(1)-style: quality walks slowly -> prev symbol is highly
     # informative
     steps = rng.integers(-1, 2, size=(B, L))
     q = np.clip(35 + np.cumsum(steps, axis=1), 2, 60)
     qual = (q + 33).astype(np.uint8)
+    shuf = qual.copy()
+    rng.permuted(shuf, axis=1, out=shuf)
     sizes = {}
     for order in (1, 2):
         enc = qualities.encode(qual, lengths, order=order)
         sizes[order] = enc.payload_bytes()
         dec = qualities.decode(enc, lengths)
         np.testing.assert_array_equal(dec, qual)
-    assert sizes[2] < sizes[1], sizes
+    sz_shuf = qualities.encode(shuf, lengths, order=1).payload_bytes()
+    assert min(sizes.values()) < 0.6 * sz_shuf, (sizes, sz_shuf)
+    # host auto-selection (order=0) must match the better fixed order
+    enc_auto = qualities.encode_host(qual, lengths, order=0)
+    assert enc_auto.payload_bytes() <= min(sizes.values()) * 1.01, \
+        (enc_auto.payload_bytes(), sizes)
+    np.testing.assert_array_equal(
+        qualities.decode_host(enc_auto, lengths), qual)
 
 
 @pytest.mark.parametrize("order", [1, 2])
