@@ -315,7 +315,8 @@ class TripletWriter:
     """
 
     def __init__(self, prefix: str, meta: Dict, part_size: int = 0,
-                 mate: Optional[int] = None, resume: bool = False):
+                 mate: Optional[int] = None, resume: bool = False,
+                 keep_only: Optional[set] = None):
         self.prefix = prefix
         self.meta = meta
         self.part_size = part_size
@@ -324,11 +325,19 @@ class TripletWriter:
         self.parts_written: List[int] = []
         self.existing_blocks: set = set()
         if resume and os.path.exists(part_paths(prefix, 0, mate)["r"]):
-            self._resume()
+            self._resume(keep_only)
         else:
             self._open_part()
 
-    def _resume(self) -> None:
+    def _resume(self, keep_only: Optional[set] = None) -> None:
+        """Scan existing parts, truncate any torn tail, reopen for append.
+
+        ``keep_only`` (asymmetric paired resume): treat any block id NOT
+        in the set as torn — the durable prefix stops at the first such
+        block, files are truncated there, and later part files are
+        deleted.  Used when a crash split the two mates mid-pair: both
+        writers re-truncate to the intersection of their durable blocks.
+        """
         # completed parts (footer present in all three) stand as-is
         part = 0
         while True:
@@ -343,9 +352,16 @@ class TripletWriter:
             while common and not all(i[:common] == ids[0][:common]
                                      for i in ids):
                 common -= 1
+            if keep_only is not None:
+                cut = 0
+                while cut < common and ids[0][cut] in keep_only:
+                    cut += 1
+                common = cut
             for bid in ids[0][:common]:
                 self.existing_blocks.add(bid)
-            if all(s[3] for s in scans.values()):   # footers everywhere
+            intact = all(s[3] for s in scans.values()) and \
+                all(len(i) == common for i in ids)
+            if intact:                               # footers + nothing cut
                 self.parts_written.append(part)
                 part += 1
                 continue
@@ -366,10 +382,32 @@ class TripletWriter:
                 w.n_records = sum(b.n_records for b in blocks)
                 self.writers[k] = w
             self.parts_written.append(part)
+            self._unlink_parts_after(part)
             return
         # every part completed — open a fresh next part
         self.part = part + 1 if self.parts_written else 0
         self._open_part()
+
+    def _unlink_parts_after(self, part: int) -> None:
+        """Delete orphan part files past the active part (asymmetric
+        truncation can cut into an earlier part than the crash did)."""
+        nxt = part + 1
+        while True:
+            paths = part_paths(self.prefix, nxt, self.mate)
+            if not os.path.exists(paths["r"]):
+                return
+            for p in paths.values():
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            nxt += 1
+
+    def abort(self) -> None:
+        """Close file handles WITHOUT writing footers (the caller is
+        about to re-truncate and reopen via a fresh resume)."""
+        for w in self.writers.values():
+            w._f.close()
 
     def _open_part(self) -> None:
         paths = part_paths(self.prefix, self.part, self.mate)

@@ -289,10 +289,18 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     w2 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=2,
                                  resume=cfg.resume)
     if cfg.resume and w1.existing_blocks != w2.existing_blocks:
-        raise ValueError(
-            "--resume: the two mates' outputs hold different durable "
-            "blocks (crash split them mid-pair); delete the outputs and "
-            "re-run without --resume")
+        # asymmetric truncation: the crash split the mates mid-pair
+        # (one mate's block became durable, the other's didn't) —
+        # re-truncate BOTH outputs to the intersection so the pair-sync
+        # invariant holds, then encode onward from there
+        common = w1.existing_blocks & w2.existing_blocks
+        w1.abort()
+        w2.abort()
+        w1 = container.TripletWriter(out_prefix, meta, part_size=psize,
+                                     mate=1, resume=True, keep_only=common)
+        w2 = container.TripletWriter(out_prefix, meta, part_size=psize,
+                                     mate=2, resume=True, keep_only=common)
+        assert w1.existing_blocks == w2.existing_blocks == common
     from scalce_tpu.parallel.merge import owns_block
     owned = (p for p in itertools.chain(buffered, block_iter)
              if owns_block(p[0].block_id, cfg.host_id, cfg.n_hosts)

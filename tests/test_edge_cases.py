@@ -151,6 +151,67 @@ def test_paired_resume(tmp_path):
     assert (tmp_path / "d_2.fastq").read_bytes() == b
 
 
+def test_paired_resume_asymmetric(tmp_path):
+    """A crash can make a block durable in ONE mate only.  Resume must
+    re-truncate BOTH mates to the intersection of their durable blocks
+    (pair-sync invariant) and re-encode onward — including cutting into
+    a completed, footered part."""
+    from scalce_tpu.utils.synth import synth_pair
+    a, b = synth_pair(3000, 100, seed=93)
+    p1, p2 = tmp_path / "a.fastq", tmp_path / "b.fastq"
+    p1.write_bytes(a)
+    p2.write_bytes(b)
+    base = dict(mode="compress", inputs=(str(p1), str(p2)), paired=True,
+                block_reads=1 << 10, output=str(tmp_path / "o"))
+    driver.compress(Config(**base))
+    # tear ONLY mate 2 (mate 1 keeps its complete footered part)
+    for ext in (".scalcen", ".scalcer", ".scalceq"):
+        p = tmp_path / f"o.00_2{ext}"
+        p.write_bytes(p.read_bytes()[:-50])
+    st = driver.compress(Config(resume=True, **base))
+    assert 0 < st.n_blocks < 3            # some blocks survived, some redone
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "o.00_1.scalcen"),),
+                  output=str(tmp_path / "d"), block_reads=1 << 10,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d_1.fastq").read_bytes() == a
+    assert (tmp_path / "d_2.fastq").read_bytes() == b
+
+
+def test_paired_resume_asymmetric_parts(tmp_path):
+    """Asymmetric resume across part boundaries: the cut can orphan a
+    whole later part, which must be deleted, not left to confuse a
+    future reader."""
+    from scalce_tpu.utils.synth import synth_pair
+    a, b = synth_pair(4000, 100, seed=94)
+    p1, p2 = tmp_path / "a.fastq", tmp_path / "b.fastq"
+    p1.write_bytes(a)
+    p2.write_bytes(b)
+    base = dict(mode="compress", inputs=(str(p1), str(p2)), paired=True,
+                block_reads=1 << 10, part_size=100_000,
+                output=str(tmp_path / "o"))
+    driver.compress(Config(**base))
+    parts1 = sorted(p.name for p in tmp_path.glob("o.*_1.scalcen"))
+    assert len(parts1) >= 2, parts1
+    # destroy mate 2 back to its FIRST part's first block: truncate every
+    # later part away and tear part 0
+    for p in tmp_path.glob("o.*_2.scalce?"):
+        if not p.name.startswith("o.00"):
+            p.unlink()
+    for ext in (".scalcen", ".scalcer", ".scalceq"):
+        p = tmp_path / f"o.00_2{ext}"
+        p.write_bytes(p.read_bytes()[:-50])
+    driver.compress(Config(resume=True, **base))
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "o.00_1.scalcen"),),
+                  output=str(tmp_path / "d"), block_reads=1 << 10,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d_1.fastq").read_bytes() == a
+    assert (tmp_path / "d_2.fastq").read_bytes() == b
+
+
 def test_long_reads_512(tmp_path):
     """Longer-read platforms: 300-500bp reads under --max-read-len 512
     (in-read windows keep core matching local; SURVEY.md §6 long reads)."""
