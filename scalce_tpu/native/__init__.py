@@ -106,6 +106,15 @@ def _bind() -> None:
                                 ndpointer(np.int16, flags="C_CONTIGUOUS"),
                                 _u8p, _u8p]
     lib.delta_match.restype = ctypes.c_int64
+    lib.delta_match_runs.argtypes = [_u8p, _u8p,
+                                     ndpointer(np.int32,
+                                               flags="C_CONTIGUOUS"),
+                                     _i64p, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, _u8p,
+                                     ndpointer(np.int16,
+                                               flags="C_CONTIGUOUS"),
+                                     _u8p, _u8p]
+    lib.delta_match_runs.restype = ctypes.c_int64
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                ctypes.c_int64, _i64p, _i64p]
     lib.qual_hist2.restype = None
@@ -277,6 +286,25 @@ def delta_match(codes: np.ndarray, ck: np.ndarray, cp: np.ndarray,
                               np.ascontiguousarray(lens.astype(np.int64)),
                               n, L, K, mask_bits.reshape(-1), shifts,
                               pred_k, lits)
+    return mask_bits, shifts, pred_k, lits[:n_lits].copy()
+
+
+def delta_match_runs(codes: np.ndarray, bnd: np.ndarray, cp: np.ndarray,
+                     lens: np.ndarray, K: int = 4):
+    """``delta_match`` with bucket runs given as boundary BITS (bnd u8
+    [n], 1 = first row of its bucket run / NO_CORE row) instead of core
+    ids — the slim-download variant for the sorted mate-1 frame."""
+    n, L = codes.shape
+    mask_bits = np.empty((n, L // 8), np.uint8)
+    shifts = np.empty(n, np.int16)
+    pred_k = np.empty(n, np.uint8)
+    lits = np.empty(n * L, np.uint8)
+    n_lits = _lib.delta_match_runs(
+        np.ascontiguousarray(codes).reshape(-1),
+        np.ascontiguousarray(bnd.astype(np.uint8)),
+        np.ascontiguousarray(cp.astype(np.int32)),
+        np.ascontiguousarray(lens.astype(np.int64)),
+        n, L, K, mask_bits.reshape(-1), shifts, pred_k, lits)
     return mask_bits, shifts, pred_k, lits[:n_lits].copy()
 
 

@@ -402,6 +402,67 @@ EXPORT int64_t delta_match(const uint8_t *codes, const uint32_t *ck,
     return n_lits;
 }
 
+/* delta_match over RUN-ENCODED buckets: bnd[i]=1 marks the first row
+ * of a bucket run (equal core) in the SORTED mate-1 order; NO_CORE
+ * rows carry bnd=1 so they never match a predecessor.  Replaces the
+ * 4-byte core id per read with one bit in the device download buffer.
+ * Candidate set is identical to delta_match's whenever bnd is derived
+ * from ck over sorted runs (equal cores are contiguous after the
+ * bucket sort), so outputs are byte-identical — pinned by test. */
+EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
+                                const int32_t *cp, const int64_t *lens,
+                                int64_t n, int64_t L, int64_t K,
+                                uint8_t *mask_bits, int16_t *shifts,
+                                uint8_t *pred_k, uint8_t *lits)
+{
+    int64_t stride = L / 8;
+    int64_t n_lits = 0;
+    int64_t runstart = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (bnd[i])
+            runstart = i;
+        int64_t len_i = lens[i];
+        const uint8_t *ci = codes + i * L;
+        int32_t best_count = -1, best_shift = 0, best_k = 0;
+        for (int64_t k = 1; k <= K && i - k >= runstart; k++) {
+            int64_t j = i - k;
+            int32_t sh = cp[j] - cp[i];
+            int64_t c0 = sh < 0 ? -sh : 0;
+            int64_t c1 = lens[j] - sh < len_i ? lens[j] - sh : len_i;
+            int32_t cnt = 0;
+            const uint8_t *cj = codes + j * L + sh;
+            for (int64_t col = c0; col < c1; col++)
+                cnt += ci[col] == cj[col];
+            if (cnt > best_count) {
+                best_count = cnt;
+                best_shift = sh;
+                best_k = (int32_t)(k - 1);
+            }
+        }
+        shifts[i] = (int16_t)best_shift;
+        pred_k[i] = (uint8_t)best_k;
+        uint8_t *mb = mask_bits + i * stride;
+        memset(mb, 0, (size_t)stride);
+        if (best_count < 0) {                /* whole row is literal */
+            for (int64_t col = 0; col < len_i; col++)
+                lits[n_lits++] = ci[col];
+            continue;
+        }
+        int64_t j = i - 1 - best_k;
+        int64_t c0 = best_shift < 0 ? -best_shift : 0;
+        int64_t c1 = lens[j] - best_shift < len_i ? lens[j] - best_shift
+                                                  : len_i;
+        const uint8_t *cj = codes + j * L + best_shift;
+        for (int64_t col = 0; col < len_i; col++) {
+            int m = col >= c0 && col < c1 && ci[col] == cj[col];
+            mb[col >> 3] |= (uint8_t)(m << (col & 7));
+            if (!m)
+                lits[n_lits++] = ci[col];
+        }
+    }
+    return n_lits;
+}
+
 /* Dual-order histogram in ONE pass over the quality grid: the order-0
  * (auto) mode needs both order-1 and order-2 (ctx,sym) histograms to
  * trial their coded cost; walking the 13MB-per-block grid once instead

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from scalce_tpu.ops.bitops import U32, U32_MAX, mix32, pack_bases_u32
@@ -110,6 +111,36 @@ def reverse_complement(codes: jnp.ndarray, lengths: jnp.ndarray
     return jnp.where(valid, 3 - flipped, 0).astype(jnp.uint8)
 
 
+def _shift_left_cols(arr: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """``out[:, j] = arr[:, j + s]`` (zeros shifted in), ``s`` a traced
+    scalar in [0, L].  One pad + one contiguous ``dynamic_slice`` — the
+    building block of the uniform-length fast paths below (a [B, L]
+    ``take_along_axis`` costs ~200 ms/13M elements on the tunnel TPU;
+    this is ~2 ms)."""
+    B, L = arr.shape
+    padded = jnp.concatenate([arr, jnp.zeros((B, L), arr.dtype)], axis=1)
+    return jax.lax.dynamic_slice(padded, (jnp.int32(0), s.astype(jnp.int32)),
+                                 (B, L))
+
+
+def _flip_uniform(arr: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
+    """Row reversal within the common length ``l`` (traced scalar) when
+    EVERY row has length l: full static flip + global column shift.
+    Identical values to the per-row gather formulation."""
+    L = arr.shape[1]
+    return _shift_left_cols(arr[:, ::-1], jnp.int32(L) - l.astype(jnp.int32))
+
+
+def reverse_complement_uniform(codes: jnp.ndarray, l: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """``reverse_complement`` for blocks whose reads all share length
+    ``l`` (the overwhelmingly common FASTQ shape): gather-free."""
+    L = codes.shape[1]
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    flipped = _flip_uniform(codes, l)
+    return jnp.where(col < l, 3 - flipped, 0).astype(jnp.uint8)
+
+
 def revcomp_kmer(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     """Reverse-complement of 2-bit-packed k-mers, bit-twiddled in place.
 
@@ -128,7 +159,8 @@ def revcomp_kmer(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
                          exc: jnp.ndarray, k: int, seed: int,
-                         rank_lut: Optional[jnp.ndarray] = None):
+                         rank_lut: Optional[jnp.ndarray] = None,
+                         uniform: bool = False):
     """Core selection over BOTH strands.
 
     Returns (core_kmer, core_pos, is_rc, codes_oriented, exc_oriented):
@@ -138,6 +170,12 @@ def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
     One rolling pass serves both strands: the RC read's k-mer at RC
     position p' equals ``revcomp_kmer`` of the forward k-mer at
     ``len - k - p'``, and window validity is mirror-symmetric.
+
+    uniform: STATIC flag the caller sets when every read in the block
+    has the same length (checked on host).  Selects a gather-free
+    orientation path (flip + dynamic_slice) producing bit-identical
+    results — per-element [B, L] gathers are ~100x slower than a
+    contiguous copy on the tunnel-attached TPU.
     """
     B, L = codes.shape
     kmers = rolling_kmers(codes, k)
@@ -172,11 +210,17 @@ def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
     cp = jnp.where(best == U32_MAX, 0,
                    jnp.where(use_rc, pr, pf)).astype(jnp.int32)
     use_rc = use_rc & (best != U32_MAX)
-    rc_codes = reverse_complement(codes, lengths)
-    codes_o = jnp.where(use_rc[:, None], rc_codes, codes)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
-    src = jnp.maximum(lengths[:, None] - 1 - col, 0)
-    exc_rc = jnp.take_along_axis(exc, src, axis=1) & (col < lengths[:, None])
+    if uniform:
+        l = lengths[0]
+        rc_codes = reverse_complement_uniform(codes, l)
+        exc_rc = _flip_uniform(exc, l) & (col < l)
+    else:
+        rc_codes = reverse_complement(codes, lengths)
+        src = jnp.maximum(lengths[:, None] - 1 - col, 0)
+        exc_rc = jnp.take_along_axis(exc, src, axis=1) \
+            & (col < lengths[:, None])
+    codes_o = jnp.where(use_rc[:, None], rc_codes, codes)
     exc_o = jnp.where(use_rc[:, None], exc_rc, exc)
     return ck, cp, use_rc, codes_o, exc_o
 
@@ -202,13 +246,37 @@ def build_sort_keys(codes: jnp.ndarray, lengths: jnp.ndarray,
     every real read.
     """
     B, L = codes.shape
-    pos = jnp.arange(16 * suffix_words, dtype=jnp.int32)[None, :]
-    idx = core_pos[:, None] + pos
-    valid = idx < lengths[:, None]
-    gathered = jnp.take_along_axis(codes, jnp.minimum(idx, L - 1).astype(
-        jnp.int32), axis=1)
-    gathered = jnp.where(valid, gathered, 0).astype(jnp.uint8)
-    suffix = pack_bases_u32(gathered, axis=1)      # [B, suffix_words]
+    # Suffix extraction works on the 2-bit PACKED rows with word-level
+    # funnel shifts: a [B, 16*suffix_words] per-element gather costs
+    # ~15 ns/element on the tunnel TPU (~60 ms/block); gathering
+    # suffix_words+1 u32 words per row and bit-shifting is ~20x cheaper.
+    # Bit-identical to packing a per-base gather: bases at
+    # idx >= lengths are masked to 0 before packing either way.
+    if L % 16:                 # config pins L%16==0; pad for odd tests
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((B, 16 - L % 16), codes.dtype)], axis=1)
+    words = pack_bases_u32(codes, axis=1)          # [B, W] big-endian
+    W = words.shape[1]
+    pad = jnp.zeros((B, suffix_words + 1), U32)
+    words_p = jnp.concatenate([words, pad], axis=1)
+    w0 = (core_pos >> 4).astype(jnp.int32)         # first word index
+    s = (2 * (core_pos & 15)).astype(U32)          # bit offset (0..30)
+    widx = w0[:, None] + jnp.arange(suffix_words + 1,
+                                    dtype=jnp.int32)[None, :]
+    g = jnp.take_along_axis(words_p, widx, axis=1)  # [B, sw+1]
+    a, b = g[:, :-1], g[:, 1:]
+    lo = jnp.where(s[:, None] == 0, U32(0),
+                   b >> (U32(32) - s[:, None]))     # s=0 lane discarded
+    suffix = (a << s[:, None]) | lo                 # [B, suffix_words]
+    # zero bases past each read's length: keep the top 2v bits of word j
+    # where v = #valid bases from core_pos + 16j
+    j16 = 16 * jnp.arange(suffix_words, dtype=jnp.int32)[None, :]
+    v = jnp.clip(lengths[:, None] - core_pos[:, None] - j16, 0, 16)
+    full = jnp.uint32(0xFFFFFFFF)
+    keep = jnp.where(v <= 0, U32(0),
+                     jnp.where(v >= 16, full,
+                               full << (U32(32) - 2 * v.astype(U32))))
+    suffix = suffix & keep
 
     row = jnp.arange(B, dtype=U32)
     pad = row >= n_reads.astype(U32)

@@ -32,7 +32,8 @@ def local_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def _block_stage1(seq, qual, lengths, n_reads, exc_mask, qual_map,
-                  rank_lut, k: int, seed: int, order: int):
+                  rank_lut, k: int, seed: int, order: int,
+                  uniform: bool = False):
     """Single-block encode stage (the body shard_map maps over blocks);
     delegates to the same core as the single-device pipeline.  rank_lut
     is the replicated explicit dictionary (single-entry sentinel selects
@@ -41,19 +42,22 @@ def _block_stage1(seq, qual, lengths, n_reads, exc_mask, qual_map,
     from scalce_tpu.pipeline.encode import _encode_core
     return _encode_core(seq, pack_bases_u32(seq, axis=1), qual, lengths,
                         n_reads, exc_mask, qual_map, rank_lut,
-                        k, seed, order)
+                        k, seed, order, uniform=uniform)
 
 
 def _block_stage_mate2(seq, qual, lengths, n_reads, exc_mask, perm,
-                       qual_map, rank_lut, k: int, seed: int, order: int):
+                       qual_map, rank_lut, k: int, seed: int, order: int,
+                       uniform: bool = False):
     """Mate-2 stage: follow mate 1's permutation (paired-end sync under
     --data-parallel; SURVEY.md §2 "Paired-end sync")."""
     from scalce_tpu.pipeline.encode import _encode_core_mate2
     return _encode_core_mate2(seq, qual, lengths, n_reads, exc_mask,
-                              perm, qual_map, rank_lut, k, seed, order)
+                              perm, qual_map, rank_lut, k, seed, order,
+                              uniform=uniform)
 
 
-def make_sharded_stage1_nq(mesh: Mesh, k: int, seed: int):
+def make_sharded_stage1_nq(mesh: Mesh, k: int, seed: int,
+                           uniform: bool = False):
     """Host-quality placement: sharded sequence-side stage (no quality
     upload — the largest H2D transfer stays on the host)."""
     from scalce_tpu.pipeline.encode import _encode_core_nq
@@ -64,14 +68,15 @@ def make_sharded_stage1_nq(mesh: Mesh, k: int, seed: int):
              in_specs=(dspec, dspec, dspec, dspec, rspec),
              out_specs=(dspec,) * 3)
     def stage1(seq, lengths, n_reads, exc_mask, rank_lut):
-        f = partial(_encode_core_nq, k=k, seed=seed)
+        f = partial(_encode_core_nq, k=k, seed=seed, uniform=uniform)
         return jax.vmap(f, in_axes=(0, 0, 0, 0, None))(
             seq, lengths, n_reads, exc_mask, rank_lut)
 
     return jax.jit(stage1)
 
 
-def make_sharded_stage1_hd(mesh: Mesh, k: int, seed: int):
+def make_sharded_stage1_hd(mesh: Mesh, k: int, seed: int,
+                           uniform: bool = False):
     """Host-delta placement: sharded cores→sort→orient returning each
     block's packed buffer (+ its permutation for mate-2 chaining)."""
     from scalce_tpu.pipeline.encode import _encode_core_hd
@@ -82,14 +87,15 @@ def make_sharded_stage1_hd(mesh: Mesh, k: int, seed: int):
              in_specs=(dspec, dspec, dspec, dspec, rspec),
              out_specs=(dspec,) * 2)
     def stage1(seq, lengths, n_reads, exc_mask, rank_lut):
-        f = partial(_encode_core_hd, k=k, seed=seed)
+        f = partial(_encode_core_hd, k=k, seed=seed, uniform=uniform)
         return jax.vmap(f, in_axes=(0, 0, 0, 0, None))(
             seq, lengths, n_reads, exc_mask, rank_lut)
 
     return jax.jit(stage1)
 
 
-def make_sharded_stage_mate2_hd(mesh: Mesh, k: int, seed: int):
+def make_sharded_stage_mate2_hd(mesh: Mesh, k: int, seed: int,
+                                uniform: bool = False):
     from scalce_tpu.pipeline.encode import _encode_core_mate2_hd
     dspec = P("data")
     rspec = P()
@@ -98,14 +104,16 @@ def make_sharded_stage_mate2_hd(mesh: Mesh, k: int, seed: int):
              in_specs=(dspec, dspec, dspec, dspec, dspec, rspec),
              out_specs=dspec)
     def stage2(seq, lengths, n_reads, exc_mask, perm, rank_lut):
-        f = partial(_encode_core_mate2_hd, k=k, seed=seed)
+        f = partial(_encode_core_mate2_hd, k=k, seed=seed,
+                    uniform=uniform)
         return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None))(
             seq, lengths, n_reads, exc_mask, perm, rank_lut)
 
     return jax.jit(stage2)
 
 
-def make_sharded_stage_mate2_nq(mesh: Mesh, k: int, seed: int):
+def make_sharded_stage_mate2_nq(mesh: Mesh, k: int, seed: int,
+                                uniform: bool = False):
     from scalce_tpu.pipeline.encode import _encode_core_mate2_nq
     dspec = P("data")
     rspec = P()
@@ -114,14 +122,16 @@ def make_sharded_stage_mate2_nq(mesh: Mesh, k: int, seed: int):
              in_specs=(dspec, dspec, dspec, dspec, dspec, rspec),
              out_specs=(dspec,) * 2)
     def stage2(seq, lengths, n_reads, exc_mask, perm, rank_lut):
-        f = partial(_encode_core_mate2_nq, k=k, seed=seed)
+        f = partial(_encode_core_mate2_nq, k=k, seed=seed,
+                    uniform=uniform)
         return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None))(
             seq, lengths, n_reads, exc_mask, perm, rank_lut)
 
     return jax.jit(stage2)
 
 
-def make_sharded_stage_mate2(mesh: Mesh, k: int, seed: int, order: int):
+def make_sharded_stage_mate2(mesh: Mesh, k: int, seed: int, order: int,
+                             uniform: bool = False):
     """jit'd mate-2 stage over stacked blocks sharded on 'data'."""
     dspec = P("data")
     rspec = P()
@@ -131,7 +141,8 @@ def make_sharded_stage_mate2(mesh: Mesh, k: int, seed: int, order: int):
              out_specs=(dspec,) * 5)
     def stage2(seq, qual, lengths, n_reads, exc_mask, perm, qual_map,
                rank_lut):
-        f = partial(_block_stage_mate2, k=k, seed=seed, order=order)
+        f = partial(_block_stage_mate2, k=k, seed=seed, order=order,
+                    uniform=uniform)
         return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
             seq, qual, lengths, n_reads, exc_mask, perm, qual_map,
             rank_lut)
@@ -139,7 +150,8 @@ def make_sharded_stage_mate2(mesh: Mesh, k: int, seed: int, order: int):
     return jax.jit(stage2)
 
 
-def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):
+def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int,
+                        uniform: bool = False):
     """jit'd stage-1 over stacked blocks ``[D, B, L]`` sharded on 'data'.
 
     Each device runs its local blocks through the full tokenize→sort→
@@ -152,7 +164,8 @@ def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int):
              in_specs=(dspec, dspec, dspec, dspec, dspec, rspec, rspec),
              out_specs=(dspec,) * 6)
     def stage1(seq, qual, lengths, n_reads, exc_mask, qual_map, rank_lut):
-        f = partial(_block_stage1, k=k, seed=seed, order=order)
+        f = partial(_block_stage1, k=k, seed=seed, order=order,
+                    uniform=uniform)
         return jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None))(
             seq, qual, lengths, n_reads, exc_mask, qual_map, rank_lut)
 
@@ -208,13 +221,17 @@ class ShardedEncoder:
         self.group = group
         self.D = self.mesh.devices.size * group
         self._host_delta = False
+        # stage jits are built lazily per ``uniform`` flag value (the
+        # gather-free orientation specialization) and cached — a run
+        # over uniform-length FASTQ compiles only the fast variant
+        self._stage_cache = {}
         if cfg.qual_on_device:
-            self._stage1 = make_sharded_stage1(
+            self._mk_stage1 = lambda uni: make_sharded_stage1(
                 self.mesh, cfg.core_k, cfg.dict_seed,
-                cfg.qual_context_order)
-            self._stage2 = make_sharded_stage_mate2(
+                cfg.qual_context_order, uniform=uni)
+            self._mk_stage2 = lambda uni: make_sharded_stage_mate2(
                 self.mesh, cfg.core_k, cfg.dict_seed,
-                cfg.qual_context_order)
+                cfg.qual_context_order, uniform=uni)
             self._T = Q.pick_T(cfg.block_reads, cfg.max_read_len,
                                cfg.qual_T_target)
             self._qenc = make_sharded_qual_encode(
@@ -225,17 +242,29 @@ class ShardedEncoder:
             self._host_delta = (not cfg.delta_on_device
                                 and host_delta_available())
             if self._host_delta:
-                self._stage1 = make_sharded_stage1_hd(
-                    self.mesh, cfg.core_k, cfg.dict_seed)
-                self._stage2 = make_sharded_stage_mate2_hd(
-                    self.mesh, cfg.core_k, cfg.dict_seed)
+                self._mk_stage1 = lambda uni: make_sharded_stage1_hd(
+                    self.mesh, cfg.core_k, cfg.dict_seed, uniform=uni)
+                self._mk_stage2 = lambda uni: make_sharded_stage_mate2_hd(
+                    self.mesh, cfg.core_k, cfg.dict_seed, uniform=uni)
             else:
-                self._stage1 = make_sharded_stage1_nq(
-                    self.mesh, cfg.core_k, cfg.dict_seed)
-                self._stage2 = make_sharded_stage_mate2_nq(
-                    self.mesh, cfg.core_k, cfg.dict_seed)
+                self._mk_stage1 = lambda uni: make_sharded_stage1_nq(
+                    self.mesh, cfg.core_k, cfg.dict_seed, uniform=uni)
+                self._mk_stage2 = lambda uni: make_sharded_stage_mate2_nq(
+                    self.mesh, cfg.core_k, cfg.dict_seed, uniform=uni)
         self._fallback = BlockEncoder(cfg, qual_map)
         self._qual_map = jnp.asarray(qual_map)
+
+    def _stage1(self, uniform: bool):
+        key = ("s1", uniform)
+        if key not in self._stage_cache:
+            self._stage_cache[key] = self._mk_stage1(uniform)
+        return self._stage_cache[key]
+
+    def _stage2(self, uniform: bool):
+        key = ("s2", uniform)
+        if key not in self._stage_cache:
+            self._stage_cache[key] = self._mk_stage2(uniform)
+        return self._stage_cache[key]
 
     def _stack_blocks(self, blocks, with_qual: bool):
         B, L = blocks[0].seq.shape
@@ -258,23 +287,25 @@ class ShardedEncoder:
 
     def encode_device(self, blocks):
         """Async device dispatch for a full group of D blocks."""
+        from scalce_tpu.pipeline.encode import block_is_uniform
         assert len(blocks) == self.D
+        uni = all(block_is_uniform(b) for b in blocks)
         if not self.cfg.qual_on_device:
             stacked = self._stack_blocks(blocks, with_qual=False)
             if self._host_delta:
-                bufs, perms = self._stage1(*stacked,
-                                           self._fallback.rank_lut)
+                bufs, perms = self._stage1(uni)(*stacked,
+                                                self._fallback.rank_lut)
                 try:
                     bufs.copy_to_host_async()
                 except Exception:
                     pass
                 return ("hd", bufs, perms)
-            perm, delta, len_s = self._stage1(*stacked,
-                                              self._fallback.rank_lut)
+            perm, delta, len_s = self._stage1(uni)(*stacked,
+                                                   self._fallback.rank_lut)
             return (perm, delta, len_s, None, None, None,
                     None, None, None, None)
         stacked = self._stack_blocks(blocks, with_qual=True)
-        perm, delta, len_s, sym, ctx, counts = self._stage1(
+        perm, delta, len_s, sym, ctx, counts = self._stage1(uni)(
             *stacked, self._qual_map, self._fallback.rank_lut)
         freqs, states, words, wcounts = self._qenc(sym, ctx, counts)
         return (perm, delta, len_s, sym, ctx, counts,
@@ -323,28 +354,32 @@ class ShardedEncoder:
     # mate-2 stage follows it (BASELINE.json configs 2+4 jointly)
 
     def encode_device_pair(self, pairs):
+        from scalce_tpu.pipeline.encode import block_is_uniform
         b1s = [p[0] for p in pairs]
         b2s = [p[1] for p in pairs]
         out1 = self.encode_device(b1s)
+        uni2 = all(block_is_uniform(b) for b in b2s)
         if not self.cfg.qual_on_device:
             stacked2 = self._stack_blocks(b2s, with_qual=False)
             if self._host_delta:
                 perms = out1[2]
-                bufs2 = self._stage2(*stacked2, perms.astype(jnp.int32),
-                                     self._fallback.rank_lut)
+                bufs2 = self._stage2(uni2)(*stacked2,
+                                           perms.astype(jnp.int32),
+                                           self._fallback.rank_lut)
                 try:
                     bufs2.copy_to_host_async()
                 except Exception:
                     pass
                 return out1, ("hd2", bufs2, perms)
             perm = out1[0]
-            delta2, len2 = self._stage2(*stacked2, perm.astype(jnp.int32),
-                                        self._fallback.rank_lut)
+            delta2, len2 = self._stage2(uni2)(*stacked2,
+                                              perm.astype(jnp.int32),
+                                              self._fallback.rank_lut)
             return out1, (perm, delta2, len2, None, None, None,
                           None, None, None, None)
         perm = out1[0]
         stacked2 = self._stack_blocks(b2s, with_qual=True)
-        delta2, len2, sym2, ctx2, counts2 = self._stage2(
+        delta2, len2, sym2, ctx2, counts2 = self._stage2(uni2)(
             *stacked2, perm.astype(jnp.int32), self._qual_map,
             self._fallback.rank_lut)
         freqs2, states2, words2, wcounts2 = self._qenc(sym2, ctx2, counts2)

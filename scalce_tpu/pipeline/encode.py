@@ -28,7 +28,8 @@ from scalce_tpu.streams import qualities, seqs
 
 
 def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
-                 rank_lut, k: int, seed: int, order: int):
+                 rank_lut, k: int, seed: int, order: int,
+                 uniform: bool = False):
     """Shared per-block device stage (codes + its packed image in sync).
 
     The sequence stream comes out DELTA-CODED against the aligned
@@ -48,7 +49,7 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
     # is static under jit, so this branch costs nothing)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     # reads travel in their strand-canonical orientation with a 1-bit
@@ -64,12 +65,12 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
 
 
 def _encode_core_nq(codes, lengths, n_reads, exc, rank_lut, k: int,
-                    seed: int):
+                    seed: int, uniform: bool = False):
     """``_encode_core`` for the host-quality placement: sequence side
     only (cores → sort → delta); qualities never reach the device."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -80,11 +81,11 @@ def _encode_core_nq(codes, lengths, n_reads, exc, rank_lut, k: int,
 
 
 def _encode_core_mate2_nq(codes, lengths, n_reads, exc, perm, rank_lut,
-                          k: int, seed: int):
+                          k: int, seed: int, uniform: bool = False):
     """Mate-2 counterpart of ``_encode_core_nq``."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, lengths, ck, cp, is_rc)
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
@@ -93,13 +94,13 @@ def _encode_core_mate2_nq(codes, lengths, n_reads, exc, perm, rank_lut,
 
 
 def _encode_core_hd(codes, lengths, n_reads, exc, rank_lut, k: int,
-                    seed: int):
+                    seed: int, uniform: bool = False):
     """``_encode_core_nq`` for the host-delta placement: device does
     cores → sort → orient and returns the packed sorted block; the
     delta match runs host-side (native.delta_match)."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -108,26 +109,27 @@ def _encode_core_hd(codes, lengths, n_reads, exc, rank_lut, k: int,
 
 
 def _encode_core_mate2_hd(codes, lengths, n_reads, exc, perm, rank_lut,
-                          k: int, seed: int):
+                          k: int, seed: int, uniform: bool = False):
     """Mate-2 counterpart of ``_encode_core_hd``."""
     del n_reads
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, lengths, ck, cp, is_rc)
     return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s)
 
 
 def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
-                       rank_lut, k: int, seed: int, order: int):
+                       rank_lut, k: int, seed: int, order: int,
+                       uniform: bool = False):
     """Mate-2 shared core: same work as ``_encode_core`` but following
     mate 1's permutation instead of computing one (paired-end sync).
     Mirrors ``_device_stage_a2`` + ``_device_stage_b`` exactly so the
     sharded paired path is byte-identical to the threaded one."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, qual, lengths, ck, cp, is_rc)
     qual_m = qual_map[qual_s]
@@ -142,6 +144,18 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     w = jnp.left_shift(jnp.uint8(1), jnp.arange(8, dtype=jnp.uint8))
     return jnp.sum(bits.reshape(B // 8, 8).astype(jnp.uint8) * w[None, :],
                    axis=1, dtype=jnp.uint8)
+
+
+
+def block_is_uniform(block: ReadBlock) -> bool:
+    """Host-side check: every REAL read in the block has the same length
+    (padding rows are excluded — their length is 0).  Gates the static
+    ``uniform`` fast path of ``core_match.find_cores_canonical``."""
+    n = block.n_reads
+    if n <= 0:
+        return False
+    ln = block.lengths[:n]
+    return bool(ln.min() == ln.max())
 
 
 _DELTA_K = 4          # candidate predecessors per read (2-bit selector)
@@ -228,9 +242,9 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
             "lit_packed": lit_packed, "n_lits": n_lits}
 
 
-@partial(jax.jit, static_argnames=("k", "seed"))
+@partial(jax.jit, static_argnames=("k", "seed", "uniform"))
 def _device_stage_a(seq_packed, qual, lengths, n_reads, exc_pos, rank_lut,
-                    k: int, seed: int):
+                    k: int, seed: int, uniform: bool = False):
     """Device stage A: unpack → canonical cores → sort → orient+permute.
 
     The single-device pipeline is split into two jits (A: tokenize/sort,
@@ -245,13 +259,14 @@ def _device_stage_a(seq_packed, qual, lengths, n_reads, exc_pos, rank_lut,
     out-of-range sentinels (dropped by the scatter).
     """
     from scalce_tpu.ops.bitops import unpack_bases_u32
+    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     # qualities stay in ORIGINAL orientation: the streams decode
@@ -278,21 +293,22 @@ def _device_stage_b(codes_s, qual_s, len_s, ck_s, cp_s, rc_s, n_reads,
     return delta, sym, ctx, counts
 
 
-@partial(jax.jit, static_argnames=("k", "seed"))
+@partial(jax.jit, static_argnames=("k", "seed", "uniform"))
 def _device_stage_a_nq(seq_packed, lengths, n_reads, exc_pos, rank_lut,
-                       k: int, seed: int):
+                       k: int, seed: int, uniform: bool = False):
     """Stage A for the host-quality placement: identical to
     ``_device_stage_a`` minus the quality upload/permute — qualities
     never touch the device (Config.qual_on_device=False), which on a
     narrow device link removes the largest H2D transfer ([B, L] u8)."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
+    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -311,30 +327,54 @@ def _device_stage_b_nq(codes_s, len_s, ck_s, cp_s, rc_s, n_reads):
 def _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm=None):
     """Pack the host-delta stage outputs into ONE u32 buffer for a
     single D2H transfer (each separate fresh-array download pays ~40ms
-    of tunnel latency): [perm?, ck, cp<<16|rc<<15|len, 2-bit codes].
-    cp < L <= 32752 and len <= 32752 both fit 15/16 bits by config."""
-    word = ((cp_s.astype(jnp.uint32) << 16)
-            | (rc_s.astype(jnp.uint32) << 15)
-            | len_s.astype(jnp.uint32))
+    of tunnel latency; the tunnel moves ~30-35 MB/s, so every word
+    dropped is ~15 ms/block).
+
+    Mate-1 layout (``perm`` given — the SORTED frame, where equal cores
+    are contiguous runs): ``[perm, cp<<17|bnd<<16|rc<<15|len, codes]``.
+    The 4-byte core id is replaced by one run-BOUNDARY bit (bnd = first
+    row of its bucket run, or a NO_CORE row); the host delta matcher
+    consumes runs directly (``native.delta_match_runs``).
+
+    Mate-2 layout (no ``perm`` — mate-1 order, cores NOT contiguous):
+    ``[ck, cp<<16|rc<<15|len, codes]`` (core ids kept).
+
+    cp < L <= 32752 and len <= 32752 both fit 15 bits by config."""
     packed = pack_bases_u32(codes_s, axis=1).reshape(-1)
-    parts = ([] if perm is None else [perm.astype(jnp.uint32)]) + \
-        [ck_s.astype(jnp.uint32), word, packed]
+    if perm is None:
+        word = ((cp_s.astype(jnp.uint32) << 16)
+                | (rc_s.astype(jnp.uint32) << 15)
+                | len_s.astype(jnp.uint32))
+        parts = [ck_s.astype(jnp.uint32), word, packed]
+    else:
+        B = ck_s.shape[0]
+        prev = jnp.roll(ck_s, 1)
+        bnd = (ck_s != prev) | (ck_s == core_match.NO_CORE)
+        bnd = bnd | (jnp.arange(B, dtype=jnp.int32) == 0)
+        word = ((cp_s.astype(jnp.uint32) << 17)
+                | (bnd.astype(jnp.uint32) << 16)
+                | (rc_s.astype(jnp.uint32) << 15)
+                | len_s.astype(jnp.uint32))
+        parts = [perm.astype(jnp.uint32), word, packed]
     return jnp.concatenate(parts)
 
 
 def _hd_unpack(buf: np.ndarray, B: int, L: int, with_perm: bool = True):
-    """Host mirror of :func:`_hd_pack`."""
-    o = 0
+    """Host mirror of :func:`_hd_pack`.  Returns ``(perm, key, cp, rc,
+    len_s, codes)`` where ``key`` is the boundary-bit vector (mate 1)
+    or the core-id vector (mate 2)."""
     perm = None
+    w = buf[B:2 * B]
     if with_perm:
         perm = buf[:B].astype(np.int64)
-        o = B
-    ck = buf[o:o + B]
-    w = buf[o + B:o + 2 * B]
-    cp = (w >> 16).astype(np.int32)
+        key = ((w >> 16) & 1).astype(np.uint8)       # run-boundary bits
+        cp = (w >> 17).astype(np.int32)
+    else:
+        key = buf[:B]                                # core ids
+        cp = (w >> 16).astype(np.int32)
     rc = ((w >> 15) & 1).astype(np.uint8)
     len_s = (w & 0x7FFF).astype(np.int32)
-    words = buf[o + 2 * B:].reshape(B, L // 16)
+    words = buf[2 * B:].reshape(B, L // 16)
     try:
         from scalce_tpu import native
         if native.AVAILABLE:
@@ -345,25 +385,26 @@ def _hd_unpack(buf: np.ndarray, B: int, L: int, with_perm: bool = True):
         shifts = (2 * np.arange(15, -1, -1)).astype(np.uint32)
         codes = ((words[:, :, None] >> shifts) & 3).astype(
             np.uint8).reshape(B, L)
-    return perm, ck, cp, rc, len_s, codes
+    return perm, key, cp, rc, len_s, codes
 
 
-@partial(jax.jit, static_argnames=("k", "seed"))
+@partial(jax.jit, static_argnames=("k", "seed", "uniform"))
 def _device_stage_a_hd(seq_packed, lengths, n_reads, exc_pos, rank_lut,
-                       k: int, seed: int):
+                       k: int, seed: int, uniform: bool = False):
     """Stage A for the host-delta placement: cores → sort → orient, then
     repack; the delta match itself runs in native C on the host off the
     downloaded sorted block (narrow-link placement, like the host
     quality codec).  Also removes the delta graph's multi-minute remote
     compile from the critical path."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
+    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -371,18 +412,19 @@ def _device_stage_a_hd(seq_packed, lengths, n_reads, exc_pos, rank_lut,
     return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm), perm
 
 
-@partial(jax.jit, static_argnames=("k", "seed"))
+@partial(jax.jit, static_argnames=("k", "seed", "uniform"))
 def _device_stage_a2_hd(seq_packed, lengths, exc_pos, perm, rank_lut,
-                        k: int, seed: int):
+                        k: int, seed: int, uniform: bool = False):
     """Mate-2 stage A for the host-delta placement."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
+    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, lengths, ck, cp, is_rc)
     return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s)
@@ -396,36 +438,38 @@ def host_delta_available() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("k", "seed"))
+@partial(jax.jit, static_argnames=("k", "seed", "uniform"))
 def _device_stage_a2_nq(seq_packed, lengths, exc_pos, perm, rank_lut,
-                        k: int, seed: int):
+                        k: int, seed: int, uniform: bool = False):
     """Mate-2 stage A for the host-quality placement."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
+    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     return reorder.apply_permutation(perm, codes_o, lengths, ck, cp, is_rc)
 
 
-@partial(jax.jit, static_argnames=("k", "seed"))
+@partial(jax.jit, static_argnames=("k", "seed", "uniform"))
 def _device_stage_a2(seq_packed, qual, lengths, exc_pos, perm, rank_lut,
-                     k: int, seed: int):
+                     k: int, seed: int, uniform: bool = False):
     """Mate-2 stage A: mate 2 follows mate 1's permutation so pairs stay
     line-synchronized (SURVEY.md §2 "Paired-end sync").  Its own cores
     are still computed — not for sorting, but to align the
     predecessor-delta (adjacent pairs usually overlap on mate 2 too)."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
+    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     return reorder.apply_permutation(perm, codes_o, qual, lengths, ck,
                                      cp, is_rc)
 
@@ -514,13 +558,15 @@ class BlockEncoder:
     def encode_device(self, block: ReadBlock):
         cfg = self.cfg
         B, L = block.seq.shape
+        uni = block_is_uniform(block)
         if self.host_delta:
             buf, perm = _device_stage_a_hd(
                 jnp.asarray(_host_pack(block.seq)),
-                jnp.asarray(block.lengths), jnp.int32(block.n_reads),
+                jnp.asarray(block.lengths.astype(np.uint16)),
+                jnp.int32(block.n_reads),
                 jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
                                      B * L)),
-                self.rank_lut, cfg.core_k, cfg.dict_seed)
+                self.rank_lut, cfg.core_k, cfg.dict_seed, uniform=uni)
             try:
                 buf.copy_to_host_async()   # overlap D2H with later work
             except Exception:
@@ -529,18 +575,20 @@ class BlockEncoder:
         if not cfg.qual_on_device:
             perm, codes_s, len_s, ck_s, cp_s, rc_s = _device_stage_a_nq(
                 jnp.asarray(_host_pack(block.seq)),
-                jnp.asarray(block.lengths), jnp.int32(block.n_reads),
+                jnp.asarray(block.lengths.astype(np.uint16)),
+                jnp.int32(block.n_reads),
                 jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
                                      B * L)),
-                self.rank_lut, cfg.core_k, cfg.dict_seed)
+                self.rank_lut, cfg.core_k, cfg.dict_seed, uniform=uni)
             delta = _device_stage_b_nq(codes_s, len_s, ck_s, cp_s, rc_s,
                                        jnp.int32(block.n_reads))
             return perm, delta, len_s, None, None, None
         perm, codes_s, qual_s, len_s, ck_s, cp_s, rc_s = _device_stage_a(
             jnp.asarray(_host_pack(block.seq)), jnp.asarray(block.qual),
-            jnp.asarray(block.lengths), jnp.int32(block.n_reads),
+            jnp.asarray(block.lengths.astype(np.uint16)),
+                jnp.int32(block.n_reads),
             jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
-            self.rank_lut, cfg.core_k, cfg.dict_seed)
+            self.rank_lut, cfg.core_k, cfg.dict_seed, uniform=uni)
         delta, sym, ctx, counts = _device_stage_b(
             codes_s, qual_s, len_s, ck_s, cp_s, rc_s,
             jnp.int32(block.n_reads), self.qual_map,
@@ -561,13 +609,17 @@ class BlockEncoder:
         the native byte-compare match (bit-identical to _delta_seq)."""
         from scalce_tpu import native
         B, L = block.seq.shape
-        p, ck, cp, rc, len_s, codes = _hd_unpack(np.asarray(buf), B, L,
-                                                 with_perm)
+        p, key, cp, rc, len_s, codes = _hd_unpack(np.asarray(buf), B, L,
+                                                  with_perm)
         if perm_np is None:
             perm_np = p
         n = block.n_reads
-        mask_bits, shifts, pred_k, lits = native.delta_match(
-            codes[:n], ck[:n], cp[:n], len_s[:n], _DELTA_K)
+        if with_perm:        # mate-1 sorted frame: run-boundary bits
+            mask_bits, shifts, pred_k, lits = native.delta_match_runs(
+                codes[:n], key[:n], cp[:n], len_s[:n], _DELTA_K)
+        else:                # mate-2 (mate-1 order): core ids
+            mask_bits, shifts, pred_k, lits = native.delta_match(
+                codes[:n], key[:n], cp[:n], len_s[:n], _DELTA_K)
         delta_np = {
             "mask_bits": mask_bits, "shifts": shifts, "pred_k": pred_k,
             "rc_bits": np.packbits(rc, bitorder="little"),
@@ -583,13 +635,15 @@ class BlockEncoder:
         cfg = self.cfg
         out1 = self.encode_device(b1)
         B, L = b2.seq.shape
+        uni2 = block_is_uniform(b2)
         if self.host_delta:
             perm = out1[2]
             buf2 = _device_stage_a2_hd(
-                jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.lengths),
+                jnp.asarray(_host_pack(b2.seq)),
+                jnp.asarray(b2.lengths.astype(np.uint16)),
                 jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
                 perm.astype(jnp.int32), self.rank_lut,
-                cfg.core_k, cfg.dict_seed)
+                cfg.core_k, cfg.dict_seed, uniform=uni2)
             try:
                 buf2.copy_to_host_async()
             except Exception:
@@ -598,19 +652,20 @@ class BlockEncoder:
         perm = out1[0]
         if not cfg.qual_on_device:
             codes_s, len2, ck_s, cp_s, rc_s = _device_stage_a2_nq(
-                jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.lengths),
+                jnp.asarray(_host_pack(b2.seq)),
+                jnp.asarray(b2.lengths.astype(np.uint16)),
                 jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
                 perm.astype(jnp.int32), self.rank_lut,
-                cfg.core_k, cfg.dict_seed)
+                cfg.core_k, cfg.dict_seed, uniform=uni2)
             delta2 = _device_stage_b_nq(codes_s, len2, ck_s, cp_s, rc_s,
                                         jnp.int32(b2.n_reads))
             return out1, (delta2, len2, None, None, None)
         codes_s, qual_s, len2, ck_s, cp_s, rc_s = _device_stage_a2(
             jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.qual),
-            jnp.asarray(b2.lengths),
+            jnp.asarray(b2.lengths.astype(np.uint16)),
             jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
             perm.astype(jnp.int32), self.rank_lut,
-            cfg.core_k, cfg.dict_seed)
+            cfg.core_k, cfg.dict_seed, uniform=uni2)
         delta2, sym2, ctx2, counts2 = _device_stage_b(
             codes_s, qual_s, len2, ck_s, cp_s, rc_s,
             jnp.int32(b2.n_reads), self.qual_map, cfg.qual_context_order)

@@ -162,3 +162,50 @@ def test_lut_mode_end_to_end(tmp_path):
                   keep_order=True)
     driver.decompress(dcfg)
     assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_uniform_orientation_path_bit_identical():
+    """The static ``uniform`` fast path (flip + dynamic_slice instead of
+    per-element gathers) must match the general path EXACTLY on blocks
+    whose real reads share one length — including partial blocks whose
+    padding rows have length 0."""
+    rng = np.random.default_rng(7)
+    B, L, k, seed, l = 64, 48, 8, 0x5CA1CE, 37
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    n_reads = 50                       # rows >= n_reads are padding
+    lengths = np.zeros(B, np.int32)
+    lengths[:n_reads] = l
+    codes[n_reads:, :] = 0
+    codes[:, l:] = 0
+    exc = np.zeros((B, L), bool)
+    exc[rng.integers(0, n_reads, 20), rng.integers(0, l, 20)] = True
+
+    outs = {}
+    for uni in (False, True):
+        outs[uni] = core_match.find_cores_canonical(
+            jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(exc),
+            k, seed, uniform=uni)
+    names = ("ck", "cp", "is_rc", "codes_o", "exc_o")
+    for name, a, b in zip(names, outs[False], outs[True]):
+        if name == "exc_o":
+            # exc_o may differ on padding rows only (unused downstream —
+            # every call site discards it); real rows must agree
+            np.testing.assert_array_equal(np.asarray(a)[:n_reads],
+                                          np.asarray(b)[:n_reads],
+                                          err_msg=name)
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_reverse_complement_uniform_matches_general():
+    rng = np.random.default_rng(8)
+    B, L, l = 32, 64, 53
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    codes[:, l:] = 0
+    lengths = np.full(B, l, np.int32)
+    a = np.asarray(core_match.reverse_complement(
+        jnp.asarray(codes), jnp.asarray(lengths)))
+    b = np.asarray(core_match.reverse_complement_uniform(
+        jnp.asarray(codes), jnp.asarray(lengths)[0]))
+    np.testing.assert_array_equal(a, b)

@@ -288,3 +288,40 @@ def test_delta_placement_never_changes_bytes(tmp_path):
     pd = dev.encode_block_pair(b1, b2)
     for h, d in zip(ph, pd):
         assert h.payloads == d.payloads
+
+
+def test_delta_match_runs_equals_ck_variant():
+    """The boundary-bit matcher (slim D2H buffer) must reproduce the
+    core-id matcher exactly on sorted bucket runs, including NO_CORE
+    singleton exclusion and K-window truncation at run starts."""
+    import numpy as np
+    from scalce_tpu import native
+    from scalce_tpu.pipeline.encode import host_delta_available
+
+    if not host_delta_available():
+        import pytest
+        pytest.skip("native delta_match unavailable")
+    rng = np.random.default_rng(11)
+    n, L = 512, 64
+    NO_CORE = np.uint32(0xFFFFFFFF)
+    # sorted run structure: runs of length 1..9, last 30 rows NO_CORE
+    ck = np.empty(n, np.uint32)
+    i, run_id = 0, 0
+    while i < n - 30:
+        rl = int(rng.integers(1, 10))
+        ck[i:i + rl] = run_id
+        i += rl
+        run_id += 1
+    ck[max(i - 1, n - 30):] = NO_CORE
+    ck[n - 30:] = NO_CORE
+    codes = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    lens = rng.integers(40, L + 1, size=n).astype(np.int64)
+    cp = rng.integers(0, 30, size=n).astype(np.int32)
+    for row in range(n):
+        codes[row, lens[row]:] = 0
+    bnd = np.ones(n, np.uint8)
+    bnd[1:] = (ck[1:] != ck[:-1]) | (ck[1:] == NO_CORE)
+    a = native.delta_match(codes, ck, cp, lens, 4)
+    b = native.delta_match_runs(codes, bnd, cp, lens, 4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
