@@ -115,6 +115,9 @@ def _bind() -> None:
                                                flags="C_CONTIGUOUS"),
                                      _u8p, _u8p]
     lib.delta_match_runs.restype = ctypes.c_int64
+    lib.gather_orient.argtypes = [_u8p, _i64p, _u8p, _i64p,
+                                  ctypes.c_int64, ctypes.c_int64, _u8p]
+    lib.gather_orient.restype = None
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                ctypes.c_int64, _i64p, _i64p]
     lib.qual_hist2.restype = None
@@ -287,6 +290,22 @@ def delta_match(codes: np.ndarray, ck: np.ndarray, cp: np.ndarray,
                               n, L, K, mask_bits.reshape(-1), shifts,
                               pred_k, lits)
     return mask_bits, shifts, pred_k, lits[:n_lits].copy()
+
+
+def gather_orient(codes: np.ndarray, perm: np.ndarray, rc: np.ndarray,
+                  lens: np.ndarray) -> np.ndarray:
+    """Sorted, strand-oriented code rows from the ORIGINAL-order block:
+    ``out[i] = revcomp(codes[perm[i]])`` if ``rc[i]`` else the row
+    verbatim — the host half of the slim-download encode path."""
+    n = len(perm)
+    L = codes.shape[1]
+    out = np.empty((n, L), np.uint8)
+    _lib.gather_orient(np.ascontiguousarray(codes).reshape(-1),
+                       np.ascontiguousarray(perm.astype(np.int64)),
+                       np.ascontiguousarray(rc.astype(np.uint8)),
+                       np.ascontiguousarray(lens.astype(np.int64)),
+                       n, L, out.reshape(-1))
+    return out
 
 
 def delta_match_runs(codes: np.ndarray, bnd: np.ndarray, cp: np.ndarray,

@@ -402,6 +402,34 @@ EXPORT int64_t delta_match(const uint8_t *codes, const uint32_t *ck,
     return n_lits;
 }
 
+/* Host-side row reorder + strand orientation for the slim-download
+ * encode path: the device returns only (perm, cp|bnd|rc|len) and the
+ * host rebuilds the SORTED, ORIENTED code block from the ORIGINAL
+ * codes it already holds — out[i] = rc[i] ? revcomp(codes[perm[i]])
+ * : codes[perm[i]].  Exactly mirrors ops/core_match.py::
+ * reverse_complement (3-x complement within lens[i], zero padding),
+ * so the result is bit-identical to downloading the device's
+ * apply_permutation product.  ~13 MB/block of host memcpy replaces a
+ * ~3.3 MB D2H over a ~33 MB/s link plus a device [B,L] row gather. */
+EXPORT void gather_orient(const uint8_t *codes, const int64_t *perm,
+                          const uint8_t *rc, const int64_t *lens,
+                          int64_t n, int64_t L, uint8_t *out)
+{
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *src = codes + perm[i] * L;
+        uint8_t *dst = out + i * L;
+        if (!rc[i]) {
+            memcpy(dst, src, (size_t)L);
+            continue;
+        }
+        int64_t len = lens[i];
+        for (int64_t j = 0; j < len; j++)
+            dst[j] = (uint8_t)(3 - src[len - 1 - j]);
+        if (len < L)
+            memset(dst + len, 0, (size_t)(L - len));
+    }
+}
+
 /* delta_match over RUN-ENCODED buckets: bnd[i]=1 marks the first row
  * of a bucket run (equal core) in the SORTED mate-1 order; NO_CORE
  * rows carry bnd=1 so they never match a predecessor.  Replaces the

@@ -103,9 +103,9 @@ def _encode_core_hd(codes, lengths, n_reads, exc, rank_lut, k: int,
         codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
-    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
-        perm, codes_o, lengths, ck, cp, is_rc)
-    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm), perm
+    len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, lengths, ck, cp, is_rc)
+    return _hd_pack(len_s, ck_s, cp_s, rc_s, perm), perm
 
 
 def _encode_core_mate2_hd(codes, lengths, n_reads, exc, perm, rank_lut,
@@ -115,9 +115,9 @@ def _encode_core_mate2_hd(codes, lengths, n_reads, exc, perm, rank_lut,
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
         codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
-    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
-        perm, codes_o, lengths, ck, cp, is_rc)
-    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s)
+    len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, lengths, ck, cp, is_rc)
+    return _hd_pack(len_s, ck_s, cp_s, rc_s)
 
 
 def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
@@ -324,28 +324,32 @@ def _device_stage_b_nq(codes_s, len_s, ck_s, cp_s, rc_s, n_reads):
     return delta
 
 
-def _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm=None):
+def _hd_pack(len_s, ck_s, cp_s, rc_s, perm=None):
     """Pack the host-delta stage outputs into ONE u32 buffer for a
     single D2H transfer (each separate fresh-array download pays ~40ms
     of tunnel latency; the tunnel moves ~30-35 MB/s, so every word
     dropped is ~15 ms/block).
 
+    The SORTED CODES are deliberately NOT downloaded: the host already
+    holds the original-order block and rebuilds the sorted oriented
+    rows itself (``native.gather_orient`` — ~13 MB of host memcpy vs a
+    ~3.3 MB D2H plus a device [B, L] row gather).
+
     Mate-1 layout (``perm`` given — the SORTED frame, where equal cores
-    are contiguous runs): ``[perm, cp<<17|bnd<<16|rc<<15|len, codes]``.
-    The 4-byte core id is replaced by one run-BOUNDARY bit (bnd = first
-    row of its bucket run, or a NO_CORE row); the host delta matcher
+    are contiguous runs): ``[perm, cp<<17|bnd<<16|rc<<15|len]``.  The
+    4-byte core id is replaced by one run-BOUNDARY bit (bnd = first row
+    of its bucket run, or a NO_CORE row); the host delta matcher
     consumes runs directly (``native.delta_match_runs``).
 
     Mate-2 layout (no ``perm`` — mate-1 order, cores NOT contiguous):
-    ``[ck, cp<<16|rc<<15|len, codes]`` (core ids kept).
+    ``[ck, cp<<16|rc<<15|len]`` (core ids kept).
 
     cp < L <= 32752 and len <= 32752 both fit 15 bits by config."""
-    packed = pack_bases_u32(codes_s, axis=1).reshape(-1)
     if perm is None:
         word = ((cp_s.astype(jnp.uint32) << 16)
                 | (rc_s.astype(jnp.uint32) << 15)
                 | len_s.astype(jnp.uint32))
-        parts = [ck_s.astype(jnp.uint32), word, packed]
+        parts = [ck_s.astype(jnp.uint32), word]
     else:
         B = ck_s.shape[0]
         prev = jnp.roll(ck_s, 1)
@@ -355,14 +359,14 @@ def _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm=None):
                 | (bnd.astype(jnp.uint32) << 16)
                 | (rc_s.astype(jnp.uint32) << 15)
                 | len_s.astype(jnp.uint32))
-        parts = [perm.astype(jnp.uint32), word, packed]
+        parts = [perm.astype(jnp.uint32), word]
     return jnp.concatenate(parts)
 
 
-def _hd_unpack(buf: np.ndarray, B: int, L: int, with_perm: bool = True):
+def _hd_unpack(buf: np.ndarray, B: int, with_perm: bool = True):
     """Host mirror of :func:`_hd_pack`.  Returns ``(perm, key, cp, rc,
-    len_s, codes)`` where ``key`` is the boundary-bit vector (mate 1)
-    or the core-id vector (mate 2)."""
+    len_s)`` where ``key`` is the boundary-bit vector (mate 1) or the
+    core-id vector (mate 2)."""
     perm = None
     w = buf[B:2 * B]
     if with_perm:
@@ -374,18 +378,7 @@ def _hd_unpack(buf: np.ndarray, B: int, L: int, with_perm: bool = True):
         cp = (w >> 16).astype(np.int32)
     rc = ((w >> 15) & 1).astype(np.uint8)
     len_s = (w & 0x7FFF).astype(np.int32)
-    words = buf[2 * B:].reshape(B, L // 16)
-    try:
-        from scalce_tpu import native
-        if native.AVAILABLE:
-            codes = native.unpack2bit(words)
-        else:
-            raise ImportError
-    except Exception:
-        shifts = (2 * np.arange(15, -1, -1)).astype(np.uint32)
-        codes = ((words[:, :, None] >> shifts) & 3).astype(
-            np.uint8).reshape(B, L)
-    return perm, key, cp, rc, len_s, codes
+    return perm, key, cp, rc, len_s
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "uniform"))
@@ -407,9 +400,9 @@ def _device_stage_a_hd(seq_packed, lengths, n_reads, exc_pos, rank_lut,
         codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
-    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
-        perm, codes_o, lengths, ck, cp, is_rc)
-    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s, perm), perm
+    len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, lengths, ck, cp, is_rc)
+    return _hd_pack(len_s, ck_s, cp_s, rc_s, perm), perm
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "uniform"))
@@ -425,9 +418,9 @@ def _device_stage_a2_hd(seq_packed, lengths, exc_pos, perm, rank_lut,
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
         codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
-    codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
-        perm, codes_o, lengths, ck, cp, is_rc)
-    return _hd_pack(codes_s, len_s, ck_s, cp_s, rc_s)
+    len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
+        perm, lengths, ck, cp, is_rc)
+    return _hd_pack(len_s, ck_s, cp_s, rc_s)
 
 
 def host_delta_available() -> bool:
@@ -609,17 +602,18 @@ class BlockEncoder:
         the native byte-compare match (bit-identical to _delta_seq)."""
         from scalce_tpu import native
         B, L = block.seq.shape
-        p, key, cp, rc, len_s, codes = _hd_unpack(np.asarray(buf), B, L,
-                                                  with_perm)
+        p, key, cp, rc, len_s = _hd_unpack(np.asarray(buf), B, with_perm)
         if perm_np is None:
             perm_np = p
         n = block.n_reads
+        codes_s = native.gather_orient(block.seq, perm_np[:n], rc[:n],
+                                       len_s[:n])
         if with_perm:        # mate-1 sorted frame: run-boundary bits
             mask_bits, shifts, pred_k, lits = native.delta_match_runs(
-                codes[:n], key[:n], cp[:n], len_s[:n], _DELTA_K)
+                codes_s, key[:n], cp[:n], len_s[:n], _DELTA_K)
         else:                # mate-2 (mate-1 order): core ids
             mask_bits, shifts, pred_k, lits = native.delta_match(
-                codes[:n], key[:n], cp[:n], len_s[:n], _DELTA_K)
+                codes_s, key[:n], cp[:n], len_s[:n], _DELTA_K)
         delta_np = {
             "mask_bits": mask_bits, "shifts": shifts, "pred_k": pred_k,
             "rc_bits": np.packbits(rc, bitorder="little"),
