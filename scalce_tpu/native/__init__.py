@@ -35,8 +35,8 @@ def _build() -> bool:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
         os.close(fd)
         subprocess.run(
-            [cc, "-O3", "-shared", "-fPIC", "-fvisibility=hidden",
-             "-o", tmp, _SRC],
+            [cc, "-O3", "-march=native", "-shared", "-fPIC",
+             "-fvisibility=hidden", "-o", tmp, _SRC],
             check=True, capture_output=True)
         os.replace(tmp, _SO)
         return True
@@ -119,18 +119,18 @@ def _bind() -> None:
                                   ctypes.c_int64, ctypes.c_int64, _u8p]
     lib.gather_orient.restype = None
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
-                               ctypes.c_int64, _i64p, _i64p]
+                               ctypes.c_int64, _u32p, _u32p]
     lib.qual_hist2.restype = None
     lib.build_rcp44.argtypes = [_u32p, ctypes.c_int64,
                                 ndpointer(np.uint64, flags="C_CONTIGUOUS")]
     lib.build_rcp44.restype = None
-    lib.rans_encode_qual.argtypes = [_u8p, _i64p, _u32p, _u32p,
-                                     ndpointer(np.uint64,
-                                               flags="C_CONTIGUOUS"),
+    lib.rans_encode_qual.argtypes = [_u8p, _i64p, _u8p,
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_int64,
                                      _u32p, _i64p, _u16p]
     lib.rans_encode_qual.restype = ctypes.c_int64
+    lib.build_enc_table.argtypes = [_u32p, _u32p, ctypes.c_int64, _u8p]
+    lib.build_enc_table.restype = None
     lib.rans_decode_lanes.argtypes = [_u32p, _u16p, _i64p, _u32p, _i64p,
                                       ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64, ctypes.c_int64,
@@ -330,12 +330,14 @@ def delta_match_runs(codes: np.ndarray, bnd: np.ndarray, cp: np.ndarray,
 def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int):
     """One pass over the quality grid -> (counts_order1, counts_order2)."""
     B = len(lengths)
-    counts1 = np.zeros(761 * 94, np.int64)      # n_contexts(1) * N_SYMS
-    counts2 = np.zeros(1401 * 94, np.int64)     # n_contexts(2) * N_SYMS
+    # u32 counters: half the cache footprint of the hot scatter adds
+    # (a block holds < 2^32 symbols by config); widened on return
+    counts1 = np.zeros(761 * 94, np.uint32)     # n_contexts(1) * N_SYMS
+    counts2 = np.zeros(1401 * 94, np.uint32)    # n_contexts(2) * N_SYMS
     _lib.qual_hist2(np.ascontiguousarray(qual).reshape(-1),
                     np.ascontiguousarray(lengths.astype(np.int64)),
                     B, L, counts1, counts2)
-    return counts1, counts2
+    return counts1.astype(np.int64), counts2.astype(np.int64)
 
 
 def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,
@@ -346,16 +348,18 @@ def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,
     N = B * L // T
     f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
     c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
-    rcp = np.empty(f32.shape[0], np.uint64)
-    _lib.build_rcp44(f32, f32.shape[0], rcp)
+    tab = np.empty(f32.shape[0] * 16, np.uint8)   # packed enc_entry[]
+    _lib.build_enc_table(f32, c32, f32.shape[0], tab)
     states = np.empty(N, np.uint32)
     wcounts = np.empty(N, np.int64)
     words_cat = np.empty(N * T, np.uint16)
     total = _lib.rans_encode_qual(np.ascontiguousarray(qual).reshape(-1),
                                   np.ascontiguousarray(
                                       lengths.astype(np.int64)),
-                                  f32, c32, rcp, B, L, T, order,
+                                  tab, B, L, T, order,
                                   states, wcounts, words_cat)
+    if total < 0:
+        raise MemoryError("rans_encode_qual scratch allocation failed")
     return states, wcounts, words_cat[:total].copy()
 
 

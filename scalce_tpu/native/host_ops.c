@@ -12,6 +12,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 #define EXPORT __attribute__((visibility("default")))
@@ -498,7 +499,7 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
  * counts1 [n_ctx(1)*94], counts2 [n_ctx(2)*94] (caller zeroes both). */
 EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
                        int64_t B, int64_t L,
-                       int64_t *counts1, int64_t *counts2)
+                       uint32_t *counts1, uint32_t *counts2)
 {
     for (int64_t i = 0; i < B; i++) {
         int64_t len = lengths[i];
@@ -555,10 +556,27 @@ EXPORT void build_rcp44(const uint32_t *freq, int64_t n, uint64_t *rcp)
         rcp[i] = freq[i] ? rcp44(freq[i]) : 0;
 }
 
+/* Packed per-entry coder table: freq+cum+reciprocal in ONE 16-byte
+ * struct so each encoded symbol touches one cache line instead of
+ * three separate tables. */
+typedef struct {
+    uint32_t f, c;
+    uint64_t rcp;
+} enc_entry;
+
+EXPORT void build_enc_table(const uint32_t *freq, const uint32_t *cum,
+                            int64_t n, enc_entry *out)
+{
+    for (int64_t i = 0; i < n; i++) {
+        out[i].f = freq[i];
+        out[i].c = cum[i];
+        out[i].rcp = freq[i] ? rcp44(freq[i]) : 0;
+    }
+}
+
 EXPORT int64_t rans_encode_qual(const uint8_t *qual,
                                 const int64_t *lengths,
-                                const uint32_t *freq, const uint32_t *cum,
-                                const uint64_t *rcp,
+                                const enc_entry *tab,
                                 int64_t B, int64_t L, int64_t T,
                                 int64_t order, uint32_t *states,
                                 int64_t *wcounts, uint16_t *words_cat)
@@ -570,51 +588,56 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
     uint16_t tmp[IL][32768];           /* T <= 32768 by config */
     int64_t cnt[IL];
     uint32_t x[IL];
+    /* per-(lane,row) clamped-symbol scratch: srow[j][col] = valid ?
+     * clamp(q - OFFSET) : 0 — the same value the ctx derivation uses
+     * for s, prev1 and prev2, computed ONCE per cell instead of 3x */
+    uint8_t *srow = (uint8_t *)malloc((size_t)(IL * L));
+    int64_t len_j[IL];
+    if (!srow)
+        return -1;
     for (int64_t n0 = 0; n0 < N; n0 += IL) {
         int nl = (int)(N - n0 < IL ? N - n0 : IL);
         for (int j = 0; j < nl; j++) {
             x[j] = RANS_LOW;
             cnt[j] = 0;
         }
-        for (int64_t t = T - 1; t >= 0; t--) {
-            int64_t r_off = t / L;         /* row within the lane */
-            int64_t col = t % L;
-            uint32_t pb = (uint32_t)(col >> 4);
-            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+        for (int64_t r_off = k - 1; r_off >= 0; r_off--) {
             for (int j = 0; j < nl; j++) {
                 int64_t read = (n0 + j) * k + r_off;
                 const uint8_t *qrow = qual + read * L;
                 int64_t len = lengths[read];
-                int valid = col < len;
-                int v = (int)qrow[col] - Q_OFFSET;
-                if (v < 0) v = 0;
-                if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
-                uint32_t s = valid ? (uint32_t)v : 0u;
-                uint32_t prev1 = 0, prev2 = 0;
-                if (col >= 1 && col - 1 < len) {
-                    int p = (int)qrow[col - 1] - Q_OFFSET;
-                    if (p < 0) p = 0;
-                    if (p > Q_NSYMS - 1) p = Q_NSYMS - 1;
-                    prev1 = (uint32_t)p;
+                len_j[j] = len;
+                uint8_t *sj = srow + j * L;
+                for (int64_t col = 0; col < len; col++) {
+                    int v = (int)qrow[col] - Q_OFFSET;
+                    if (v < 0) v = 0;
+                    if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
+                    sj[col] = (uint8_t)v;
                 }
-                if (col >= 2 && col - 2 < len) {
-                    int p = (int)qrow[col - 2] - Q_OFFSET;
-                    if (p < 0) p = 0;
-                    if (p > Q_NSYMS - 1) p = Q_NSYMS - 1;
-                    prev2 = (uint32_t)p;
+                for (int64_t col = len; col < L; col++)
+                    sj[col] = 0;
+            }
+            for (int64_t col = L - 1; col >= 0; col--) {
+                uint32_t pb = (uint32_t)(col >> 4);
+                if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+                for (int j = 0; j < nl; j++) {
+                    const uint8_t *sj = srow + j * L;
+                    int valid = col < len_j[j];
+                    uint32_t s = sj[col];
+                    uint32_t prev1 = col >= 1 ? sj[col - 1] : 0u;
+                    uint32_t prev2 = col >= 2 ? sj[col - 2] : 0u;
+                    uint32_t c = q_ctx(prev1, prev2, pb, col == 0,
+                                       col == 1, valid, (int)order);
+                    const enc_entry *e = tab + (int64_t)c * Q_NSYMS + s;
+                    uint32_t f = e->f;
+                    uint32_t xj = x[j];
+                    if ((xj >> 20) >= f) {
+                        tmp[j][cnt[j]++] = (uint16_t)(xj & 0xFFFFu);
+                        xj >>= 16;
+                    }
+                    uint32_t q = div_rcp(xj, e->rcp);
+                    x[j] = (q << RANS_PROB_BITS) + (xj - q * f) + e->c;
                 }
-                uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
-                                   valid, (int)order);
-                int64_t e = (int64_t)c * Q_NSYMS + s;
-                uint32_t f = freq[e];
-                uint32_t cm = cum[e];
-                uint32_t xj = x[j];
-                if ((xj >> 20) >= f) {
-                    tmp[j][cnt[j]++] = (uint16_t)(xj & 0xFFFFu);
-                    xj >>= 16;
-                }
-                uint32_t q = div_rcp(xj, rcp[e]);
-                x[j] = (q << RANS_PROB_BITS) + (xj - q * f) + cm;
             }
         }
         for (int j = 0; j < nl; j++) {
@@ -625,6 +648,7 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
             off += cnt[j];
         }
     }
+    free(srow);
     return off;
 }
 

@@ -30,6 +30,9 @@ from scalce_tpu.io.fastq import Ragged, lens_to_offsets, ragged_gather
 
 _SEPS = b" ./:=_-#"          # field separators, kept verbatim in output
 
+_SEP_LUT = np.zeros(256, bool)       # byte -> is-separator (O(1) lookup;
+_SEP_LUT[list(_SEPS)] = True         # np.isin costs ~30ms on a 2MB cat)
+
 
 def _split_fields(names: Ragged) -> Optional[Tuple[np.ndarray, List[Ragged]]]:
     """Split every name into fields at separator bytes.
@@ -43,7 +46,7 @@ def _split_fields(names: Ragged) -> Optional[Tuple[np.ndarray, List[Ragged]]]:
     n = len(names)
     if n == 0 or len(cat) == 0:
         return None
-    is_sep = np.isin(cat, np.frombuffer(_SEPS, np.uint8))
+    is_sep = _SEP_LUT[cat]
     sep_idx = np.flatnonzero(is_sep)
     # record id of every separator
     rec_of = np.searchsorted(offsets, sep_idx, side="right") - 1
@@ -82,16 +85,13 @@ def _numeric_column(f: Ragged) -> Optional[np.ndarray]:
     first = f.cat[f.offsets[:-1]]
     if ((first == ord("0")) & (lens > 1)).any():
         return None
-    # horner, vectorized over the ragged cat
-    vals = np.zeros(len(f), np.int64)
+    # horner, vectorized over the ragged cat; exact int64 segment sums
+    # via reduceat (np.add.at is ~10x slower on this shape)
     digits = (cat - ord("0")).astype(np.int64)
-    rec = np.repeat(np.arange(len(f)), lens)
-    # positional powers: position within record
     off = f.offsets[:-1]
     pos_in_rec = np.arange(len(cat), dtype=np.int64) - np.repeat(off, lens)
     p10 = 10 ** (np.repeat(lens, lens) - 1 - pos_in_rec)
-    np.add.at(vals, rec, digits * p10)
-    return vals
+    return np.add.reduceat(digits * p10, off)
 
 
 def _zigzag(d: np.ndarray) -> np.ndarray:
