@@ -160,7 +160,8 @@ def revcomp_kmer(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
 def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
                          exc: jnp.ndarray, k: int, seed: int,
                          rank_lut: Optional[jnp.ndarray] = None,
-                         uniform: bool = False):
+                         uniform: bool = False,
+                         use_pallas: bool = False):
     """Core selection over BOTH strands.
 
     Returns (core_kmer, core_pos, is_rc, codes_oriented, exc_oriented):
@@ -179,31 +180,44 @@ def find_cores_canonical(codes: jnp.ndarray, lengths: jnp.ndarray,
     """
     B, L = codes.shape
     kmers = rolling_kmers(codes, k)
-    rkmers = revcomp_kmer(kmers, k)
-    if rank_lut is not None:
-        rank_f = rank_lut[kmers]
-        rank_r = rank_lut[rkmers]
-    else:
-        rank_f = mix32(kmers, seed)
-        rank_r = mix32(rkmers, seed)
     invalid = window_invalid(exc, lengths, k)
-    rank_f = jnp.where(invalid, U32_MAX, rank_f)
-    rank_r = jnp.where(invalid, U32_MAX, rank_r)
+    pallas_ok = False
+    if use_pallas and rank_lut is None:
+        # the Mosaic matcher hardcodes the implicit mix32 ranking (no
+        # vector gathers for a LUT); rank_lut mode stays on XLA
+        from scalce_tpu.ops import core_pallas
+        pallas_ok = core_pallas.eligible(B)
+    if pallas_ok:
+        from scalce_tpu.ops import core_pallas
+        bf, pf_u, br, pfw_u, kf_v, kr_v = core_pallas.rank_argmin_pallas(
+            kmers, invalid, k, seed)
+        pf = pf_u.astype(jnp.int32)
+        p_fwd = pfw_u.astype(jnp.int32)
+    else:
+        rkmers = revcomp_kmer(kmers, k)
+        if rank_lut is not None:
+            rank_f = rank_lut[kmers]
+            rank_r = rank_lut[rkmers]
+        else:
+            rank_f = mix32(kmers, seed)
+            rank_r = mix32(rkmers, seed)
+        rank_f = jnp.where(invalid, U32_MAX, rank_f)
+        rank_r = jnp.where(invalid, U32_MAX, rank_r)
 
-    pf = jnp.argmin(rank_f, axis=1).astype(jnp.int32)
-    bf = jnp.take_along_axis(rank_f, pf[:, None], axis=1)[:, 0]
-    # for the RC strand, argmin over forward positions; RC-frame position
-    # is len - k - p.  Tie-break must be on the RC-frame position (first
-    # occurrence there = LAST forward position), so argmin runs on the
-    # reversed axis.
-    pr_rev = jnp.argmin(rank_r[:, ::-1], axis=1).astype(jnp.int32)
-    p_fwd = rank_r.shape[1] - 1 - pr_rev
-    br = jnp.take_along_axis(rank_r, p_fwd[:, None], axis=1)[:, 0]
+        pf = jnp.argmin(rank_f, axis=1).astype(jnp.int32)
+        bf = jnp.take_along_axis(rank_f, pf[:, None], axis=1)[:, 0]
+        # for the RC strand, argmin over forward positions; RC-frame
+        # position is len - k - p.  Tie-break must be on the RC-frame
+        # position (first occurrence there = LAST forward position), so
+        # argmin runs on the reversed axis.
+        pr_rev = jnp.argmin(rank_r[:, ::-1], axis=1).astype(jnp.int32)
+        p_fwd = rank_r.shape[1] - 1 - pr_rev
+        br = jnp.take_along_axis(rank_r, p_fwd[:, None], axis=1)[:, 0]
+        kf_v = jnp.take_along_axis(kmers, pf[:, None], axis=1)[:, 0]
+        kr_v = jnp.take_along_axis(rkmers, p_fwd[:, None], axis=1)[:, 0]
 
     use_rc = br < bf
     best = jnp.where(use_rc, br, bf)
-    kf_v = jnp.take_along_axis(kmers, pf[:, None], axis=1)[:, 0]
-    kr_v = jnp.take_along_axis(rkmers, p_fwd[:, None], axis=1)[:, 0]
     pr = lengths - k - p_fwd          # position in the RC-oriented read
     ck = jnp.where(best == U32_MAX, NO_CORE,
                    jnp.where(use_rc, kr_v, kf_v))

@@ -29,7 +29,7 @@ from scalce_tpu.streams import qualities, seqs
 
 def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
                  rank_lut, k: int, seed: int, order: int,
-                 uniform: bool = False):
+                 uniform: bool = False, use_pallas: bool = False):
     """Shared per-block device stage (codes + its packed image in sync).
 
     The sequence stream comes out DELTA-CODED against the aligned
@@ -49,7 +49,8 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
     # is static under jit, so this branch costs nothing)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     # reads travel in their strand-canonical orientation with a 1-bit
@@ -65,12 +66,14 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
 
 
 def _encode_core_nq(codes, lengths, n_reads, exc, rank_lut, k: int,
-                    seed: int, uniform: bool = False):
+                    seed: int, uniform: bool = False,
+                    use_pallas: bool = False):
     """``_encode_core`` for the host-quality placement: sequence side
     only (cores → sort → delta); qualities never reach the device."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -81,11 +84,13 @@ def _encode_core_nq(codes, lengths, n_reads, exc, rank_lut, k: int,
 
 
 def _encode_core_mate2_nq(codes, lengths, n_reads, exc, perm, rank_lut,
-                          k: int, seed: int, uniform: bool = False):
+                          k: int, seed: int, uniform: bool = False,
+                          use_pallas: bool = False):
     """Mate-2 counterpart of ``_encode_core_nq``."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, lengths, ck, cp, is_rc)
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
@@ -94,13 +99,15 @@ def _encode_core_mate2_nq(codes, lengths, n_reads, exc, perm, rank_lut,
 
 
 def _encode_core_hd(codes, lengths, n_reads, exc, rank_lut, k: int,
-                    seed: int, uniform: bool = False):
+                    seed: int, uniform: bool = False,
+                    use_pallas: bool = False):
     """``_encode_core_nq`` for the host-delta placement: device does
     cores → sort → orient and returns the packed sorted block; the
     delta match runs host-side (native.delta_match)."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -109,12 +116,14 @@ def _encode_core_hd(codes, lengths, n_reads, exc, rank_lut, k: int,
 
 
 def _encode_core_mate2_hd(codes, lengths, n_reads, exc, perm, rank_lut,
-                          k: int, seed: int, uniform: bool = False):
+                          k: int, seed: int, uniform: bool = False,
+                          use_pallas: bool = False):
     """Mate-2 counterpart of ``_encode_core_hd``."""
     del n_reads
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, lengths, ck, cp, is_rc)
     return _hd_pack(len_s, ck_s, cp_s, rc_s)
@@ -122,14 +131,15 @@ def _encode_core_mate2_hd(codes, lengths, n_reads, exc, perm, rank_lut,
 
 def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
                        rank_lut, k: int, seed: int, order: int,
-                       uniform: bool = False):
+                       uniform: bool = False, use_pallas: bool = False):
     """Mate-2 shared core: same work as ``_encode_core`` but following
     mate 1's permutation instead of computing one (paired-end sync).
     Mirrors ``_device_stage_a2`` + ``_device_stage_b`` exactly so the
     sharded paired path is byte-identical to the threaded one."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, qual, lengths, ck, cp, is_rc)
     qual_m = qual_map[qual_s]
@@ -260,13 +270,15 @@ def _device_stage_a(seq_packed, qual, lengths, n_reads, exc_pos, rank_lut,
     """
     from scalce_tpu.ops.bitops import unpack_bases_u32
     lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
+    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     # qualities stay in ORIGINAL orientation: the streams decode
@@ -302,13 +314,15 @@ def _device_stage_a_nq(seq_packed, lengths, n_reads, exc_pos, rank_lut,
     narrow device link removes the largest H2D transfer ([B, L] u8)."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
     lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
+    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -391,13 +405,15 @@ def _device_stage_a_hd(seq_packed, lengths, n_reads, exc_pos, rank_lut,
     compile from the critical path."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
     lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
+    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -411,13 +427,15 @@ def _device_stage_a2_hd(seq_packed, lengths, exc_pos, perm, rank_lut,
     """Mate-2 stage A for the host-delta placement."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
     lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
+    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, lengths, ck, cp, is_rc)
     return _hd_pack(len_s, ck_s, cp_s, rc_s)
@@ -437,13 +455,15 @@ def _device_stage_a2_nq(seq_packed, lengths, exc_pos, perm, rank_lut,
     """Mate-2 stage A for the host-quality placement."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
     lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
+    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     return reorder.apply_permutation(perm, codes_o, lengths, ck, cp, is_rc)
 
 
@@ -456,13 +476,15 @@ def _device_stage_a2(seq_packed, qual, lengths, exc_pos, perm, rank_lut,
     predecessor-delta (adjacent pairs usually overlap on mate 2 too)."""
     from scalce_tpu.ops.bitops import unpack_bases_u32
     lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
+    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
     codes = unpack_bases_u32(seq_packed, axis=1)
     B, L = codes.shape
     exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
         True, mode="drop").reshape(B, L)
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform)
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=use_pallas)
     return reorder.apply_permutation(perm, codes_o, qual, lengths, ck,
                                      cp, is_rc)
 

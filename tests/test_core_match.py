@@ -209,3 +209,54 @@ def test_reverse_complement_uniform_matches_general():
     b = np.asarray(core_match.reverse_complement_uniform(
         jnp.asarray(codes), jnp.asarray(lengths)[0]))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_rank_argmin_matches_xla_semantics():
+    """The Mosaic matcher's six reductions (interpret mode on CPU) must
+    reproduce the XLA path's (bf, pf, br, p_fwd, kf, kr) exactly on
+    rows with cores, and agree after the final selects on ALL rows
+    (all-invalid rows differ only in masked-away lanes)."""
+    from scalce_tpu.ops import core_pallas
+    if not core_pallas.PALLAS_OK:
+        import pytest
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(12)
+    B, L, k, seed = 64, 48, 8, 0x5CA1CE
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    lengths = rng.integers(k, L + 1, size=B).astype(np.int32)
+    lengths[:4] = 0                       # all-invalid rows
+    exc = np.zeros((B, L), bool)
+    exc[rng.integers(4, B, 30), rng.integers(0, L, 30)] = True
+
+    kmers = core_match.rolling_kmers(jnp.asarray(codes), k)
+    invalid = core_match.window_invalid(jnp.asarray(exc),
+                                        jnp.asarray(lengths), k)
+    bf, pf, br, pfw, kf, kr = [np.asarray(x) for x in
+                               core_pallas.rank_argmin_pallas(
+                                   kmers, invalid, k, seed,
+                                   interpret=True)]
+    # numpy reference mirroring the XLA branch
+    km = np.asarray(kmers)
+    rkm = np.asarray(core_match.revcomp_kmer(kmers, k))
+    inv = np.asarray(invalid)
+    MAX = np.uint32(0xFFFFFFFF)
+    rf = np.where(inv, MAX, np.asarray(bitops.mix32(kmers, seed)))
+    rr = np.where(inv, MAX, np.asarray(
+        bitops.mix32(jnp.asarray(rkm), seed)))
+    pf_ref = rf.argmin(axis=1)
+    bf_ref = rf[np.arange(B), pf_ref]
+    prr = rr[:, ::-1].argmin(axis=1)
+    pfw_ref = rf.shape[1] - 1 - prr
+    br_ref = rr[np.arange(B), pfw_ref]
+    has_core = bf_ref != MAX
+    np.testing.assert_array_equal(bf, bf_ref)
+    np.testing.assert_array_equal(br, br_ref)
+    np.testing.assert_array_equal(pf[has_core], pf_ref[has_core])
+    np.testing.assert_array_equal(pfw[has_core], pfw_ref[has_core])
+    np.testing.assert_array_equal(kf[has_core],
+                                  km[np.arange(B), pf_ref][has_core])
+    np.testing.assert_array_equal(kr[has_core],
+                                  rkm[np.arange(B), pfw_ref][has_core])
+    # coreless rows: every lane is masked by best == MAX downstream;
+    # pin that the masks agree
+    np.testing.assert_array_equal(bf == MAX, ~has_core)
