@@ -116,6 +116,8 @@ class Ragged:
     def concat(parts: List["Ragged"]) -> "Ragged":
         if not parts:
             return Ragged(_EMPTY_U8, np.zeros(1, np.int64))
+        if len(parts) == 1:        # common case: one bundle per block
+            return parts[0]
         cat = np.concatenate([p.cat for p in parts])
         lens = np.concatenate([p.lens for p in parts])
         return Ragged(cat, lens_to_offsets(lens))
@@ -173,14 +175,26 @@ def _iter_line_bundles(stream: IO[bytes]) -> Iterator[Tuple[np.ndarray, np.ndarr
     ``buf[starts[i]:starts[i+1]-1]`` (excluding the newline).  A trailing
     unterminated line is treated as terminated at EOF.
     """
+    def starts_of(buf: np.ndarray) -> np.ndarray:
+        # memchr-class native scan when available (~10x the numpy
+        # eq+flatnonzero on 32MB chunks); buf always ends with '\n',
+        # so the last entry doubles as the end offset
+        try:
+            from scalce_tpu import native
+            if native.AVAILABLE:
+                return native.line_starts(buf)
+        except Exception:
+            pass
+        nl = np.flatnonzero(buf == 10)
+        return np.concatenate(([0], nl + 1)).astype(np.int64)
+
     carry = b""
     while True:
         chunk = stream.read(_CHUNK_BYTES)
         if not chunk:
             if carry:
                 buf = np.frombuffer(carry + b"\n", dtype=np.uint8)
-                nl = np.flatnonzero(buf == 10)
-                yield buf, np.concatenate(([0], nl + 1)).astype(np.int64)
+                yield buf, starts_of(buf)
             return
         data = carry + chunk
         last_nl = data.rfind(b"\n")
@@ -189,8 +203,7 @@ def _iter_line_bundles(stream: IO[bytes]) -> Iterator[Tuple[np.ndarray, np.ndarr
             continue
         carry = data[last_nl + 1:]
         buf = np.frombuffer(data[: last_nl + 1], dtype=np.uint8)
-        nl = np.flatnonzero(buf == 10)
-        yield buf, np.concatenate(([0], nl + 1)).astype(np.int64)
+        yield buf, starts_of(buf)
 
 
 @dataclasses.dataclass

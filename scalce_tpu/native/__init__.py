@@ -118,6 +118,10 @@ def _bind() -> None:
     lib.gather_orient.argtypes = [_u8p, _i64p, _u8p, _i64p,
                                   ctypes.c_int64, ctypes.c_int64, _u8p]
     lib.gather_orient.restype = None
+    lib.find_line_starts.argtypes = [_u8p, ctypes.c_int64, _i64p]
+    lib.find_line_starts.restype = ctypes.c_int64
+    lib.count_newlines.argtypes = [_u8p, ctypes.c_int64]
+    lib.count_newlines.restype = ctypes.c_int64
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                ctypes.c_int64, _u32p, _u32p]
     lib.qual_hist2.restype = None
@@ -290,6 +294,15 @@ def delta_match(codes: np.ndarray, ck: np.ndarray, cp: np.ndarray,
                               n, L, K, mask_bits.reshape(-1), shifts,
                               pred_k, lits)
     return mask_bits, shifts, pred_k, lits[:n_lits].copy()
+
+
+def line_starts(buf: np.ndarray) -> np.ndarray:
+    """``[0, i+1 for every newline i]`` over a u8 buffer (memchr scan;
+    the parser's replacement for eq+flatnonzero)."""
+    n = int(_lib.count_newlines(buf, buf.size))
+    out = np.empty(n + 1, np.int64)
+    cnt = _lib.find_line_starts(buf, buf.size, out)
+    return out[:cnt]
 
 
 def gather_orient(codes: np.ndarray, perm: np.ndarray, rc: np.ndarray,

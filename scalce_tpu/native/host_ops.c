@@ -403,6 +403,44 @@ EXPORT int64_t delta_match(const uint8_t *codes, const uint32_t *ck,
     return n_lits;
 }
 
+/* Newline scan for the FASTQ parser: writes 0 then (index+1) of every
+ * '\n' in buf into out; returns the entry count.  memchr is the
+ * SIMD-accelerated libc scan — ~10x the numpy eq+flatnonzero path on
+ * the 32MB parse chunks.  out must hold >= count_newlines(buf)+1. */
+EXPORT int64_t find_line_starts(const uint8_t *buf, int64_t n,
+                                int64_t *out)
+{
+    int64_t cnt = 0;
+    out[cnt++] = 0;
+    const uint8_t *p = buf;
+    const uint8_t *end = buf + n;
+    while (p < end) {
+        const uint8_t *nl = (const uint8_t *)memchr(p, '\n',
+                                                    (size_t)(end - p));
+        if (!nl)
+            break;
+        out[cnt++] = (int64_t)(nl - buf) + 1;
+        p = nl + 1;
+    }
+    return cnt;
+}
+
+EXPORT int64_t count_newlines(const uint8_t *buf, int64_t n)
+{
+    int64_t cnt = 0;
+    const uint8_t *p = buf;
+    const uint8_t *end = buf + n;
+    while (p < end) {
+        const uint8_t *nl = (const uint8_t *)memchr(p, '\n',
+                                                    (size_t)(end - p));
+        if (!nl)
+            break;
+        cnt++;
+        p = nl + 1;
+    }
+    return cnt;
+}
+
 /* Host-side row reorder + strand orientation for the slim-download
  * encode path: the device returns only (perm, cp|bnd|rc|len) and the
  * host rebuilds the SORTED, ORIENTED code block from the ORIGINAL
