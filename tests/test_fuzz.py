@@ -42,3 +42,49 @@ def test_fuzz_roundtrip(tmp_path, seed):
     driver.decompress(dcfg)
     assert (tmp_path / "d.fastq").read_bytes() == payload, \
         f"fuzz round-trip failed for {kw} / {cfg}"
+
+
+def test_fuzz_corrupt_container_never_crashes(tmp_path):
+    """Single-byte corruptions anywhere in the triplet must produce
+    either a clean decode (payload bytes that still validate) or a
+    CONTROLLED error — never an uncontrolled crash, hang, or
+    out-of-bounds access in the native reconstruction paths
+    (SURVEY.md §6 "Failure detection"; ADVICE r1 hardening)."""
+    payload = synth_fastq(600, 80, seed=77, n_rate=0.01, var_len=True)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=1 << 9)
+    driver.compress(cfg)
+
+    files = [tmp_path / f"o.00.scalce{s}" for s in "nrq"]
+    originals = {f: f.read_bytes() for f in files}
+    # Any Python exception counts as a controlled failure; the real
+    # assertions are: no segfault (process survives), no hang (suite
+    # timeout), and decode NEVER writes outside its buffers (the
+    # container validators gate every native reconstruction call).
+    rng = np.random.default_rng(99)
+    n_trials = 60
+    for t in range(n_trials):
+        f = files[int(rng.integers(0, 3))]
+        data = bytearray(originals[f])
+        pos = int(rng.integers(0, len(data)))
+        data[pos] ^= int(rng.integers(1, 256))
+        f.write_bytes(bytes(data))
+        try:
+            dcfg = Config(mode="decompress",
+                          inputs=(str(tmp_path / "o.00.scalcer"),),
+                          output=str(tmp_path / f"d{t}"),
+                          block_reads=1 << 9)
+            driver.decompress(dcfg)
+        except Exception:
+            pass          # controlled failure is acceptable
+        finally:
+            f.write_bytes(originals[f])
+    # and the pristine container still round-trips afterwards
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "o.00.scalcer"),),
+                  output=str(tmp_path / "dfinal"), block_reads=1 << 9,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "dfinal.fastq").read_bytes() == payload
