@@ -50,7 +50,11 @@ def _enable_compile_cache() -> None:
 
 def main() -> None:
     _enable_compile_cache()
-    n_reads = int(os.environ.get("BENCH_READS", 1 << 19))
+    # 8 blocks: enough for the 3-stage pipeline (parse thread / device
+    # dispatch / worker assembly) to reach steady state — at 4 blocks
+    # the first block's parse+fill latency is ~30% of the wall and the
+    # number underreports sustained throughput
+    n_reads = int(os.environ.get("BENCH_READS", 1 << 20))
     block_reads = int(os.environ.get("BENCH_BLOCK_READS", 1 << 17))
 
     from scalce_tpu.config import Config
