@@ -120,6 +120,12 @@ def _bind() -> None:
     lib.gather_orient.restype = None
     lib.find_line_starts.argtypes = [_u8p, ctypes.c_int64, _i64p]
     lib.find_line_starts.restype = ctypes.c_int64
+    lib.analyze_names.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p,
+                                  ctypes.c_int64, _u8p,
+                                  ndpointer(np.uint32,
+                                            flags="C_CONTIGUOUS"),
+                                  _i64p, _u8p]
+    lib.analyze_names.restype = ctypes.c_int64
     lib.count_newlines.argtypes = [_u8p, ctypes.c_int64]
     lib.count_newlines.restype = ctypes.c_int64
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
@@ -294,6 +300,31 @@ def delta_match(codes: np.ndarray, ck: np.ndarray, cp: np.ndarray,
                               n, L, K, mask_bits.reshape(-1), shifts,
                               pred_k, lits)
     return mask_bits, shifts, pred_k, lits[:n_lits].copy()
+
+
+_MAX_NAME_FIELDS = 63
+
+
+def analyze_names(cat: np.ndarray, offsets: np.ndarray, n: int,
+                  sep_lut: np.ndarray):
+    """One-pass structured-name analysis (see host_ops.c).  Returns
+    ``(sep_bytes, field_lens [n, k+1], vals [k+1, n], flags [k+1])``
+    or None when the records do not share one separator pattern."""
+    sep_bytes = np.empty(_MAX_NAME_FIELDS, np.uint8)
+    # worst-case k discovered from record 0 inside C; allocate for max
+    field_lens = np.empty(n * (_MAX_NAME_FIELDS + 1), np.uint32)
+    vals = np.empty((_MAX_NAME_FIELDS + 1) * n, np.int64)
+    flags = np.empty(_MAX_NAME_FIELDS + 1, np.uint8)
+    k = int(_lib.analyze_names(cat, np.ascontiguousarray(offsets), n,
+                               sep_lut, _MAX_NAME_FIELDS, sep_bytes,
+                               field_lens, vals, flags))
+    if k < 0:
+        return None
+    nf = k + 1
+    return (sep_bytes[:k].copy(),
+            field_lens[: n * nf].reshape(n, nf),
+            vals[: nf * n].reshape(nf, n),
+            flags[:nf])
 
 
 def line_starts(buf: np.ndarray) -> np.ndarray:

@@ -104,15 +104,72 @@ def _unzigzag(z: np.ndarray) -> np.ndarray:
             ).astype(np.int64)
 
 
+def _encode_fields_native(names: Ragged, n: int,
+                          arrays: Dict[str, np.ndarray],
+                          deflate: List[str]) -> bool:
+    """One-pass native analysis producing the SAME arrays as the numpy
+    path (const > numeric > raw per field); False -> caller falls back."""
+    if n == 0 or names.cat.size == 0:
+        return False          # numpy path also treats these as raw mode
+    try:
+        from scalce_tpu import native
+        if not native.AVAILABLE or not hasattr(native, "analyze_names"):
+            return False
+        res = native.analyze_names(names.cat, names.offsets, n,
+                                   _SEP_LUT.view(np.uint8))
+    except Exception:
+        return False
+    if res is None:
+        return False
+    sep_bytes, field_lens, vals, flags = res
+    nf = field_lens.shape[1]
+    arrays["mode"] = np.asarray([1], np.uint8)
+    arrays["seps"] = sep_bytes
+    arrays["n_fields"] = np.asarray([nf], np.int64)
+    # field start offsets: offsets[r] + sum of earlier lens + i seps
+    starts = None
+    f0_start = names.offsets[0]
+    lens0 = field_lens[0].astype(np.int64)
+    f0_starts = f0_start + np.concatenate(
+        ([0], np.cumsum(lens0[:-1] + 1)))
+    for i in range(nf):
+        lens = field_lens[:, i].astype(np.int64)
+        if flags[i] & 2:                       # const
+            s = int(f0_starts[i])
+            arrays[f"f{i}_const"] = names.cat[s: s + int(lens0[i])].copy()
+        elif flags[i] & 1:                     # numeric
+            col = vals[i]
+            delta = np.diff(col, prepend=col[0])
+            delta[0] = col[0]
+            arrays[f"f{i}_num"] = _zigzag(delta)
+            deflate.append(f"f{i}_num")
+        else:                                  # raw
+            if starts is None:
+                fl = field_lens.astype(np.int64)
+                starts = (names.offsets[:-1, None]
+                          + np.concatenate(
+                              [np.zeros((n, 1), np.int64),
+                               np.cumsum(fl[:, :-1] + 1, axis=1)],
+                              axis=1))
+            arrays[f"f{i}_cat"] = ragged_gather(names.cat,
+                                                starts[:, i], lens)
+            arrays[f"f{i}_lens"] = lens.astype(np.uint32)
+            deflate += [f"f{i}_cat", f"f{i}_lens"]
+    return True
+
+
 def encode(names: Ragged, n_reads: int, level: int = 6,
            backend: str = "gz") -> bytes:
     """Tokenized name payload for one block (names already reordered)."""
     names = Ragged(names.cat[: int(names.offsets[n_reads])],
                    names.offsets[: n_reads + 1].copy())
-    split = _split_fields(names)
     arrays: Dict[str, np.ndarray] = {
         "n": np.asarray([n_reads], np.int64)}
     deflate: List[str] = []
+    if _encode_fields_native(names, n_reads, arrays, deflate):
+        return container.pack_arrays(arrays, deflate=deflate, level=level,
+                                     backend=backend)
+    split = _split_fields(names)
     if split is None:
         arrays["mode"] = np.asarray([0], np.uint8)
         arrays["raw_cat"] = names.cat

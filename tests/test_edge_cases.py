@@ -267,3 +267,41 @@ def test_corrupt_pred_k_self_reference_rejected(tmp_path):
 def test_long_read_cli_config_accepted():
     # regression: long-read configs beyond qual_T_target must validate
     Config(mode="compress", inputs=("x.fastq",), max_read_len=2048)
+
+
+def test_native_name_analysis_byte_identical():
+    """The one-pass C name analyzer must produce EXACTLY the numpy
+    path's payload bytes across const/numeric/raw mixes, leading
+    zeros, >18-digit fields, empty fields, and separator-free names."""
+    from scalce_tpu.io.fastq import Ragged
+    from scalce_tpu.streams import names as ns
+    from scalce_tpu import native
+    if not (native.AVAILABLE and hasattr(native, "analyze_names")):
+        import pytest
+        pytest.skip("native analyze_names unavailable")
+
+    cases = [
+        [b"SRR001.1 len=100", b"SRR001.2 len=100", b"SRR001.3 len=96"],
+        [b"a:0123:7", b"a:0456:8", b"a:0789:9"],          # leading zeros
+        [b"x.99999999999999999999.1", b"x.2.2"],          # >18 digits
+        [b"p__q", b"r__s"],                               # empty fields
+        [b"plainname1", b"plainname2", b"plainname3"],    # k = 0
+        [b"const const const", b"const const const"],     # all const
+        [b"m/1", b"m/2", b"m/x"],                         # num->raw demote
+        [b"a b", b"a-b"],                                 # pattern mismatch
+        [b"", b""],                                       # empty names
+    ]
+    for recs in cases:
+        r = Ragged.from_list(recs)
+        native_blob = ns.encode(r, len(recs), backend="zstd")
+        # force the numpy path by making the native hook unavailable
+        orig = ns._encode_fields_native
+        ns._encode_fields_native = lambda *a, **k: False
+        try:
+            numpy_blob = ns.encode(r, len(recs), backend="zstd")
+        finally:
+            ns._encode_fields_native = orig
+        assert native_blob == numpy_blob, recs
+        # and the payload decodes back to the records
+        dec = ns.decode(native_blob)
+        assert dec.to_list() == list(recs)
