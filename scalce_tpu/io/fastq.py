@@ -177,8 +177,8 @@ def _iter_line_bundles(stream: IO[bytes]) -> Iterator[Tuple[np.ndarray, np.ndarr
     """
     def starts_of(buf: np.ndarray) -> np.ndarray:
         # memchr-class native scan when available (~10x the numpy
-        # eq+flatnonzero on 32MB chunks); buf always ends with '\n',
-        # so the last entry doubles as the end offset
+        # eq+flatnonzero on 32MB chunks); when buf ends with '\n' the
+        # last entry doubles as the end offset
         try:
             from scalce_tpu import native
             if native.AVAILABLE:
@@ -190,20 +190,29 @@ def _iter_line_bundles(stream: IO[bytes]) -> Iterator[Tuple[np.ndarray, np.ndarr
 
     carry = b""
     while True:
-        chunk = stream.read(_CHUNK_BYTES)
-        if not chunk:
+        # read into a fresh buffer AFTER the carried tail — a bytes
+        # concat would copy the whole 32MB chunk per iteration.  A new
+        # array per chunk keeps previously-yielded views valid.
+        data_arr = np.empty(len(carry) + _CHUNK_BYTES, np.uint8)
+        nc = len(carry)
+        if nc:
+            data_arr[:nc] = np.frombuffer(carry, np.uint8)
+        got = stream.readinto(memoryview(data_arr.data)[nc:])
+        got = 0 if got is None else int(got)
+        if got == 0:
             if carry:
-                buf = np.frombuffer(carry + b"\n", dtype=np.uint8)
+                data_arr[nc] = 10            # virtual trailing newline
+                buf = data_arr[: nc + 1]
                 yield buf, starts_of(buf)
             return
-        data = carry + chunk
-        last_nl = data.rfind(b"\n")
-        if last_nl < 0:
-            carry = data
+        total = nc + got
+        st = starts_of(data_arr[:total])
+        if len(st) == 1:                     # no newline in this chunk
+            carry = data_arr[:total].tobytes()
             continue
-        carry = data[last_nl + 1:]
-        buf = np.frombuffer(data[: last_nl + 1], dtype=np.uint8)
-        yield buf, starts_of(buf)
+        last = int(st[-1])                   # first byte after last '\n'
+        carry = data_arr[last:total].tobytes()
+        yield data_arr[:last], st
 
 
 @dataclasses.dataclass
@@ -236,6 +245,69 @@ class _RecordStream:
             return False
         self._cursor = 0
         return True
+
+    def take_block(self, capacity: int, max_len: int, block_id: int
+                   ) -> Optional["ReadBlock"]:
+        """Parse up to ``capacity`` records DIRECTLY into a padded
+        ``ReadBlock`` via the native fast path (None at clean EOF);
+        falls back to ``take_records`` + ``_records_to_block`` when the
+        native library is unavailable."""
+        try:
+            from scalce_tpu import native
+            if not (native.AVAILABLE
+                    and hasattr(native, "parse_into_block")):
+                raise ImportError
+        except Exception:
+            rec = self.take_records(capacity)
+            if rec is None:
+                return None
+            return _records_to_block(rec, capacity, max_len, block_id)
+
+        bb = _BlockBuilder(capacity, max_len)
+        while bb.got < capacity:
+            if self._buf is None or self._cursor >= len(self._starts) - 1:
+                if not self._next_bundle():
+                    break
+                continue
+            starts, buf = self._starts, self._buf
+
+            if self._leftover_lines:    # record crossing bundles (rare)
+                while (len(self._leftover_lines) < 4
+                       and self._cursor < len(starts) - 1):
+                    s, e = starts[self._cursor], starts[self._cursor + 1] - 1
+                    if e > s and buf[e - 1] == 13:
+                        e -= 1
+                    self._leftover_lines.append(buf[s:e].tobytes())
+                    self._cursor += 1
+                if len(self._leftover_lines) < 4:
+                    self._buf = None
+                    continue
+                nm, sq, pl, ql = self._leftover_lines
+                self._leftover_lines = []
+                bb.add_single(nm, sq, pl, ql)
+                continue
+
+            n_lines_avail = len(starts) - 1 - self._cursor
+            n_rec = min(capacity - bb.got, n_lines_avail // 4)
+            if n_rec == 0:
+                while self._cursor < len(starts) - 1:
+                    s, e = starts[self._cursor], starts[self._cursor + 1] - 1
+                    if e > s and buf[e - 1] == 13:
+                        e -= 1
+                    self._leftover_lines.append(buf[s:e].tobytes())
+                    self._cursor += 1
+                self._buf = None
+                continue
+
+            bb.add_bundle(buf, starts, self._cursor, n_rec)
+            self._cursor += 4 * n_rec
+
+        if bb.got == 0:
+            if self._leftover_lines:
+                raise ValueError("truncated FASTQ: dangling partial record")
+            self.exhausted = True
+            return None
+        return bb.finish(block_id)
 
     def take_records(self, count: int) -> Optional[_RawRecords]:
         """Return up to ``count`` records (None at clean EOF)."""
@@ -327,6 +399,127 @@ class _RecordStream:
                            qual=Ragged.concat(quals))
 
 
+_PARSE_ERRORS = {
+    -1: "malformed FASTQ: record does not start with '@'",
+    -2: "malformed FASTQ: missing '+' separator line",
+    -3: "malformed FASTQ: seq/qual length mismatch",
+    -6: "quality byte outside '!'..'~' (33..126) — not valid "
+        "FASTQ; refusing to compress lossily by accident",
+}
+
+
+class _BlockBuilder:
+    """Accumulates parsed records straight into padded block arrays
+    (the native ``parse_into_block`` fast path — no intermediate ragged
+    gather+scatter, which double-copied every seq/qual byte)."""
+
+    def __init__(self, capacity: int, max_len: int):
+        self.seq = np.zeros((capacity, max_len), np.uint8)
+        self.qual = np.zeros((capacity, max_len), np.uint8)
+        self.lengths = np.zeros(capacity, np.int32)
+        self.max_len = max_len
+        self.name_chunks: List[np.ndarray] = []
+        self.name_lens: List[np.ndarray] = []
+        self.plus_chunks: List[np.ndarray] = []
+        self.plus_lens: List[np.ndarray] = []
+        self.exc_pos = np.empty(1024, np.int64)
+        self.exc_byte = np.empty(1024, np.uint8)
+        self.n_exc = 0
+        self.got = 0
+
+    def add_bundle(self, buf: np.ndarray, starts: np.ndarray,
+                   line0: int, n_rec: int) -> None:
+        from scalce_tpu import native
+        cap = int(starts[line0 + 4 * n_rec] - starts[line0])
+        name_cat = np.empty(cap, np.uint8)
+        plus_cat = np.empty(cap, np.uint8)
+        name_lens = np.empty(n_rec, np.int64)
+        plus_lens = np.empty(n_rec, np.int64)
+        meta = np.empty(3, np.int64)
+        while True:
+            rc = native.parse_into_block(
+                buf, starts, line0, n_rec, self.got, self.max_len,
+                BASE_TO_CODE, self.seq, self.qual, self.lengths,
+                name_cat, name_lens, plus_cat, plus_lens,
+                self.exc_pos, self.exc_byte, self.n_exc, meta)
+            if rc == -4:           # exception buffer full: grow + retry
+                grown = np.empty(len(self.exc_pos) * 8, np.int64)
+                grown[: self.n_exc] = self.exc_pos[: self.n_exc]
+                gbyte = np.empty(len(grown), np.uint8)
+                gbyte[: self.n_exc] = self.exc_byte[: self.n_exc]
+                self.exc_pos, self.exc_byte = grown, gbyte
+                continue
+            break
+        if rc == -5:
+            raise ValueError(
+                f"read length exceeds max_read_len={self.max_len}; "
+                f"re-run with a larger --max-read-len")
+        if rc < 0:
+            raise ValueError(_PARSE_ERRORS[rc])
+        self.n_exc = int(meta[0])
+        self.name_chunks.append(name_cat[: int(meta[1])].copy())
+        self.name_lens.append(name_lens)
+        self.plus_chunks.append(plus_cat[: int(meta[2])].copy())
+        self.plus_lens.append(plus_lens)
+        self.got += n_rec
+
+    def add_single(self, nm: bytes, sq: bytes, pl: bytes, ql: bytes
+                   ) -> None:
+        """Slow path for a record assembled across bundle boundaries."""
+        _check_record(nm, sq, pl, ql)
+        l = len(sq)
+        if l > self.max_len:
+            raise ValueError(
+                f"read length {l} exceeds max_read_len={self.max_len}; "
+                f"re-run with a larger --max-read-len")
+        qarr = np.frombuffer(ql, np.uint8)
+        if qarr.size and (int(qarr.min()) < 33 or int(qarr.max()) > 126):
+            raise ValueError(_PARSE_ERRORS[-6])
+        sarr = np.frombuffer(sq, np.uint8)
+        codes = BASE_TO_CODE[sarr]
+        exc_local = np.flatnonzero(codes == 255)
+        if exc_local.size:
+            need = self.n_exc + exc_local.size
+            if need > len(self.exc_pos):
+                grown = np.empty(max(need, len(self.exc_pos) * 8),
+                                 np.int64)
+                grown[: self.n_exc] = self.exc_pos[: self.n_exc]
+                gbyte = np.empty(len(grown), np.uint8)
+                gbyte[: self.n_exc] = self.exc_byte[: self.n_exc]
+                self.exc_pos, self.exc_byte = grown, gbyte
+            self.exc_pos[self.n_exc: need] = (self.got * self.max_len
+                                              + exc_local)
+            self.exc_byte[self.n_exc: need] = sarr[exc_local]
+            self.n_exc = need
+        self.seq[self.got, :l] = np.where(codes == 255, 0, codes)
+        self.qual[self.got, :l] = qarr
+        self.lengths[self.got] = l
+        self.name_chunks.append(np.frombuffer(nm[1:], np.uint8))
+        self.name_lens.append(np.asarray([len(nm) - 1], np.int64))
+        self.plus_chunks.append(np.frombuffer(pl[1:], np.uint8))
+        self.plus_lens.append(np.asarray([len(pl) - 1], np.int64))
+        self.got += 1
+
+    def finish(self, block_id: int) -> ReadBlock:
+        n = self.got
+        name_lens = (np.concatenate(self.name_lens) if self.name_lens
+                     else np.zeros(0, np.int64))
+        names = Ragged(np.concatenate(self.name_chunks)
+                       if self.name_chunks else _EMPTY_U8,
+                       lens_to_offsets(name_lens))
+        plus_lens = (np.concatenate(self.plus_lens) if self.plus_lens
+                     else np.zeros(0, np.int64))
+        plus: Optional[Ragged] = None
+        if plus_lens.sum() > 0:
+            plus = Ragged(np.concatenate(self.plus_chunks),
+                          lens_to_offsets(plus_lens))
+        return ReadBlock(seq=self.seq, qual=self.qual,
+                         lengths=self.lengths, n_reads=n,
+                         exc_pos=self.exc_pos[: self.n_exc].copy(),
+                         exc_byte=self.exc_byte[: self.n_exc].copy(),
+                         names=names, plus=plus, block_id=block_id)
+
+
 def _strip_cr(buf: np.ndarray, ends: np.ndarray) -> np.ndarray:
     has_cr = buf[np.maximum(ends - 1, 0)] == 13
     return ends - has_cr.astype(np.int64)
@@ -400,10 +593,10 @@ def iter_blocks(path: str, capacity: int, max_len: int) -> Iterator[ReadBlock]:
     stream = _RecordStream(path)
     block_id = 0
     while True:
-        rec = stream.take_records(capacity)
-        if rec is None:
+        block = stream.take_block(capacity, max_len, block_id)
+        if block is None:
             return
-        yield _records_to_block(rec, capacity, max_len, block_id)
+        yield block
         block_id += 1
 
 
@@ -419,14 +612,13 @@ def iter_paired_blocks(path1: str, path2: str, capacity: int,
     s2 = _RecordStream(path2)
     block_id = 0
     while True:
-        r1 = s1.take_records(capacity)
-        r2 = s2.take_records(capacity)
-        if r1 is None and r2 is None:
+        b1 = s1.take_block(capacity, max_len, block_id)
+        b2 = s2.take_block(capacity, max_len, block_id)
+        if b1 is None and b2 is None:
             return
-        if r1 is None or r2 is None or len(r1) != len(r2):
+        if b1 is None or b2 is None or b1.n_reads != b2.n_reads:
             raise ValueError("paired-end inputs have differing read counts")
-        yield (_records_to_block(r1, capacity, max_len, block_id),
-               _records_to_block(r2, capacity, max_len, block_id))
+        yield (b1, b2)
         block_id += 1
 
 

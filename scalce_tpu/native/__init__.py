@@ -126,6 +126,13 @@ def _bind() -> None:
                                             flags="C_CONTIGUOUS"),
                                   _i64p, _u8p]
     lib.analyze_names.restype = ctypes.c_int64
+    lib.parse_into_block.argtypes = [
+        _u8p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _u8p, _u8p, _u8p,
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        _u8p, _i64p, _u8p, _i64p, _i64p, _u8p,
+        ctypes.c_int64, ctypes.c_int64, _i64p]
+    lib.parse_into_block.restype = ctypes.c_int64
     lib.count_newlines.argtypes = [_u8p, ctypes.c_int64]
     lib.count_newlines.restype = ctypes.c_int64
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
@@ -300,6 +307,19 @@ def delta_match(codes: np.ndarray, ck: np.ndarray, cp: np.ndarray,
                               n, L, K, mask_bits.reshape(-1), shifts,
                               pred_k, lits)
     return mask_bits, shifts, pred_k, lits[:n_lits].copy()
+
+
+def parse_into_block(buf, starts, line0: int, n_rec: int, row0: int,
+                     L: int, base2code, seq_out, qual_out, lens_out,
+                     name_cat, name_lens, plus_cat, plus_lens,
+                     exc_pos, exc_byte, exc_start: int, meta):
+    """Raw binding for the direct bundle->block parse (host_ops.c);
+    returns the C status code.  io/fastq.py owns the retry/erroring."""
+    return int(_lib.parse_into_block(
+        buf, starts, line0, n_rec, row0, L, base2code,
+        seq_out.reshape(-1), qual_out.reshape(-1), lens_out,
+        name_cat, name_lens, plus_cat, plus_lens,
+        exc_pos, exc_byte, exc_start, len(exc_pos), meta))
 
 
 _MAX_NAME_FIELDS = 63
