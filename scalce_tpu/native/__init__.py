@@ -153,6 +153,14 @@ def _bind() -> None:
                                       ctypes.c_int64, ctypes.c_int64,
                                       _u8p]
     lib.rans_decode_lanes.restype = None
+    lib.build_sym8.argtypes = [_u16p, ctypes.c_int64, ctypes.c_int64,
+                               _u8p]
+    lib.build_sym8.restype = None
+    lib.rans_decode_lanes2.argtypes = [_u32p, _u16p, _i64p, _u8p, _u16p,
+                                       _u16p, _i64p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, _u8p]
+    lib.rans_decode_lanes2.restype = None
     lib.lit_hist.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
                              ctypes.c_int64, _i64p]
     lib.lit_hist.restype = None
@@ -456,6 +464,27 @@ def rans_decode_lits(states: np.ndarray, words_cat: np.ndarray,
                           np.ascontiguousarray(wcounts.astype(np.int64)),
                           decode_lut, n_lits, N, T, out)
     return out
+
+
+def rans_decode_lanes2(states: np.ndarray, words_cat: np.ndarray,
+                       wcounts: np.ndarray, freq: np.ndarray,
+                       cum: np.ndarray, lengths: np.ndarray, B: int,
+                       L: int, T: int, order: int) -> np.ndarray:
+    """Two-level-table quality decode (no 12.5MB flat LUT; see
+    host_ops.c).  Bit-identical output to rans_decode_lanes."""
+    C, S = freq.shape
+    f16 = np.ascontiguousarray(freq.astype(np.uint16)).reshape(-1)
+    c16 = np.ascontiguousarray(cum.astype(np.uint16)).reshape(-1)
+    sym8 = np.empty(C * 256, np.uint8)
+    _lib.build_sym8(c16, C, S, sym8)
+    qual = np.empty(B * L, np.uint8)
+    _lib.rans_decode_lanes2(
+        np.ascontiguousarray(states.astype(np.uint32)),
+        np.ascontiguousarray(words_cat),
+        np.ascontiguousarray(wcounts.astype(np.int64)), sym8, f16, c16,
+        np.ascontiguousarray(lengths.astype(np.int64)), B, L, T, order,
+        qual)
+    return qual.reshape(B, L)
 
 
 def rans_decode_lanes(states: np.ndarray, words_cat: np.ndarray,

@@ -311,11 +311,18 @@ EXPORT void rans_decode_lanes(const uint32_t *states,
         for (int64_t t = 0; t < T; t++) {
             int64_t read = n * k + t / L;
             int64_t col = t % L;
-            int valid = col < lengths[read];
+            if (col >= lengths[read]) {
+                /* padding: the encoder's full-mass ctx-0 step left the
+                 * state untouched and emitted nothing — mirror-skip.
+                 * prev1/prev2 go stale but cols 0/1 of the next row
+                 * override them (q_ctx c0/c1 sentinels). */
+                qual[read * L + col] = 0u;
+                continue;
+            }
             uint32_t pb = (uint32_t)(col >> 4);
             if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
             uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
-                               valid, (int)order);
+                               1, (int)order);
             uint32_t slot = x & (RANS_M - 1);
             uint32_t e = decode_lut[(int64_t)c * RANS_M + slot];
             uint32_t s = e >> 24;
@@ -327,7 +334,79 @@ EXPORT void rans_decode_lanes(const uint32_t *states,
                 x = (x << 16) | word;
                 wp++;
             }
-            qual[read * L + col] = valid ? (uint8_t)(s + Q_OFFSET) : 0u;
+            qual[read * L + col] = (uint8_t)(s + Q_OFFSET);
+            prev2 = prev1;
+            prev1 = s;
+        }
+        woff += wend;
+    }
+}
+
+/* Two-level rANS decode tables: the flat slot->entry LUT is
+ * C * 4096 * 4B (~12.5 MB for order-1 quality contexts) — bigger than
+ * cache, so every decoded symbol was a DRAM-latency load, and the numpy
+ * build itself cost 100s of ms/block.  Instead: a coarse u8 symbol per
+ * 16-slot bucket (C * 256 = ~195 KB) + the u16 freq/cum rows
+ * (~143 KB each); the true symbol is the bucket's symbol advanced past
+ * at most a few cum entries.  Everything stays L2-resident. */
+EXPORT void build_sym8(const uint16_t *cum, int64_t C, int64_t n_syms,
+                       uint8_t *sym8)
+{
+    for (int64_t c = 0; c < C; c++) {
+        const uint16_t *cr = cum + c * n_syms;
+        int64_t s = 0;
+        for (int64_t b = 0; b < 256; b++) {
+            int64_t slot = b << 4;
+            while (s + 1 < n_syms && cr[s + 1] <= slot)
+                s++;
+            sym8[c * 256 + b] = (uint8_t)s;
+        }
+    }
+}
+
+EXPORT void rans_decode_lanes2(const uint32_t *states,
+                               const uint16_t *words_cat,
+                               const int64_t *wcounts,
+                               const uint8_t *sym8,
+                               const uint16_t *freq, const uint16_t *cum,
+                               const int64_t *lengths, int64_t B,
+                               int64_t L, int64_t T, int64_t order,
+                               uint8_t *qual)
+{
+    int64_t N = (B * L) / T;
+    int64_t k = T / L;
+    int64_t woff = 0;
+    for (int64_t n = 0; n < N; n++) {
+        uint32_t x = states[n];
+        const uint16_t *w = words_cat + woff;
+        int64_t wend = wcounts[n];
+        int64_t wp = 0;
+        uint32_t prev1 = 0, prev2 = 0;
+        for (int64_t t = 0; t < T; t++) {
+            int64_t read = n * k + t / L;
+            int64_t col = t % L;
+            if (col >= lengths[read]) {     /* padding: exact no-op */
+                qual[read * L + col] = 0u;
+                continue;
+            }
+            uint32_t pb = (uint32_t)(col >> 4);
+            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
+                               1, (int)order);
+            uint32_t slot = x & (RANS_M - 1);
+            const uint16_t *cr = cum + (int64_t)c * Q_NSYMS;
+            uint32_t s = sym8[(int64_t)c * 256 + (slot >> 4)];
+            while (s + 1 < Q_NSYMS && cr[s + 1] <= slot)
+                s++;
+            uint32_t f = freq[(int64_t)c * Q_NSYMS + s];
+            uint32_t cm = cr[s];
+            x = f * (x >> RANS_PROB_BITS) + slot - cm;
+            if (x < RANS_LOW) {
+                uint32_t word = wp < wend ? w[wp] : 0u;  /* corrupt-safe */
+                x = (x << 16) | word;
+                wp++;
+            }
+            qual[read * L + col] = (uint8_t)(s + Q_OFFSET);
             prev2 = prev1;
             prev1 = s;
         }
@@ -743,23 +822,27 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
         int64_t len = lengths[i];
         const uint8_t *qrow = qual + i * L;
         uint32_t prev1 = 0, prev2 = 0;
-        for (int64_t col = 0; col < L; col++) {
-            int valid = col < len;
+        int64_t lim = len < L ? len : L;
+        for (int64_t col = 0; col < lim; col++) {
             int v = (int)qrow[col] - Q_OFFSET;
             if (v < 0) v = 0;
             if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
-            uint32_t s = valid ? (uint32_t)v : 0u;
+            uint32_t s = (uint32_t)v;
             uint32_t pb = (uint32_t)(col >> 4);
             if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
             uint32_t c1 = q_ctx(prev1, prev2, pb, col == 0, col == 1,
-                                valid, 1);
+                                1, 1);
             uint32_t c2 = q_ctx(prev1, prev2, pb, col == 0, col == 1,
-                                valid, 2);
+                                1, 2);
             counts1[(int64_t)c1 * Q_NSYMS + s]++;
             counts2[(int64_t)c2 * Q_NSYMS + s]++;
             prev2 = prev1;
             prev1 = s;
         }
+        /* padding cells all land in (ctx 0, sym 0) — add arithmetically
+         * instead of walking them (identical counts -> identical tables) */
+        counts1[0] += (uint32_t)(L - lim);
+        counts2[0] += (uint32_t)(L - lim);
     }
 }
 
@@ -860,12 +943,17 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
                 if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
                 for (int j = 0; j < nl; j++) {
                     const uint8_t *sj = srow + j * L;
-                    int valid = col < len_j[j];
+                    if (col >= len_j[j])
+                        continue;   /* padding cell: full-mass ctx 0 is
+                                       an EXACT rANS no-op (f = M keeps
+                                       the state, emits nothing) — skip
+                                       ~20%% of the grid, zero byte
+                                       change (pinned by tests) */
                     uint32_t s = sj[col];
                     uint32_t prev1 = col >= 1 ? sj[col - 1] : 0u;
                     uint32_t prev2 = col >= 2 ? sj[col - 2] : 0u;
                     uint32_t c = q_ctx(prev1, prev2, pb, col == 0,
-                                       col == 1, valid, (int)order);
+                                       col == 1, 1, (int)order);
                     const enc_entry *e = tab + (int64_t)c * Q_NSYMS + s;
                     uint32_t f = e->f;
                     uint32_t xj = x[j];

@@ -501,6 +501,13 @@ def decode_host(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     T, B, L, order = enc.T, enc.B, enc.L, enc.order
     k = T // L
     cum = entropy.freq_to_cum(enc.freq)
+    if _NATIVE_Q and hasattr(_native, "rans_decode_lanes2"):
+        # two-level tables: no 12.5MB flat LUT build (that cost more
+        # than the decode itself) and no DRAM-latency load per symbol
+        return _native.rans_decode_lanes2(enc.states, enc.words,
+                                          enc.counts, enc.freq, cum,
+                                          np.asarray(lengths), B, L, T,
+                                          order)
     lut = entropy.build_decode_lut(enc.freq, cum)
     if _NATIVE_Q:
         return _native.rans_decode_lanes(enc.states, enc.words,
