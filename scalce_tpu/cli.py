@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "accelerator (best with locally-attached TPUs); "
                         "default is the host path — both emit identical "
                         "bytes")
+    p.add_argument("--core-placement", choices=("auto", "device", "host"),
+                   default="auto",
+                   help="where the core matcher + bucket sort runs: "
+                        "the accelerator, the host (native C), or "
+                        "AUTO (default — probe the device link once "
+                        "and pick).  Identical output bytes either way")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the run to DIR")
@@ -110,6 +116,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         dict_mode=args.dict_mode,
         qual_context_order=args.qual_order,
         qual_on_device=args.qual_device,
+        core_on_device={"auto": None, "device": True,
+                        "host": False}[args.core_placement],
         stats_json=args.stats_json,
         profile_dir=args.profile,
         verbose=args.verbose,

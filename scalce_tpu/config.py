@@ -100,6 +100,22 @@ class Config:
                                        # IDENTICAL bytes (pinned by test)
                                        # — a pure placement choice.
 
+    core_on_device: Optional[bool] = None
+                                       # place the core matcher +
+                                       # bucket sort on the accelerator
+                                       # (True), on the host in native
+                                       # C (False), or AUTO (None,
+                                       # default): probe the device
+                                       # link once and pick — device on
+                                       # locally-attached TPUs, host
+                                       # when the link is narrower than
+                                       # the host's own matcher.
+                                       # Identical output bytes either
+                                       # way (pinned by test).  Host
+                                       # placement requires host-placed
+                                       # qualities+delta and the
+                                       # implicit hash dictionary.
+
     delta_on_device: bool = False      # place the predecessor-delta
                                        # match on the accelerator or the
                                        # host.  Host placement downloads
@@ -142,6 +158,16 @@ class Config:
             raise ValueError("-r (paired) compression requires two inputs")
         if self.core_k < 4 or self.core_k > 15:
             raise ValueError("core_k must be in [4, 15] (2k bits in int32)")
+        if self.core_on_device is False:
+            if self.qual_on_device or self.delta_on_device:
+                raise ValueError("host core placement requires host-"
+                                 "placed qualities and delta")
+            if self.dict_mode != "hash":
+                raise ValueError("host core placement supports only "
+                                 "--dict-mode hash")
+            if self.data_parallel:
+                raise ValueError("--data-parallel shards device work; "
+                                 "use device core placement")
         if self.block_reads & (self.block_reads - 1):
             raise ValueError("block_reads must be a power of two")
         if self.block_reads < 256:

@@ -156,6 +156,14 @@ def _bind() -> None:
     lib.build_sym8.argtypes = [_u16p, ctypes.c_int64, ctypes.c_int64,
                                _u8p]
     lib.build_sym8.restype = None
+    lib.core_match_block.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_uint32,
+                                     _u32p,
+                                     ndpointer(np.int32,
+                                               flags="C_CONTIGUOUS"),
+                                     _u8p, _i64p]
+    lib.core_match_block.restype = ctypes.c_int64
     lib.rans_decode_lanes2.argtypes = [_u32p, _u16p, _i64p, _u8p, _u16p,
                                        _u16p, _i64p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
@@ -362,6 +370,27 @@ def line_starts(buf: np.ndarray) -> np.ndarray:
     out = np.empty(n + 1, np.int64)
     cnt = _lib.find_line_starts(buf, buf.size, out)
     return out[:cnt]
+
+
+def core_match_block(codes: np.ndarray, lengths: np.ndarray,
+                     exc_pos: np.ndarray, n: int, k: int, seed: int):
+    """Host placement of the canonical core matcher + bucket sort
+    (host_ops.c) — bit-identical to the device stage A.  Returns
+    (ck u32 [n], cp i32 [n], rc u8 [n], perm i64 [n]) in ORIGINAL row
+    order (perm = sorted order of the n real rows)."""
+    L = codes.shape[1]
+    ck = np.empty(n, np.uint32)
+    cp = np.empty(n, np.int32)
+    rc = np.empty(n, np.uint8)
+    perm = np.empty(n, np.int64)
+    rcode = _lib.core_match_block(
+        np.ascontiguousarray(codes).reshape(-1),
+        np.ascontiguousarray(lengths.astype(np.int64)),
+        np.ascontiguousarray(exc_pos.astype(np.int64)),
+        len(exc_pos), n, L, k, seed & 0xFFFFFFFF, ck, cp, rc, perm)
+    if rcode != 0:
+        raise MemoryError("core_match_block allocation failed")
+    return ck, cp, rc, perm
 
 
 def gather_orient(codes: np.ndarray, perm: np.ndarray, rc: np.ndarray,

@@ -342,6 +342,170 @@ EXPORT void rans_decode_lanes(const uint32_t *states,
     }
 }
 
+/* ---- host placement of the core matcher + bucket sort ---------------
+ *
+ * Bit-identical mirror of ops/core_match.find_cores_canonical +
+ * build_sort_keys + the stable multi-key sort (pinned by test), for
+ * links too slow to ship blocks to the accelerator at all — the third
+ * placement knob after the quality codec and the delta match.  The
+ * reference is pure host C for this stage [SURVEY.md §4.1 hot loop #1];
+ * here it is the fallback, not the design center.
+ */
+
+static inline uint32_t mix32_c(uint32_t x, uint32_t seed)
+{
+    x ^= seed;
+    x ^= x >> 16;
+    x *= 0x85EBCA6Bu;
+    x ^= x >> 13;
+    x *= 0xC2B2AE35u;
+    return x ^ (x >> 16);
+}
+
+static inline uint32_t revcomp_kmer_c(uint32_t v, int64_t k)
+{
+    v = ~v;
+    v = ((v & 0x33333333u) << 2) | ((v >> 2) & 0x33333333u);
+    v = ((v & 0x0F0F0F0Fu) << 4) | ((v >> 4) & 0x0F0F0F0Fu);
+    v = ((v & 0x00FF00FFu) << 8) | ((v >> 8) & 0x00FF00FFu);
+    v = (v << 16) | (v >> 16);
+    return v >> (32 - 2 * k);
+}
+
+typedef struct {
+    uint32_t key0, s0, s1;
+    int64_t row;
+} sort_rec;
+
+static int sort_rec_cmp(const void *pa, const void *pb)
+{
+    const sort_rec *a = (const sort_rec *)pa;
+    const sort_rec *b = (const sort_rec *)pb;
+    if (a->key0 != b->key0) return a->key0 < b->key0 ? -1 : 1;
+    if (a->s0 != b->s0) return a->s0 < b->s0 ? -1 : 1;
+    if (a->s1 != b->s1) return a->s1 < b->s1 ? -1 : 1;
+    return a->row < b->row ? -1 : 1;       /* stability */
+}
+
+/* Canonical core selection + bucket sort over the first n rows.
+ * codes [>=n, L] u8 (0..3, original orientation); exc_pos: sorted flat
+ * positions (row*L + col) of non-ACGT bases.  Outputs (ORIGINAL row
+ * order): ck u32, cp i32, rc u8; perm [n] = sorted row order.
+ * Tie-breaks mirror the XLA path exactly: forward argmin keeps the
+ * FIRST position, the RC strand keeps the LAST forward position
+ * (= first in the RC frame); NO_CORE rows sort after every core.
+ * Returns 0, or -1 on allocation failure. */
+EXPORT int64_t core_match_block(const uint8_t *codes,
+                                const int64_t *lengths,
+                                const int64_t *exc_pos, int64_t n_exc,
+                                int64_t n, int64_t L, int64_t k,
+                                uint32_t seed,
+                                uint32_t *ck, int32_t *cp, uint8_t *rc,
+                                int64_t *perm)
+{
+    const uint32_t NO_CORE = 0xFFFFFFFFu;
+    const uint32_t kmask = (uint32_t)((k == 16) ? 0xFFFFFFFFu
+                                                : ((1u << (2 * k)) - 1u));
+    sort_rec *recs = (sort_rec *)malloc((size_t)n * sizeof(sort_rec));
+    uint8_t *excrow = (uint8_t *)calloc((size_t)L, 1);
+    if (!recs || !excrow) {
+        free(recs);
+        free(excrow);
+        return -1;
+    }
+    int64_t ei = 0;                        /* cursor into sorted exc_pos */
+    for (int64_t i = 0; i < n; i++) {
+        int64_t len = lengths[i];
+        const uint8_t *row = codes + i * L;
+        /* exception flags for this row (rare: fast path = none) */
+        int64_t e0 = ei;
+        while (ei < n_exc && exc_pos[ei] < (i + 1) * L)
+            ei++;
+        int has_exc = ei > e0;
+        if (has_exc)
+            for (int64_t e = e0; e < ei; e++)
+                excrow[exc_pos[e] - i * L] = 1;
+
+        uint32_t best_f = NO_CORE, best_r = NO_CORE;
+        int64_t pos_f = 0, pos_r = 0;
+        uint32_t kf = 0, kr = 0;
+        if (len >= k) {
+            uint32_t km = 0;
+            int64_t exc_in_win = 0;
+            for (int64_t j = 0; j < len; j++) {
+                km = ((km << 2) | row[j]) & kmask;
+                if (has_exc) {
+                    exc_in_win += excrow[j];
+                    if (j - k >= 0)
+                        exc_in_win -= excrow[j - k];
+                }
+                if (j < k - 1)
+                    continue;
+                if (exc_in_win)
+                    continue;              /* window touches an N */
+                int64_t p = j - k + 1;
+                uint32_t rf = mix32_c(km, seed);
+                /* rank == NO_CORE would alias the sentinel; the XLA
+                 * path has the same (vanishing) aliasing, where such a
+                 * rank loses every comparison against itself only */
+                if (rf < best_f) {
+                    best_f = rf;
+                    pos_f = p;
+                    kf = km;
+                }
+                uint32_t rkm = revcomp_kmer_c(km, k);
+                uint32_t rr = mix32_c(rkm, seed);
+                if (rr <= best_r && rr != NO_CORE) {
+                    best_r = rr;           /* <=: LAST forward pos wins */
+                    pos_r = p;
+                    kr = rkm;
+                }
+            }
+        }
+        if (has_exc)
+            for (int64_t e = e0; e < ei; e++)
+                excrow[exc_pos[e] - i * L] = 0;
+
+        int use_rc = best_r < best_f;
+        uint32_t best = use_rc ? best_r : best_f;
+        if (best == NO_CORE) {
+            ck[i] = NO_CORE;
+            cp[i] = 0;
+            rc[i] = 0;
+        } else {
+            ck[i] = use_rc ? kr : kf;
+            cp[i] = (int32_t)(use_rc ? (len - k - pos_r) : pos_f);
+            rc[i] = (uint8_t)use_rc;
+        }
+        /* sort keys: oriented bases cp..cp+31, 16 per u32, big-endian,
+         * zero past len — mirrors build_sort_keys */
+        uint32_t s[2] = {0, 0};
+        int64_t cpos = cp[i];
+        for (int64_t w = 0; w < 2; w++) {
+            uint32_t acc = 0;
+            for (int64_t b = 0; b < 16; b++) {
+                int64_t idx = cpos + 16 * w + b;
+                uint32_t code = 0;
+                if (idx < len)
+                    code = rc[i] ? (uint32_t)(3 - row[len - 1 - idx])
+                                 : (uint32_t)row[idx];
+                acc = (acc << 2) | code;
+            }
+            s[w] = acc;
+        }
+        recs[i].key0 = ck[i];
+        recs[i].s0 = s[0];
+        recs[i].s1 = s[1];
+        recs[i].row = i;
+    }
+    qsort(recs, (size_t)n, sizeof(sort_rec), sort_rec_cmp);
+    for (int64_t i = 0; i < n; i++)
+        perm[i] = recs[i].row;
+    free(excrow);
+    free(recs);
+    return 0;
+}
+
 /* Two-level rANS decode tables: the flat slot->entry LUT is
  * C * 4096 * 4B (~12.5 MB for order-1 quality contexts) — bigger than
  * cache, so every decoded symbol was a DRAM-latency load, and the numpy

@@ -441,6 +441,66 @@ def _device_stage_a2_hd(seq_packed, lengths, exc_pos, perm, rank_lut,
     return _hd_pack(len_s, ck_s, cp_s, rc_s)
 
 
+_LINK_MBPS: Optional[float] = None
+
+#: below this, the device link is slower than the host's own native
+#: matcher+sort — locally-attached TPUs measure GBs/s, the dev tunnel
+#: ~30 MB/s
+_LINK_AUTO_THRESHOLD_MBPS = 200.0
+
+
+#: a device that cannot answer an 8MB round trip within this deadline
+#: is degraded (or its first-op compile is stuck behind a backed-up
+#: remote service — observed at 200+s on this environment) — either
+#: way the host path is the right placement for THIS run; the probe
+#: thread finishes in the background so a later encoder in the same
+#: process gets the true number.
+_PROBE_DEADLINE_S = 10.0
+
+
+def device_link_mbps() -> float:
+    """Measured device-link bandwidth (MB/s, cached): a 4MB H2D + D2H
+    round trip under a deadline.  Drives the AUTO core placement."""
+    global _LINK_MBPS
+    if _LINK_MBPS is not None:
+        return _LINK_MBPS
+    import threading
+    import time
+    result: list = []
+
+    def probe() -> None:
+        global _LINK_MBPS
+        try:
+            payload = np.zeros(4 << 20, np.uint8)
+            dev = jnp.asarray(payload)      # incl. lazy device init
+            jax.block_until_ready(dev)
+            t0 = time.monotonic()
+            dev = jnp.asarray(payload)
+            jax.block_until_ready(dev)
+            np.asarray(dev)
+            dt = max(time.monotonic() - t0, 1e-6)
+            mbps = (2 * len(payload) / dt) / 1e6
+        except Exception:                   # no device at all -> host
+            mbps = 0.0
+        result.append(mbps)
+        _LINK_MBPS = mbps                   # cache for later encoders
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(_PROBE_DEADLINE_S)
+    if result:
+        return result[0]
+    return 0.0                              # deadline missed: degraded
+
+
+def host_core_available() -> bool:
+    try:
+        from scalce_tpu import native
+        return native.AVAILABLE and hasattr(native, "core_match_block")
+    except Exception:
+        return False
+
+
 def host_delta_available() -> bool:
     try:
         from scalce_tpu import native
@@ -563,6 +623,21 @@ class BlockEncoder:
         self.host_delta = (not cfg.delta_on_device
                            and not cfg.qual_on_device
                            and host_delta_available())
+        # host core placement: the whole block pipeline runs on the
+        # host (native matcher+sort feeding the same assemble path) —
+        # no device traffic at all.  Demands the host delta/qual
+        # placements (config validates) and the implicit dictionary.
+        # AUTO (None): measure the link once; a tunnel slower than the
+        # native matcher itself means the block should never travel.
+        eligible = (self.host_delta and cfg.dict_mode == "hash"
+                    and not cfg.data_parallel and host_core_available())
+        if cfg.core_on_device is None:
+            want_host = (eligible
+                         and device_link_mbps()
+                         < _LINK_AUTO_THRESHOLD_MBPS)
+        else:
+            want_host = not cfg.core_on_device
+        self.host_core = want_host and eligible
 
     # -- stage split: ``encode_device`` runs only device dispatches (kept
     # on the driver's main thread so device work pipelines in submission
@@ -573,6 +648,8 @@ class BlockEncoder:
     def encode_device(self, block: ReadBlock):
         cfg = self.cfg
         B, L = block.seq.shape
+        if self.host_core:
+            return ("hc",)     # whole pipeline host-side; see assemble
         uni = block_is_uniform(block)
         if self.host_delta:
             buf, perm = _device_stage_a_hd(
@@ -611,6 +688,8 @@ class BlockEncoder:
         return perm, delta, len_s, sym, ctx, counts
 
     def assemble(self, block: ReadBlock, devout) -> EncodedBlock:
+        if isinstance(devout[0], str) and devout[0] == "hc":
+            return self._assemble_hc(block)
         if isinstance(devout[0], str):     # "hd" marker
             return self._assemble_hd(block, devout[1])
         perm, delta, len_s, sym, ctx, counts = devout
@@ -644,11 +723,63 @@ class BlockEncoder:
         return self._assemble(block, perm_np, delta_np, len_s, None,
                               None, None)
 
+    def _assemble_hc(self, block: ReadBlock,
+                     perm_np: Optional[np.ndarray] = None,
+                     mate2: bool = False, cores=None) -> EncodedBlock:
+        """Fully host-side assembly: native canonical matcher + stable
+        bucket sort (core_match_block) feeding the same delta/quality
+        path as the hd placement — byte-identical to the device stage A
+        (pinned by test)."""
+        from scalce_tpu import native
+        cfg = self.cfg
+        B, L = block.seq.shape
+        n = block.n_reads
+        if cores is None:
+            cores = native.core_match_block(
+                block.seq, block.lengths, block.exc_pos, n, cfg.core_k,
+                cfg.dict_seed)
+        ck, cp, rc, perm_n = cores
+        if mate2:
+            order_n = perm_np[:n]          # follow mate 1's permutation
+        else:
+            order_n = perm_n
+            perm_np = np.concatenate(
+                [perm_n, np.arange(n, B, dtype=np.int64)])
+        ck_s = ck[order_n]
+        cp_s = cp[order_n]
+        rc_s = rc[order_n]
+        len_n = block.lengths[order_n].astype(np.int64)
+        len_s = np.zeros(B, np.int32)
+        len_s[:n] = len_n
+        codes_s = native.gather_orient(block.seq, order_n, rc_s, len_n)
+        if mate2:                          # cores NOT contiguous runs
+            mask_bits, shifts, pred_k, lits = native.delta_match(
+                codes_s, ck_s, cp_s, len_n, _DELTA_K)
+        else:
+            bnd = np.ones(n, np.uint8)
+            if n > 1:
+                bnd[1:] = ((ck_s[1:] != ck_s[:-1])
+                           | (ck_s[1:] == np.uint32(core_match.NO_CORE))
+                           ).astype(np.uint8)
+            mask_bits, shifts, pred_k, lits = native.delta_match_runs(
+                codes_s, bnd, cp_s, len_n, _DELTA_K)
+        rc_full = np.zeros(B, np.uint8)
+        rc_full[:n] = rc_s
+        delta_np = {
+            "mask_bits": mask_bits, "shifts": shifts, "pred_k": pred_k,
+            "rc_bits": np.packbits(rc_full, bitorder="little"),
+            "lits": lits, "n_lits": len(lits),
+        }
+        return self._assemble(block, perm_np, delta_np, len_s, None,
+                              None, None)
+
     def encode_block(self, block: ReadBlock) -> EncodedBlock:
         return self.assemble(block, self.encode_device(block))
 
     def encode_device_pair(self, b1: ReadBlock, b2: ReadBlock):
         cfg = self.cfg
+        if self.host_core:
+            return ("hc",), ("hc",)
         out1 = self.encode_device(b1)
         B, L = b2.seq.shape
         uni2 = block_is_uniform(b2)
@@ -691,6 +822,18 @@ class BlockEncoder:
     def assemble_pair(self, b1: ReadBlock, b2: ReadBlock, devout
                       ) -> Tuple[EncodedBlock, EncodedBlock]:
         out1, out2 = devout
+        if isinstance(out1[0], str) and out1[0] == "hc":
+            from scalce_tpu import native
+            n = b1.n_reads
+            cores1 = native.core_match_block(
+                b1.seq, b1.lengths, b1.exc_pos, n, self.cfg.core_k,
+                self.cfg.dict_seed)
+            eb1 = self._assemble_hc(b1, cores=cores1)
+            perm_np = np.concatenate(
+                [cores1[3], np.arange(n, b1.seq.shape[0],
+                                      dtype=np.int64)])
+            eb2 = self._assemble_hc(b2, perm_np=perm_np, mate2=True)
+            return eb1, eb2
         if isinstance(out1[0], str):       # "hd" marker
             buf1 = np.asarray(out1[1])     # materialize ONCE (D2H)
             eb1 = self._assemble_hd(b1, buf1)
@@ -801,6 +944,8 @@ def warm_slice_variants(cfg: Config) -> None:
     (word and literal buckets).  Called once after the warm-up block so
     the TIMED phase (and production runs) never stall on the remote
     compiler for a block whose payload crossed a bucket boundary."""
+    if BlockEncoder(cfg).host_core:
+        return          # host placement: no device jits exist to warm
     B, L = cfg.block_reads, cfg.max_read_len
     if cfg.qual_on_device:
         T = qualities.pick_T(B, L, cfg.qual_T_target)

@@ -325,3 +325,56 @@ def test_delta_match_runs_equals_ck_variant():
     b = native.delta_match_runs(codes, bnd, cp, lens, 4)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_core_placement_never_changes_bytes(tmp_path):
+    """Host-placed core matching (native matcher + stable bucket sort)
+    and device-placed core matching must emit IDENTICAL payloads —
+    the third placement knob after qualities and delta (SURVEY.md §2
+    "LCE tokenizer"/"Bucket manager": the reference's host stage as a
+    bandwidth fallback).  Covers strand canonicalization, N-masked
+    windows, ragged lengths, and paired-end."""
+    import numpy as np
+    from scalce_tpu.config import Config
+    from scalce_tpu.io import fastq
+    from scalce_tpu.pipeline.encode import BlockEncoder, \
+        host_core_available
+    from scalce_tpu.utils.synth import synth_fastq
+
+    if not host_core_available():
+        import pytest
+        pytest.skip("native core_match_block unavailable")
+    p1 = tmp_path / "a.fastq"
+    p2 = tmp_path / "b.fastq"
+    p1.write_bytes(synth_fastq(2048, 100, seed=41, var_len=True,
+                               n_rate=0.01, rc_rate=0.5))
+    p2.write_bytes(synth_fastq(2048, 100, seed=42, var_len=True,
+                               n_rate=0.01))
+    b1 = next(fastq.iter_blocks(str(p1), 2048, 128))
+    b2 = next(fastq.iter_blocks(str(p2), 2048, 128))
+    dev = BlockEncoder(Config(mode="compress", inputs=("x",),
+                              block_reads=2048))
+    host = BlockEncoder(Config(mode="compress", inputs=("x",),
+                               block_reads=2048, core_on_device=False))
+    assert host.host_core and not dev.host_core
+    assert dev.encode_block(b1).payloads == \
+        host.encode_block(b1).payloads
+    for d, h in zip(dev.encode_block_pair(b1, b2),
+                    host.encode_block_pair(b1, b2)):
+        assert d.payloads == h.payloads
+
+
+def test_core_host_cli_end_to_end(tmp_path):
+    """--core-host runs the full pipeline with zero device traffic and
+    round-trips byte-exactly under --keep-order."""
+    from scalce_tpu import cli
+    payload = synth_fastq(1500, 90, seed=43, n_rate=0.005)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    rc = cli.main(["--core-placement", "host", "--block-reads", "1024",
+                   "-o", str(tmp_path / "o"), str(inp)])
+    assert rc == 0
+    rc = cli.main(["-d", "--keep-order", "-o", str(tmp_path / "d"),
+                   str(tmp_path / "o.00.scalcen")])
+    assert rc == 0
+    assert (tmp_path / "d.fastq").read_bytes() == payload
