@@ -21,6 +21,7 @@ Flag parity with the scalce CLI (SURVEY.md §1):
 from __future__ import annotations
 
 import dataclasses
+import os
 import re
 from typing import Optional, Tuple
 
@@ -57,7 +58,13 @@ class Config:
     inputs: Tuple[str, ...] = ()       # 1 file, or 2 when paired
     output: str = "out"                # -o output prefix
     paired: bool = False               # -r
-    threads: int = 4                   # -T (host-side assembly workers)
+    threads: int = dataclasses.field(  # -T (host-side assembly workers)
+        default_factory=lambda: (os.cpu_count() or 4) + 2)
+                                       # default cores+2: workers block
+                                       # on device fetches/IO, so mild
+                                       # oversubscription keeps the
+                                       # cores fed (bytes are invariant
+                                       # to -T — pinned by test)
     lossy_pct: int = 0                 # -p ; 0 = lossless qualities
     sample_size: int = 100_000         # -S ; reads sampled for lossy histogram
     part_size: int = NO_PART_LIMIT     # -B ; max compressed bytes per part

@@ -431,9 +431,13 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
         uint32_t kf = 0, kr = 0;
         if (len >= k) {
             uint32_t km = 0;
+            uint32_t rkm = 0;              /* incremental revcomp: new
+                                              base enters at the TOP */
+            int shift_top = (int)(2 * (k - 1));
             int64_t exc_in_win = 0;
             for (int64_t j = 0; j < len; j++) {
                 km = ((km << 2) | row[j]) & kmask;
+                rkm = (rkm >> 2) | ((uint32_t)(3 - row[j]) << shift_top);
                 if (has_exc) {
                     exc_in_win += excrow[j];
                     if (j - k >= 0)
@@ -453,7 +457,6 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                     pos_f = p;
                     kf = km;
                 }
-                uint32_t rkm = revcomp_kmer_c(km, k);
                 uint32_t rr = mix32_c(rkm, seed);
                 if (rr <= best_r && rr != NO_CORE) {
                     best_r = rr;           /* <=: LAST forward pos wins */
