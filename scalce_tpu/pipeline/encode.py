@@ -458,15 +458,28 @@ _LINK_AUTO_THRESHOLD_MBPS = 200.0
 _PROBE_DEADLINE_S = 10.0
 
 
+_PROBE_THREAD = None
+_PROBE_LOCK = None
+
+
 def device_link_mbps() -> float:
     """Measured device-link bandwidth (MB/s, cached): a 4MB H2D + D2H
-    round trip under a deadline.  Drives the AUTO core placement."""
-    global _LINK_MBPS
+    round trip under a deadline.  Drives the AUTO core placement.
+
+    Exactly ONE probe thread ever runs per process: the first caller
+    waits up to the deadline; later callers return the cached result
+    or — if the probe is still stuck behind a backed-up device — 0.0
+    immediately (degraded).  Re-probing would queue more device ops
+    behind the stuck one AND stall unrelated jnp.asarray calls on the
+    runtime's internal locks (observed polluting the bench's timed
+    window)."""
+    global _LINK_MBPS, _PROBE_THREAD, _PROBE_LOCK
     if _LINK_MBPS is not None:
         return _LINK_MBPS
     import threading
     import time
-    result: list = []
+    if _PROBE_LOCK is None:
+        _PROBE_LOCK = threading.Lock()
 
     def probe() -> None:
         global _LINK_MBPS
@@ -482,15 +495,17 @@ def device_link_mbps() -> float:
             mbps = (2 * len(payload) / dt) / 1e6
         except Exception:                   # no device at all -> host
             mbps = 0.0
-        result.append(mbps)
         _LINK_MBPS = mbps                   # cache for later encoders
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(_PROBE_DEADLINE_S)
-    if result:
-        return result[0]
-    return 0.0                              # deadline missed: degraded
+    with _PROBE_LOCK:
+        first = _PROBE_THREAD is None
+        if first:
+            _PROBE_THREAD = threading.Thread(target=probe, daemon=True)
+            _PROBE_THREAD.start()
+    if first:
+        _PROBE_THREAD.join(_PROBE_DEADLINE_S)
+    got = _LINK_MBPS
+    return got if got is not None else 0.0  # unresolved: degraded
 
 
 def host_core_available() -> bool:
@@ -605,18 +620,8 @@ class BlockEncoder:
             from scalce_tpu.models import lossy
             qual_map = lossy.identity_map()
         self.qual_map_np = np.asarray(qual_map)
-        self.qual_map = jnp.asarray(qual_map)
-        if cfg.dict_mode == "lut":
-            from scalce_tpu.models import core_dict
-            self.rank_lut = jnp.asarray(
-                core_dict.build_rank_lut(cfg.core_k, cfg.dict_seed))
-        elif cfg.dict_mode == "lcp":
-            from scalce_tpu.models import core_dict
-            self.rank_lut = jnp.asarray(
-                core_dict.build_rank_lut_lcp(cfg.core_k, cfg.dict_seed))
-        else:
-            # single-entry sentinel selects the implicit hash dictionary
-            self.rank_lut = jnp.zeros(1, jnp.uint32)
+        self._qual_map_dev = None
+        self._rank_lut_dev = None
         # host-delta placement: only meaningful with host-placed
         # qualities (the device-quality graph already holds the sorted
         # block) and a working native library
@@ -638,6 +643,33 @@ class BlockEncoder:
         else:
             want_host = not cfg.core_on_device
         self.host_core = want_host and eligible
+
+    # device constants are built LAZILY: the host-placed pipeline must
+    # never touch jax (a device op queued behind a stuck link would
+    # stall it on runtime-internal locks)
+    @property
+    def qual_map(self):
+        if self._qual_map_dev is None:
+            self._qual_map_dev = jnp.asarray(self.qual_map_np)
+        return self._qual_map_dev
+
+    @property
+    def rank_lut(self):
+        if self._rank_lut_dev is None:
+            cfg = self.cfg
+            if cfg.dict_mode == "lut":
+                from scalce_tpu.models import core_dict
+                self._rank_lut_dev = jnp.asarray(
+                    core_dict.build_rank_lut(cfg.core_k, cfg.dict_seed))
+            elif cfg.dict_mode == "lcp":
+                from scalce_tpu.models import core_dict
+                self._rank_lut_dev = jnp.asarray(
+                    core_dict.build_rank_lut_lcp(cfg.core_k,
+                                                 cfg.dict_seed))
+            else:
+                # single-entry sentinel -> the implicit hash dictionary
+                self._rank_lut_dev = jnp.zeros(1, jnp.uint32)
+        return self._rank_lut_dev
 
     # -- stage split: ``encode_device`` runs only device dispatches (kept
     # on the driver's main thread so device work pipelines in submission
