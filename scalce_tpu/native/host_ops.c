@@ -542,42 +542,64 @@ EXPORT void rans_decode_lanes2(const uint32_t *states,
 {
     int64_t N = (B * L) / T;
     int64_t k = T / L;
-    int64_t woff = 0;
-    for (int64_t n = 0; n < N; n++) {
-        uint32_t x = states[n];
-        const uint16_t *w = words_cat + woff;
-        int64_t wend = wcounts[n];
-        int64_t wp = 0;
-        uint32_t prev1 = 0, prev2 = 0;
-        for (int64_t t = 0; t < T; t++) {
-            int64_t read = n * k + t / L;
-            int64_t col = t % L;
-            if (col >= lengths[read]) {     /* padding: exact no-op */
-                qual[read * L + col] = 0u;
-                continue;
+    /* 4-way lane interleave: each lane's state chain is serial, but
+     * lanes are independent — processing them in lockstep hides the
+     * divide/renorm latency exactly like the encoder.  Lane word
+     * streams start at the prefix sums of wcounts. */
+    enum { IL = 4 };
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        uint32_t x[IL];
+        const uint16_t *w[IL];
+        int64_t wp[IL], wend[IL];
+        uint32_t p1v[IL], p2v[IL];
+        {
+            int64_t off = 0;
+            for (int64_t m = 0; m < n0; m++)
+                off += wcounts[m];
+            for (int j = 0; j < nl; j++) {
+                x[j] = states[n0 + j];
+                w[j] = words_cat + off;
+                off += wcounts[n0 + j];
+                wend[j] = wcounts[n0 + j];
+                wp[j] = 0;
+                p1v[j] = 0;
+                p2v[j] = 0;
             }
+        }
+        for (int64_t t = 0; t < T; t++) {
+            int64_t r_off = t / L;
+            int64_t col = t % L;
             uint32_t pb = (uint32_t)(col >> 4);
             if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
-            uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
-                               1, (int)order);
-            uint32_t slot = x & (RANS_M - 1);
-            const uint16_t *cr = cum + (int64_t)c * Q_NSYMS;
-            uint32_t s = sym8[(int64_t)c * 256 + (slot >> 4)];
-            while (s + 1 < Q_NSYMS && cr[s + 1] <= slot)
-                s++;
-            uint32_t f = freq[(int64_t)c * Q_NSYMS + s];
-            uint32_t cm = cr[s];
-            x = f * (x >> RANS_PROB_BITS) + slot - cm;
-            if (x < RANS_LOW) {
-                uint32_t word = wp < wend ? w[wp] : 0u;  /* corrupt-safe */
-                x = (x << 16) | word;
-                wp++;
+            for (int j = 0; j < nl; j++) {
+                int64_t read = (n0 + j) * k + r_off;
+                if (col >= lengths[read]) { /* padding: exact no-op */
+                    qual[read * L + col] = 0u;
+                    continue;
+                }
+                uint32_t c = q_ctx(p1v[j], p2v[j], pb, col == 0,
+                                   col == 1, 1, (int)order);
+                uint32_t xj = x[j];
+                uint32_t slot = xj & (RANS_M - 1);
+                const uint16_t *cr = cum + (int64_t)c * Q_NSYMS;
+                uint32_t s = sym8[(int64_t)c * 256 + (slot >> 4)];
+                while (s + 1 < Q_NSYMS && cr[s + 1] <= slot)
+                    s++;
+                uint32_t f = freq[(int64_t)c * Q_NSYMS + s];
+                xj = f * (xj >> RANS_PROB_BITS) + slot - cr[s];
+                if (xj < RANS_LOW) {
+                    uint32_t word = wp[j] < wend[j] ? w[j][wp[j]]
+                                                    : 0u;  /* corrupt-safe */
+                    xj = (xj << 16) | word;
+                    wp[j]++;
+                }
+                x[j] = xj;
+                qual[read * L + col] = (uint8_t)(s + Q_OFFSET);
+                p2v[j] = p1v[j];
+                p1v[j] = s;
             }
-            qual[read * L + col] = (uint8_t)(s + Q_OFFSET);
-            prev2 = prev1;
-            prev1 = s;
         }
-        woff += wend;
     }
 }
 
