@@ -649,11 +649,6 @@ def render_fastq_records(seq: np.ndarray, qual: np.ndarray,
     if n_reads == 0:
         return None
     max_len = seq.shape[1]
-    bases = CODE_TO_BASE[seq[:n_reads].reshape(-1)]
-    if exc_pos.size:
-        keep = exc_pos < n_reads * max_len
-        bases[exc_pos[keep]] = exc_byte[keep]
-
     lens = lengths[:n_reads].astype(np.int64)
     name_lens = names.lens[:n_reads]
     if plus is None:
@@ -667,6 +662,33 @@ def render_fastq_records(seq: np.ndarray, qual: np.ndarray,
     rec_off = lens_to_offsets(rec_lens)
     buf = np.empty(int(rec_off[-1]), dtype=np.uint8)
 
+    if _NATIVE and hasattr(_native, "render_fastq2"):
+        # codes translate to ASCII during the copy; exceptions are
+        # patched into the OUTPUT buffer (rare) — no 13MB intermediate
+        # bases array, and the result stays an ndarray (file.write
+        # accepts the buffer protocol; a .tobytes() would copy 30MB)
+        _native.render_fastq2(
+            np.ascontiguousarray(seq[:n_reads]), CODE_TO_BASE,
+            np.ascontiguousarray(qual[:n_reads]).reshape(-1),
+            lens, max_len,
+            names.cat[: int(names.offsets[n_reads])],
+            names.offsets[: n_reads + 1] - names.offsets[0],
+            plus_cat if plus is not None else None,
+            (plus.offsets[: n_reads + 1] - plus.offsets[0])
+            if plus is not None else None,
+            buf, rec_off)
+        if exc_pos.size:
+            keep = exc_pos < n_reads * max_len
+            rows = exc_pos[keep] // max_len
+            cols = exc_pos[keep] % max_len
+            at = rec_off[rows] + 2 + name_lens[rows] + cols
+            buf[at] = exc_byte[keep]
+        return buf
+
+    bases = CODE_TO_BASE[seq[:n_reads].reshape(-1)]
+    if exc_pos.size:
+        keep = exc_pos < n_reads * max_len
+        bases[exc_pos[keep]] = exc_byte[keep]
     if _NATIVE:
         _native.render_fastq(
             np.ascontiguousarray(bases), np.ascontiguousarray(

@@ -83,6 +83,12 @@ def _bind() -> None:
                                  ctypes.c_void_p, ctypes.c_void_p,
                                  _u8p, _i64p]
     lib.render_fastq.restype = None
+    lib.render_fastq2.argtypes = [_u8p, _u8p, _u8p, _i64p,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  _u8p, _i64p,
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  _u8p, _i64p]
+    lib.render_fastq2.restype = None
     _u16p = ndpointer(np.uint16, flags="C_CONTIGUOUS")
     _u32p = ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.qual_sym_ctx_hist.argtypes = [_u8p, _i64p, ctypes.c_int64,
@@ -550,6 +556,24 @@ def render_ints_i64(vals: np.ndarray):
     out = np.empty(int(offs[-1]), np.uint8)
     _lib.render_ints_i64(v, n, offs, out)
     return out, offs
+
+
+def render_fastq2(codes: np.ndarray, code2base: np.ndarray,
+                  qual: np.ndarray, lens: np.ndarray, L: int,
+                  name_cat: np.ndarray, name_off: np.ndarray,
+                  plus_cat: Optional[np.ndarray],
+                  plus_off: Optional[np.ndarray],
+                  out: np.ndarray, rec_off: np.ndarray) -> None:
+    """render_fastq with in-copy code->base translation (no 13MB
+    intermediate bases array)."""
+    n = len(lens)
+    pc = plus_cat.ctypes.data if plus_cat is not None else None
+    po = plus_off.ctypes.data if plus_off is not None else None
+    _lib.render_fastq2(codes.reshape(-1), code2base, qual.reshape(-1),
+                       np.ascontiguousarray(lens), n, L,
+                       np.ascontiguousarray(name_cat),
+                       np.ascontiguousarray(name_off), pc, po,
+                       out, np.ascontiguousarray(rec_off))
 
 
 def render_fastq(bases: np.ndarray, qual: np.ndarray, lens: np.ndarray,

@@ -175,6 +175,40 @@ EXPORT void render_fastq(const uint8_t *bases,      /* [B*L], already ASCII */
     }
 }
 
+/* render_fastq with IN-COPY base translation: consumes 2-bit codes and
+ * the code->ASCII LUT directly, so the caller skips materializing a
+ * 13MB translated bases array (exceptions are patched into the output
+ * buffer afterwards — they are rare and their buf positions are
+ * vectorizable). */
+EXPORT void render_fastq2(const uint8_t *codes,      /* [n*L] 2-bit */
+                          const uint8_t *code2base,  /* [4] */
+                          const uint8_t *qual,       /* [n*L] */
+                          const int64_t *lens, int64_t n, int64_t L,
+                          const uint8_t *name_cat, const int64_t *name_off,
+                          const uint8_t *plus_cat, const int64_t *plus_off,
+                          uint8_t *out, const int64_t *rec_off)
+{
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t *o = out + rec_off[i];
+        int64_t l = lens[i];
+        int64_t nl = name_off[i + 1] - name_off[i];
+        int64_t pl = plus_off ? (plus_off[i + 1] - plus_off[i]) : 0;
+        *o++ = '@';
+        memcpy(o, name_cat + name_off[i], (size_t)nl); o += nl;
+        *o++ = '\n';
+        const uint8_t *c = codes + i * L;
+        for (int64_t j = 0; j < l; j++)
+            o[j] = code2base[c[j] & 3];
+        o += l;
+        *o++ = '\n';
+        *o++ = '+';
+        if (pl) { memcpy(o, plus_cat + plus_off[i], (size_t)pl); o += pl; }
+        *o++ = '\n';
+        memcpy(o, qual + i * L, (size_t)l); o += l;
+        *o++ = '\n';
+    }
+}
+
 /* ---- quality stream codec (host placement) --------------------------
  *
  * Bit-identical C implementations of streams/qualities.py's host path:

@@ -375,7 +375,7 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
         for c, f in futs:
             blocks, bufs = f.result()
             for b, buf in zip(blocks, bufs):
-                if buf:
+                if buf is not None and len(buf):
                     outs[c].write(buf)
                 stats.n_reads += b.n_reads
             if c == 0:
