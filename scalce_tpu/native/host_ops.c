@@ -464,38 +464,56 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
         int64_t pos_f = 0, pos_r = 0;
         uint32_t kf = 0, kr = 0;
         if (len >= k) {
-            uint32_t km = 0;
-            uint32_t rkm = 0;              /* incremental revcomp: new
-                                              base enters at the TOP */
+            int64_t P = len - k + 1;
+            /* pass 1: k-mers of both strands (serial rolling, cheap);
+             * pass 2: branchless ranks — the pure loop auto-vectorizes
+             * under -O3 -march=native (the old fused branchy loop was
+             * ~2x slower); pass 3: scalar argmin scans with the XLA
+             * tie rules.  Scratch lives row-local (L1/L2). */
+            uint32_t kmv[32768], rkv[32768];    /* L <= 32752 by config */
+            uint32_t rfv[32768], rrv[32768];
+            uint32_t km = 0, rkm = 0;
             int shift_top = (int)(2 * (k - 1));
-            int64_t exc_in_win = 0;
-            for (int64_t j = 0; j < len; j++) {
+            for (int64_t j = 0; j < k - 1; j++) {
                 km = ((km << 2) | row[j]) & kmask;
                 rkm = (rkm >> 2) | ((uint32_t)(3 - row[j]) << shift_top);
-                if (has_exc) {
+            }
+            for (int64_t j = k - 1; j < len; j++) {
+                km = ((km << 2) | row[j]) & kmask;
+                rkm = (rkm >> 2) | ((uint32_t)(3 - row[j]) << shift_top);
+                kmv[j - k + 1] = km;
+                rkv[j - k + 1] = rkm;
+            }
+            for (int64_t p = 0; p < P; p++)
+                rfv[p] = mix32_c(kmv[p], seed);
+            for (int64_t p = 0; p < P; p++)
+                rrv[p] = mix32_c(rkv[p], seed);
+            if (has_exc) {                  /* mask N-touching windows */
+                int64_t exc_in_win = 0;
+                for (int64_t j = 0; j < len; j++) {
                     exc_in_win += excrow[j];
                     if (j - k >= 0)
                         exc_in_win -= excrow[j - k];
+                    if (j >= k - 1 && exc_in_win) {
+                        rfv[j - k + 1] = NO_CORE;
+                        rrv[j - k + 1] = NO_CORE;
+                    }
                 }
-                if (j < k - 1)
-                    continue;
-                if (exc_in_win)
-                    continue;              /* window touches an N */
-                int64_t p = j - k + 1;
-                uint32_t rf = mix32_c(km, seed);
-                /* rank == NO_CORE would alias the sentinel; the XLA
-                 * path has the same (vanishing) aliasing, where such a
-                 * rank loses every comparison against itself only */
+            }
+            for (int64_t p = 0; p < P; p++) {
+                uint32_t rf = rfv[p];
+                /* rank == NO_CORE aliases the sentinel; the XLA path
+                 * has the same (vanishing) aliasing */
                 if (rf < best_f) {
                     best_f = rf;
                     pos_f = p;
-                    kf = km;
+                    kf = kmv[p];
                 }
-                uint32_t rr = mix32_c(rkm, seed);
+                uint32_t rr = rrv[p];
                 if (rr <= best_r && rr != NO_CORE) {
                     best_r = rr;           /* <=: LAST forward pos wins */
                     pos_r = p;
-                    kr = rkm;
+                    kr = rkv[p];
                 }
             }
         }
