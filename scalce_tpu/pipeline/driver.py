@@ -347,7 +347,6 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
     (SURVEY.md §4.2), which round 1 left single-threaded.
     """
     from scalce_tpu.pipeline.decode import DECODE_GROUP
-    from scalce_tpu.streams import qualities
     C = len(decs)
     pool = _fut.ThreadPoolExecutor(max_workers=max(1, workers))
     parse_pending: collections.deque = collections.deque()

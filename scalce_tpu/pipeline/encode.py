@@ -102,8 +102,9 @@ def _encode_core_hd(codes, lengths, n_reads, exc, rank_lut, k: int,
                     seed: int, uniform: bool = False,
                     use_pallas: bool = False):
     """``_encode_core_nq`` for the host-delta placement: device does
-    cores → sort → orient and returns the packed sorted block; the
-    delta match runs host-side (native.delta_match)."""
+    cores → sort and returns only ``[perm, cp|bnd|rc|len]``; the host
+    rebuilds the sorted oriented rows from its own copy and runs the
+    native delta match (see _hd_pack / _assemble_hd)."""
     lut = rank_lut if rank_lut.shape[0] > 1 else None
     ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
         codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
