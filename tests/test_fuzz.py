@@ -88,3 +88,54 @@ def test_fuzz_corrupt_container_never_crashes(tmp_path):
                   keep_order=True)
     driver.decompress(dcfg)
     assert (tmp_path / "dfinal.fastq").read_bytes() == payload
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_modes_and_placements(tmp_path, trial):
+    """Random mode combinations (paired/lossy/keep-order × core
+    placement × backend) must round-trip; placement must never change
+    the outcome."""
+    rng = np.random.default_rng(3000 + trial)
+    n = int(rng.integers(200, 2500))
+    rl = int(rng.integers(24, 110))
+    paired = bool(trial % 2)
+    lossy = int(rng.choice([0, 30]))
+    place = [None, True, False][trial % 3]
+    br = int(rng.choice([256, 1024]))
+
+    def seqs(x):
+        return sorted(x.split(b"\n")[1::4])
+
+    if paired:
+        from scalce_tpu.utils.synth import synth_pair
+        a, b = synth_pair(n, rl, seed=trial)
+        p1, p2 = tmp_path / "1.fq", tmp_path / "2.fq"
+        p1.write_bytes(a)
+        p2.write_bytes(b)
+        driver.compress(Config(mode="compress", inputs=(str(p1), str(p2)),
+                               paired=True, output=str(tmp_path / "o"),
+                               block_reads=br, lossy_pct=lossy,
+                               core_on_device=place))
+        driver.decompress(Config(mode="decompress",
+                                 inputs=(str(tmp_path / "o.00_1.scalcen"),),
+                                 output=str(tmp_path / "d"),
+                                 block_reads=br))
+        assert seqs((tmp_path / "d_1.fastq").read_bytes()) == seqs(a)
+        assert seqs((tmp_path / "d_2.fastq").read_bytes()) == seqs(b)
+    else:
+        payload = synth_fastq(n, rl, seed=trial, var_len=True,
+                              n_rate=0.01)
+        p = tmp_path / "in.fq"
+        p.write_bytes(payload)
+        driver.compress(Config(mode="compress", inputs=(str(p),),
+                               output=str(tmp_path / "o"), block_reads=br,
+                               lossy_pct=lossy, core_on_device=place))
+        driver.decompress(Config(mode="decompress",
+                                 inputs=(str(tmp_path / "o.00.scalcer"),),
+                                 output=str(tmp_path / "d"),
+                                 block_reads=br, keep_order=(lossy == 0)))
+        out = (tmp_path / "d.fastq").read_bytes()
+        if lossy == 0:
+            assert out == payload
+        else:
+            assert seqs(out) == seqs(payload)
