@@ -22,8 +22,8 @@ can work on dense 2-bit codes while round-trips stay byte-exact
 from __future__ import annotations
 
 import dataclasses
-import gzip
 import sys
+import zlib
 from typing import IO, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -157,6 +157,65 @@ class ReadBlock:
         return self.seq.shape[1]
 
 
+class _GzChunkReader:
+    """Large-chunk gzip reader: ``zlib.decompressobj`` fed 4MB
+    compressed chunks (including concatenated multi-member files, as
+    bgzip emits).  ``gzip.open`` tops out ~250 MB/s through its small
+    internal buffers and halved gz-input encode throughput; this path
+    decompresses at zlib speed straight into the parser's chunk
+    buffer via ``readinto``."""
+
+    def __init__(self, f: IO[bytes]):
+        self._f = f
+        self._z = zlib.decompressobj(47)       # 32+15: gzip/zlib auto
+        self._pending = b""                    # unconsumed compressed
+        self._out = bytearray()
+        self._eof = False
+
+    def readinto(self, b) -> int:
+        mv = memoryview(b)
+        n = len(mv)
+        got = 0
+        while got < n:
+            if self._out:
+                take = min(len(self._out), n - got)
+                mv[got: got + take] = self._out[:take]
+                del self._out[:take]
+                got += take
+                continue
+            comp = self._pending or self._f.read(4 << 20)
+            self._pending = b""
+            if not comp:
+                if not self._eof:
+                    self._eof = True       # flush exactly once
+                    self._out += self._z.flush()
+                    continue
+                break
+            self._out += self._z.decompress(comp)
+            if self._z.eof:                    # next gzip member
+                tail = self._z.unused_data
+                self._z = zlib.decompressobj(47)
+                self._pending = tail
+        return got
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            chunks = []
+            while True:
+                buf = bytearray(4 << 20)
+                k = self.readinto(buf)
+                if not k:
+                    break
+                chunks.append(bytes(buf[:k]))
+            return b"".join(chunks)
+        buf = bytearray(n)
+        k = self.readinto(buf)
+        return bytes(buf[:k])
+
+    def close(self) -> None:
+        self._f.close()
+
+
 def _open_maybe_gz(path: str) -> IO[bytes]:
     if path == "-":
         return sys.stdin.buffer
@@ -164,7 +223,7 @@ def _open_maybe_gz(path: str) -> IO[bytes]:
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
-        return gzip.open(f, "rb")  # type: ignore[return-value]
+        return _GzChunkReader(f)  # type: ignore[return-value]
     return f
 
 
