@@ -40,6 +40,7 @@ class RunStats:
         default_factory=lambda: {"n": 0, "r": 0, "q": 0})
     stage_s: Dict[str, float] = dataclasses.field(default_factory=dict)
     wall_s: float = 0.0
+    placement: str = ""         # resolved compute placement (encode)
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -176,6 +177,7 @@ def compress(cfg: Config) -> RunStats:
     block_iter = fastq.iter_blocks(path, cfg.block_reads, cfg.max_read_len)
     qual_map, buffered, block_iter = _lossy_preamble(cfg, block_iter)
     enc = BlockEncoder(cfg, qual_map)
+    stats.placement = "host" if enc.host_core else "device"
     out_prefix, multihost = _host_output(cfg)
     writer = container.TripletWriter(
         out_prefix, meta,
@@ -282,6 +284,7 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
                                           cfg.max_read_len)
     qual_map, buffered, block_iter = _lossy_preamble(cfg, block_iter)
     enc = BlockEncoder(cfg, qual_map)
+    stats.placement = "host" if enc.host_core else "device"
     out_prefix, multihost = _host_output(cfg)
     psize = 0 if multihost else cfg.part_size
     w1 = container.TripletWriter(out_prefix, meta, part_size=psize, mate=1,
