@@ -25,6 +25,9 @@ import os
 import re
 from typing import Optional, Tuple
 
+from scalce_tpu.io.backend import BACKENDS as _AVAILABLE_BACKENDS
+from scalce_tpu.io.backend import DEFAULT_BACKEND as _DEFAULT_BACKEND
+
 #: Sentinel for "no part splitting" (-B absent).
 NO_PART_LIMIT = 0
 
@@ -69,9 +72,10 @@ class Config:
     sample_size: int = 100_000         # -S ; reads sampled for lossy histogram
     part_size: int = NO_PART_LIMIT     # -B ; max compressed bytes per part
     name_lib: Optional[str] = None     # -n ; regenerate names as "<lib>.N"
-    backend: str = "zstd"              # zstd | gz | bz | no (generic byte
+    backend: str = _DEFAULT_BACKEND    # zstd | gz | bz | no (generic byte
                                        # backend; zstd reaches gz ratios at
-                                       # a fraction of the host CPU)
+                                       # a fraction of the host CPU, falls
+                                       # back to gz where unavailable)
     keep_order: bool = False           # decompress in original read order
                                        # (beyond reference parity: scalce
                                        # cannot restore input order)
@@ -159,6 +163,10 @@ class Config:
         if self.backend not in ("zstd", "gz", "bz", "no"):
             raise ValueError(f"bad backend: {self.backend} "
                              "(want zstd|gz|bz|no)")
+        if self.backend not in _AVAILABLE_BACKENDS:
+            raise ValueError(f"backend {self.backend!r} unavailable on "
+                             "this host (zstandard not installed); "
+                             "use --backend gz")
         if not (0 <= self.lossy_pct <= 100):
             raise ValueError("lossy_pct must be in [0, 100]")
         if self.paired and self.mode == "compress" and len(self.inputs) != 2:

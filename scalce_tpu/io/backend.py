@@ -22,9 +22,18 @@ except ImportError:  # pragma: no cover - zstd is present in dev/CI images
 
 BACKENDS = ("zstd", "gz", "bz", "no") if _ZSTD_OK else ("gz", "bz", "no")
 
+#: best available payload backend — "zstd" where the package exists,
+#: zlib otherwise (Config and internal cost probes both resolve to this
+#: so a zstd-less host degrades instead of crashing)
+DEFAULT_BACKEND = "zstd" if _ZSTD_OK else "gz"
+
 
 def compress_bytes(data: bytes, backend: str, level: int = 6) -> bytes:
     if backend == "zstd":
+        if _zstd is None:
+            raise RuntimeError(
+                "zstd backend requested but the zstandard package is "
+                "not installed on this host")
         # zstd reaches zlib-6 ratios at ~10-30x less CPU on this
         # pipeline's payloads (measured); levels map 1:1 to zstd levels
         return _zstd.ZstdCompressor(level=level).compress(data)
@@ -39,6 +48,10 @@ def compress_bytes(data: bytes, backend: str, level: int = 6) -> bytes:
 
 def decompress_bytes(data: bytes, backend: str) -> bytes:
     if backend == "zstd":
+        if _zstd is None:
+            raise RuntimeError(
+                "this file uses the zstd backend but the zstandard "
+                "package is not installed on this host")
         return _zstd.ZstdDecompressor().decompress(data)
     if backend == "gz":
         return zlib.decompress(data)

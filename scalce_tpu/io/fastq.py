@@ -740,8 +740,14 @@ def render_fastq_records(seq: np.ndarray, qual: np.ndarray,
             keep = exc_pos < n_reads * max_len
             rows = exc_pos[keep] // max_len
             cols = exc_pos[keep] % max_len
+            # padding-region positions (col >= len) patched the harmless
+            # flat bases array on the old path; here the write lands in
+            # the OUTPUT buffer, so without this guard they would
+            # corrupt newline/plus/qual bytes of the record
+            keep2 = cols < lens[rows]
+            rows, cols = rows[keep2], cols[keep2]
             at = rec_off[rows] + 2 + name_lens[rows] + cols
-            buf[at] = exc_byte[keep]
+            buf[at] = exc_byte[keep][keep2]
         return buf
 
     bases = CODE_TO_BASE[seq[:n_reads].reshape(-1)]

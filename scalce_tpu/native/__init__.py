@@ -19,7 +19,29 @@ from numpy.ctypeslib import ndpointer
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "host_ops.c")
-_SO = os.path.join(_DIR, f"_host_ops_{sys.implementation.cache_tag}.so")
+
+
+def _isa_tag() -> str:
+    """Fingerprint of the build machine's ISA.  -march=native bakes this
+    host's vector extensions into the .so; on a shared checkout (NFS,
+    multi-host runs) another machine must not load it — a narrower CPU
+    would SIGILL on the first native call."""
+    import hashlib
+    import platform
+    desc = platform.machine()
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"flags", b"Features")):
+                    desc += line.decode("ascii", "replace")
+                    break
+    except OSError:
+        desc += platform.processor() or ""
+    return hashlib.md5(desc.encode()).hexdigest()[:10]
+
+
+_SO = os.path.join(
+    _DIR, f"_host_ops_{sys.implementation.cache_tag}_{_isa_tag()}.so")
 
 _lib: Optional[ctypes.CDLL] = None
 AVAILABLE = False

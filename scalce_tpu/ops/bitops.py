@@ -3,10 +3,15 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
 #: Sentinel rank for invalid core positions / empty rows: sorts last.
-U32_MAX = jnp.uint32(0xFFFFFFFF)
+#: np scalar, NOT jnp: a module-level jnp call would initialize the
+#: device backend at IMPORT time — observed blocking every import of
+#: this package for minutes behind a slow axon device service.  Under
+#: tracing both are strong uint32 scalars (identical promotion).
+U32_MAX = np.uint32(0xFFFFFFFF)
 
 
 def mix32(x: jnp.ndarray, seed: int) -> jnp.ndarray:

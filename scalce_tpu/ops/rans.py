@@ -37,14 +37,18 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scalce_tpu.ops.bitops import U32
 
 PROB_BITS = 12
 M_TOTAL = 1 << PROB_BITS
-RANS_L = jnp.uint32(1 << 16)          # state lower bound
-_MASK16 = jnp.uint32(0xFFFF)
-_MASK12 = jnp.uint32(M_TOTAL - 1)
+# np scalars, NOT jnp: module-level jnp calls initialize the device
+# backend at import time (minutes behind a slow axon service); numpy
+# scalars trace identically (strong uint32)
+RANS_L = np.uint32(1 << 16)           # state lower bound
+_MASK16 = np.uint32(0xFFFF)
+_MASK12 = np.uint32(M_TOTAL - 1)
 
 I32 = jnp.int32
 F32 = jnp.float32

@@ -92,6 +92,14 @@ class BlockDecoder:
         parsed_encs = [self.parse_block(p) for p in payload_list]
         parsed = [pe[0] for pe in parsed_encs]
         encs = [pe[1] for pe in parsed_encs]
+        if (self.qual_on_device
+                and len({(e.B, e.L, e.T, e.order) for e in encs}) != 1):
+            # per-block order auto-selection mixed orders in this group:
+            # the batched scan needs uniform shapes — decode per block
+            quals = [qualities.decode(e, pr[1])
+                     for e, pr in zip(encs, parsed)]
+            return [self._finish(p, pr, q)
+                    for p, pr, q in zip(payload_list, parsed, quals)]
         if self.qual_on_device:
             quals = qualities.decode_batch(encs, [pr[1] for pr in parsed])
         else:

@@ -107,7 +107,15 @@ def _prefetch(it: Iterator, depth: int = 3) -> Iterator:
         except BaseException as e:           # propagate parse errors
             err.append(e)
         finally:
-            q.put(_END)
+            # the sentinel put must also be stop-aware: with the queue
+            # full and the consumer gone, an unbounded put would block
+            # this thread (and the open input handle) forever
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.2)
+                    break
+                except _queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -169,6 +177,12 @@ def compress(cfg: Config) -> RunStats:
     t0 = time.monotonic()
     stats = RunStats(mode="compress")
     meta = file_meta(cfg)
+    if cfg.core_on_device is None:
+        # AUTO placement needs the link probe; start it NOW so its
+        # deadline overlaps the preamble / first parse instead of
+        # serializing in front of the first block
+        from scalce_tpu.pipeline.encode import start_link_probe
+        start_link_probe()
 
     if cfg.paired:
         return _compress_paired(cfg, stats, meta, t0)
@@ -399,7 +413,12 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
             for pr in parsed_list:
                 starts.append(name_ctr[c])
                 name_ctr[c] += pr[2]
-            if len(group) == DECODE_GROUP and decs[c].qual_on_device:
+            # per-block order auto-selection can mix orders within a
+            # group; the batched device decode requires uniform
+            # (B, L, T, order) — fall back to per-block decode otherwise
+            unif = len({(e.B, e.L, e.T, e.order)
+                        for e in (x[1] for x in pe)}) == 1
+            if len(group) == DECODE_GROUP and decs[c].qual_on_device and unif:
                 dev = decs[c].dispatch_quals(parsed_list,
                                              [x[1] for x in pe])
                 futs.append((c, pool.submit(finish_group, c, plist,

@@ -12,6 +12,7 @@ promised in SURVEY.md §4 ("everything between stays on device").
 from __future__ import annotations
 
 import dataclasses
+import threading as _threading
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -253,6 +254,31 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
             "lit_packed": lit_packed, "n_lits": n_lits}
 
 
+def _stage_a_prologue(seq_packed, lengths, exc_pos, rank_lut,
+                      k: int, seed: int, uniform: bool):
+    """Shared stage-A prologue (traced inside each placement's jit):
+    unpack the 2-bit H2D words, rebuild the exception mask, and run the
+    canonical core matcher (Pallas rank/argmin when on TPU).  One
+    definition — the six placement wrappers below must never drift on
+    the lengths cast / exc scatter / LUT sentinel handling.
+
+    seq_packed: uint32 [B, L//16] host-packed 2-bit codes (quarter-size
+    H2D transfer; re-expanded on device where bandwidth is free).
+    exc_pos: int32 [E_pad] flat non-ACGT positions, padded with
+    out-of-range sentinels (dropped by the scatter)."""
+    from scalce_tpu.ops.bitops import unpack_bases_u32
+    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
+    codes = unpack_bases_u32(seq_packed, axis=1)
+    B, L = codes.shape
+    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
+        True, mode="drop").reshape(B, L)
+    lut = rank_lut if rank_lut.shape[0] > 1 else None
+    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
+        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
+        use_pallas=True)
+    return lengths, codes_o, ck, cp, is_rc
+
+
 @partial(jax.jit, static_argnames=("k", "seed", "uniform"))
 def _device_stage_a(seq_packed, qual, lengths, n_reads, exc_pos, rank_lut,
                     k: int, seed: int, uniform: bool = False):
@@ -263,23 +289,9 @@ def _device_stage_a(seq_packed, qual, lengths, n_reads, exc_pos, rank_lut,
     superlinearly with graph size — two ~half graphs compile several
     times faster than the fused one, and the extra dispatch costs
     microseconds against a ~200ms block.
-
-    seq_packed: uint32 [B, L//16] host-packed 2-bit codes (quarter-size
-    H2D transfer; re-expanded on device where bandwidth is free).
-    exc_pos: int32 [E_pad] flat non-ACGT positions, padded with
-    out-of-range sentinels (dropped by the scatter).
     """
-    from scalce_tpu.ops.bitops import unpack_bases_u32
-    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
-    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
-    codes = unpack_bases_u32(seq_packed, axis=1)
-    B, L = codes.shape
-    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
-        True, mode="drop").reshape(B, L)
-    lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
-        use_pallas=use_pallas)
+    lengths, codes_o, ck, cp, is_rc = _stage_a_prologue(
+        seq_packed, lengths, exc_pos, rank_lut, k, seed, uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     # qualities stay in ORIGINAL orientation: the streams decode
@@ -313,17 +325,8 @@ def _device_stage_a_nq(seq_packed, lengths, n_reads, exc_pos, rank_lut,
     ``_device_stage_a`` minus the quality upload/permute — qualities
     never touch the device (Config.qual_on_device=False), which on a
     narrow device link removes the largest H2D transfer ([B, L] u8)."""
-    from scalce_tpu.ops.bitops import unpack_bases_u32
-    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
-    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
-    codes = unpack_bases_u32(seq_packed, axis=1)
-    B, L = codes.shape
-    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
-        True, mode="drop").reshape(B, L)
-    lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
-        use_pallas=use_pallas)
+    lengths, codes_o, ck, cp, is_rc = _stage_a_prologue(
+        seq_packed, lengths, exc_pos, rank_lut, k, seed, uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     codes_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -404,17 +407,8 @@ def _device_stage_a_hd(seq_packed, lengths, n_reads, exc_pos, rank_lut,
     downloaded sorted block (narrow-link placement, like the host
     quality codec).  Also removes the delta graph's multi-minute remote
     compile from the critical path."""
-    from scalce_tpu.ops.bitops import unpack_bases_u32
-    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
-    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
-    codes = unpack_bases_u32(seq_packed, axis=1)
-    B, L = codes.shape
-    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
-        True, mode="drop").reshape(B, L)
-    lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
-        use_pallas=use_pallas)
+    lengths, codes_o, ck, cp, is_rc = _stage_a_prologue(
+        seq_packed, lengths, exc_pos, rank_lut, k, seed, uniform)
     keys = core_match.build_sort_keys(codes_o, lengths, ck, cp, n_reads)
     perm = reorder.sort_permutation(keys)
     len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
@@ -426,17 +420,8 @@ def _device_stage_a_hd(seq_packed, lengths, n_reads, exc_pos, rank_lut,
 def _device_stage_a2_hd(seq_packed, lengths, exc_pos, perm, rank_lut,
                         k: int, seed: int, uniform: bool = False):
     """Mate-2 stage A for the host-delta placement."""
-    from scalce_tpu.ops.bitops import unpack_bases_u32
-    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
-    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
-    codes = unpack_bases_u32(seq_packed, axis=1)
-    B, L = codes.shape
-    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
-        True, mode="drop").reshape(B, L)
-    lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
-        use_pallas=use_pallas)
+    lengths, codes_o, ck, cp, is_rc = _stage_a_prologue(
+        seq_packed, lengths, exc_pos, rank_lut, k, seed, uniform)
     len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, lengths, ck, cp, is_rc)
     return _hd_pack(len_s, ck_s, cp_s, rc_s)
@@ -460,7 +445,46 @@ _PROBE_DEADLINE_S = 10.0
 
 
 _PROBE_THREAD = None
-_PROBE_LOCK = None
+#: module-level init — a lazy check-then-set here would race, letting
+#: two concurrent first callers each start a probe thread
+_PROBE_LOCK = _threading.Lock()
+
+
+def _probe() -> None:
+    import time
+    global _LINK_MBPS
+    try:
+        payload = np.zeros(4 << 20, np.uint8)
+        dev = jnp.asarray(payload)      # incl. lazy device init
+        jax.block_until_ready(dev)
+        t0 = time.monotonic()
+        dev = jnp.asarray(payload)
+        jax.block_until_ready(dev)
+        np.asarray(dev)
+        dt = max(time.monotonic() - t0, 1e-6)
+        mbps = (2 * len(payload) / dt) / 1e6
+    except Exception:                   # no device at all -> host
+        mbps = 0.0
+    _LINK_MBPS = mbps                   # cache for later encoders
+
+
+_PROBE_T0: Optional[float] = None
+
+
+def start_link_probe() -> None:
+    """Fire-and-forget start of the link probe (no join).  Drivers call
+    this as their FIRST statement when the placement is AUTO so the
+    probe's deadline overlaps the lossy preamble / first block parse
+    instead of serializing in front of them."""
+    global _PROBE_THREAD, _PROBE_T0
+    if _LINK_MBPS is not None:
+        return
+    import time
+    with _PROBE_LOCK:
+        if _PROBE_THREAD is None:
+            _PROBE_T0 = time.monotonic()
+            _PROBE_THREAD = _threading.Thread(target=_probe, daemon=True)
+            _PROBE_THREAD.start()
 
 
 def device_link_mbps() -> float:
@@ -474,37 +498,16 @@ def device_link_mbps() -> float:
     behind the stuck one AND stall unrelated jnp.asarray calls on the
     runtime's internal locks (observed polluting the bench's timed
     window)."""
-    global _LINK_MBPS, _PROBE_THREAD, _PROBE_LOCK
     if _LINK_MBPS is not None:
         return _LINK_MBPS
-    import threading
     import time
-    if _PROBE_LOCK is None:
-        _PROBE_LOCK = threading.Lock()
-
-    def probe() -> None:
-        global _LINK_MBPS
-        try:
-            payload = np.zeros(4 << 20, np.uint8)
-            dev = jnp.asarray(payload)      # incl. lazy device init
-            jax.block_until_ready(dev)
-            t0 = time.monotonic()
-            dev = jnp.asarray(payload)
-            jax.block_until_ready(dev)
-            np.asarray(dev)
-            dt = max(time.monotonic() - t0, 1e-6)
-            mbps = (2 * len(payload) / dt) / 1e6
-        except Exception:                   # no device at all -> host
-            mbps = 0.0
-        _LINK_MBPS = mbps                   # cache for later encoders
-
-    with _PROBE_LOCK:
-        first = _PROBE_THREAD is None
-        if first:
-            _PROBE_THREAD = threading.Thread(target=probe, daemon=True)
-            _PROBE_THREAD.start()
-    if first:
-        _PROBE_THREAD.join(_PROBE_DEADLINE_S)
+    start_link_probe()
+    # wait only the REMAINDER of the deadline measured from probe start
+    # (an early start_link_probe() call overlaps it with real work);
+    # once the deadline has elapsed, every caller returns immediately
+    remaining = _PROBE_DEADLINE_S - (time.monotonic() - _PROBE_T0)
+    if remaining > 0:
+        _PROBE_THREAD.join(remaining)
     got = _LINK_MBPS
     return got if got is not None else 0.0  # unresolved: degraded
 
@@ -529,17 +532,8 @@ def host_delta_available() -> bool:
 def _device_stage_a2_nq(seq_packed, lengths, exc_pos, perm, rank_lut,
                         k: int, seed: int, uniform: bool = False):
     """Mate-2 stage A for the host-quality placement."""
-    from scalce_tpu.ops.bitops import unpack_bases_u32
-    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
-    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
-    codes = unpack_bases_u32(seq_packed, axis=1)
-    B, L = codes.shape
-    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
-        True, mode="drop").reshape(B, L)
-    lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
-        use_pallas=use_pallas)
+    lengths, codes_o, ck, cp, is_rc = _stage_a_prologue(
+        seq_packed, lengths, exc_pos, rank_lut, k, seed, uniform)
     return reorder.apply_permutation(perm, codes_o, lengths, ck, cp, is_rc)
 
 
@@ -550,17 +544,8 @@ def _device_stage_a2(seq_packed, qual, lengths, exc_pos, perm, rank_lut,
     line-synchronized (SURVEY.md §2 "Paired-end sync").  Its own cores
     are still computed — not for sorting, but to align the
     predecessor-delta (adjacent pairs usually overlap on mate 2 too)."""
-    from scalce_tpu.ops.bitops import unpack_bases_u32
-    lengths = lengths.astype(jnp.int32)   # uploaded as u16 (H2D thrift)
-    use_pallas = True     # Mosaic rank/argmin matcher when on TPU
-    codes = unpack_bases_u32(seq_packed, axis=1)
-    B, L = codes.shape
-    exc = jnp.zeros(B * L, jnp.bool_).at[exc_pos].set(
-        True, mode="drop").reshape(B, L)
-    lut = rank_lut if rank_lut.shape[0] > 1 else None
-    ck, cp, is_rc, codes_o, _ = core_match.find_cores_canonical(
-        codes, lengths, exc, k, seed, rank_lut=lut, uniform=uniform,
-        use_pallas=use_pallas)
+    lengths, codes_o, ck, cp, is_rc = _stage_a_prologue(
+        seq_packed, lengths, exc_pos, rank_lut, k, seed, uniform)
     return reorder.apply_permutation(perm, codes_o, qual, lengths, ck,
                                      cp, is_rc)
 

@@ -177,7 +177,9 @@ def decode_batch_dispatch(encs, lengths_list):
     the fetch (D2H sync) on a worker thread while the main thread
     dispatches the next group.
     """
-    assert len({(e.B, e.L, e.T, e.order) for e in encs}) == 1
+    if len({(e.B, e.L, e.T, e.order) for e in encs}) != 1:
+        raise ValueError("decode_batch requires uniform (B, L, T, order); "
+                         "callers must split mixed-order groups")
     e0 = encs[0]
     D = len(encs)
     N = e0.states.shape[0]
@@ -294,6 +296,8 @@ def finish_encoded(freq: np.ndarray, states: np.ndarray, packed,
 
 def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     """Decode back to the uint8 [B, L] quality grid (padding zeroed)."""
+    if np.asarray(lengths).shape[0] != enc.B:
+        raise ValueError("corrupt quality stream: lengths/B mismatch")
     N = enc.states.shape[0]
     wmax = int(enc.counts.max()) if N else 0
     # pad word matrix to a floored power-of-two width (same bucket rule
@@ -437,10 +441,12 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
 
 
 def _table_cost_bytes(freq: np.ndarray) -> int:
-    """Stored size of a normalized table (the container deflates the u16
-    image; measured directly — tables are tiny)."""
-    from scalce_tpu.io.backend import compress_bytes
-    return len(compress_bytes(freq.astype("<u2").tobytes(), "zstd", 3))
+    """Estimated stored size of a normalized table (the container
+    deflates the u16 image with the file's backend; this probe feeds
+    order auto-selection, i.e. OUTPUT BYTES, so it must be identical on
+    every host — zlib is always present, zstandard is optional)."""
+    import zlib
+    return len(zlib.compress(freq.astype("<u2").tobytes(), 1))
 
 
 def _trial_cost(counts: np.ndarray, order: int) -> float:
@@ -497,6 +503,9 @@ def _host_rans_encode(idx: np.ndarray, freq: np.ndarray, cum: np.ndarray,
 
 def decode_host(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     """Host-side quality decode; same output as :func:`decode`."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if lengths.shape[0] != enc.B:
+        raise ValueError("corrupt quality stream: lengths/B mismatch")
     N = enc.states.shape[0]
     T, B, L, order = enc.T, enc.B, enc.L, enc.order
     k = T // L
@@ -572,7 +581,39 @@ def payload(enc: EncodedQuals, level: int = 6, backend: str = "gz") -> bytes:
 def parse(blob: bytes) -> EncodedQuals:
     from scalce_tpu import container
     a = container.unpack_arrays(blob)
+    if a.get("dims") is None or a["dims"].shape != (4,):
+        raise ValueError("corrupt quality stream: bad dims")
     B, L, T, order = (int(x) for x in a["dims"])
-    return EncodedQuals(freq=a["freq"].astype(np.uint32),
-                        states=a["states"], counts=a["counts"].astype(np.int32),
-                        words=a["words"], B=B, L=L, T=T, order=order)
+    enc = EncodedQuals(freq=a["freq"].astype(np.uint32),
+                       states=a["states"],
+                       counts=a["counts"].astype(np.int32),
+                       words=a["words"], B=B, L=L, T=T, order=order)
+    _validate_enc(enc)
+    return enc
+
+
+def _validate_enc(enc: EncodedQuals) -> None:
+    """Reject structurally corrupt quality streams BEFORE any decode —
+    the native decoder (host_ops.c rans_decode_lanes2) divides by T and
+    walks freq/cum/state/word buffers by these dims, so every size here
+    must be proven before the C call (mirrors seqs._validate)."""
+    B, L, T, order = enc.B, enc.L, enc.T, enc.order
+    if order not in (1, 2):
+        raise ValueError("corrupt quality stream: bad order")
+    if not (0 <= B <= 1 << 26 and 1 <= L <= 1 << 20 and T >= 1):
+        raise ValueError("corrupt quality stream: bad dims")
+    if T % L != 0 or (B and ((B * L) % T != 0 or T > B * L)):
+        raise ValueError("corrupt quality stream: inconsistent T")
+    N = (B * L) // T if B else 0
+    C = n_contexts(order)
+    if enc.freq.ndim not in (1, 2) or enc.freq.size != C * N_SYMS:
+        raise ValueError("corrupt quality stream: bad table size")
+    if enc.states.ndim != 1 or enc.states.shape[0] != N:
+        raise ValueError("corrupt quality stream: bad states")
+    if enc.counts.ndim != 1 or enc.counts.shape[0] != N:
+        raise ValueError("corrupt quality stream: bad counts")
+    if enc.words.ndim != 1:
+        raise ValueError("corrupt quality stream: bad words")
+    if N and (int(enc.counts.min()) < 0
+              or int(enc.counts.astype(np.int64).sum()) != enc.words.size):
+        raise ValueError("corrupt quality stream: words/counts mismatch")

@@ -319,6 +319,25 @@ def _validate(a, n: int, B: int, L: int, n_lits: int,
         if n_lits < 0 or n_lits > int(lens.sum()):
             raise ValueError("corrupt .scalcer block: literal count "
                              "mismatch")
+        # the checked loop IGNORES mask bits past each row's length, so
+        # without this the native path would ACCEPT blocks the numpy
+        # fallback rejects — acceptance must not depend on whether a C
+        # compiler was available (packed-byte check, no O(n*L) unpack)
+        if n:
+            mb = a["mask_bits"]
+            byte_idx = np.arange(L // 8, dtype=np.int64)[None, :]
+            if mb[byte_idx >= (lens[:, None] + 7) // 8].any():
+                raise ValueError("corrupt .scalcer block: mask past read "
+                                 "length")
+            rem = (lens % 8).astype(np.int64)
+            part = rem != 0
+            if part.any():
+                rows = np.flatnonzero(part)
+                tail = mb[rows, lens[rows] // 8]
+                keep = ((0xFF << rem[rows]) & 0xFF).astype(np.uint8)
+                if (tail & keep).any():
+                    raise ValueError("corrupt .scalcer block: mask past "
+                                     "read length")
     lit_mode = int(a["lit_mode"][0]) if "lit_mode" in a else 0
     if lit_mode == 0:
         if a["lit_packed"].shape[0] < (n_lits + 15) // 16:

@@ -1,0 +1,138 @@
+"""Regression tests for corrupt-container hardening (code-review r2):
+targeted mutations of the fields the random byte-flip fuzz rarely hits
+— quality-stream dims/counts, mask bits past read length, exception
+positions in the padding region."""
+
+import numpy as np
+import pytest
+
+from scalce_tpu import container
+from scalce_tpu.streams import qualities, seqs
+
+
+def _legit_qual_payload(B=32, L=16):
+    rng = np.random.default_rng(5)
+    qual = (rng.integers(33, 74, size=(B, L))).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    enc = qualities.encode_host(qual, lengths, order=1)
+    return qualities.payload(enc), qual, lengths
+
+
+def _mutate_qual_payload(blob, **updates):
+    a = container.unpack_arrays(blob)
+    arrays = {k: v for k, v in a.items()}
+    arrays.update(updates)
+    return container.pack_arrays(arrays, deflate=(), level=1, backend="gz")
+
+
+@pytest.mark.parametrize("dims", [
+    [32, 16, 0, 1],        # T = 0: native decoder divides by T (SIGFPE)
+    [32, 16, 16, 7],       # bad order indexes undersized tables
+    [32, 0, 16, 1],        # L = 0
+    [32, 16, 12, 1],       # T not a multiple of L
+    [-1, 16, 16, 1],       # negative B
+])
+def test_corrupt_qual_dims_raise(dims):
+    blob, _, _ = _legit_qual_payload()
+    bad = _mutate_qual_payload(blob, dims=np.asarray(dims, np.int64))
+    with pytest.raises(ValueError):
+        qualities.parse(bad)
+
+
+def test_corrupt_qual_counts_words_mismatch_raises():
+    blob, _, lengths = _legit_qual_payload()
+    a = container.unpack_arrays(blob)
+    counts = a["counts"].copy()
+    if counts.size == 0:
+        pytest.skip("no lanes")
+    counts[0] += 7            # sum(counts) now exceeds len(words)
+    bad = _mutate_qual_payload(blob, counts=counts)
+    with pytest.raises(ValueError):
+        qualities.parse(bad)
+
+
+def test_corrupt_qual_truncated_states_raises():
+    blob, _, _ = _legit_qual_payload()
+    a = container.unpack_arrays(blob)
+    bad = _mutate_qual_payload(blob, states=a["states"][:-1])
+    with pytest.raises(ValueError):
+        qualities.parse(bad)
+
+
+def test_qual_lengths_b_mismatch_raises():
+    blob, _, lengths = _legit_qual_payload()
+    enc = qualities.parse(blob)
+    with pytest.raises(ValueError):
+        qualities.decode_host(enc, lengths[:-3])
+    with pytest.raises(ValueError):
+        qualities.decode(enc, lengths[:-3])
+
+
+def _legit_seq_arrays(B=8, L=16):
+    """A minimal valid seq payload: every read all-literal (no mask)."""
+    n = B
+    lens = np.full(n, L - 4, np.int64)      # partial rows exercise the
+    n_lits = int(lens.sum())                # boundary-byte tail check
+    rng = np.random.default_rng(9)
+    lits = rng.integers(0, 4, size=n_lits).astype(np.uint8)
+    delta = {
+        "mask_bits": np.zeros((n, L // 8), np.uint8),
+        "shifts": np.zeros(n, np.int16),
+        "pred_k": np.zeros(n, np.uint8),
+        "rc_bits": np.zeros((n + 7) // 8, np.uint8),
+        "lits": lits,
+        "n_lits": n_lits,
+    }
+    blob = seqs.payload(delta, lens.astype(np.int32), n,
+                        np.zeros(0, np.uint64), np.zeros(0, np.uint8),
+                        np.arange(n), backend="gz")
+    return blob, n, L
+
+
+def test_mask_past_read_length_rejected_native_and_numpy(monkeypatch):
+    """Acceptance must not depend on whether the native library was
+    available: a mask bit beyond lengths[i] is corrupt on BOTH paths."""
+    blob, n, L = _legit_seq_arrays()
+    a = container.unpack_arrays(blob)
+    mb = a["mask_bits"].copy()
+    mb[2, -1] |= 0x80         # bit at column L-1 >= lens[2] = L-4
+    arrays = dict(a)
+    arrays["mask_bits"] = mb
+    bad = container.pack_arrays(arrays, deflate=(), level=1, backend="gz")
+    with pytest.raises(ValueError):
+        seqs.parse(bad, n, L)
+    monkeypatch.setattr(seqs, "_NATIVE", False)
+    with pytest.raises(ValueError):
+        seqs.parse(bad, n, L)
+
+
+def test_render_padding_exception_is_dropped():
+    """exc_pos pointing into the padding region (col >= len) must not
+    corrupt adjacent record bytes on the native render path — both
+    paths drop it."""
+    from scalce_tpu.io import fastq as fq
+    n, L = 3, 8
+    seq = np.zeros((n, L), np.uint8)
+    qual = np.full((n, L), 40, np.uint8)
+    lengths = np.array([6, 6, 6], np.int32)
+    names = fq.Ragged(np.frombuffer(b"r0r1r2", np.uint8).copy(),
+                      np.array([0, 2, 4, 6], np.int64))
+    # one real exception (row 0 col 1) + one in padding (row 1 col 7)
+    exc_pos = np.array([0 * L + 1, 1 * L + 7], np.int64)
+    exc_byte = np.frombuffer(b"NX", np.uint8).copy()
+    out = bytes(fq.render_fastq_records(seq, qual, lengths, n, exc_pos,
+                                        exc_byte, names, None))
+    recs = out.split(b"\n")
+    assert recs[1] == b"ANAAAA"          # real exception applied
+    assert recs[5] == b"AAAAAA"          # padding exception dropped
+    assert b"X" not in out
+
+
+def test_backend_validation_matches_availability():
+    from scalce_tpu.config import Config
+    from scalce_tpu.io import backend
+    assert Config(mode="compress", inputs=("x",),
+                  output="y").backend in backend.BACKENDS
+    with pytest.raises(ValueError):
+        Config(mode="compress", inputs=("x",), output="y",
+               backend="lzma")
