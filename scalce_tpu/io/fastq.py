@@ -295,6 +295,20 @@ class _RecordStream:
         self._cursor = 0          # line index into current bundle
         self._leftover_lines: List[bytes] = []  # <4 lines crossing bundles
         self.exhausted = False
+        #: bundle-parse worker pool: the native parse is the biggest
+        #: single cost on the pacing thread; offloading it (disjoint
+        #: row ranges, GIL released in C) lets this thread go straight
+        #: back to reading/scanning the next chunk.  2 workers cover
+        #: the ~1-2 bundles in flight per block.
+        self._pool = None
+        try:
+            from scalce_tpu import native
+            if native.AVAILABLE and hasattr(native, "parse_into_block"):
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=3, thread_name_prefix="fastq-parse")
+        except Exception:
+            pass
 
     def _next_bundle(self) -> bool:
         try:
@@ -311,6 +325,17 @@ class _RecordStream:
         ``ReadBlock`` via the native fast path (None at clean EOF);
         falls back to ``take_records`` + ``_records_to_block`` when the
         native library is unavailable."""
+        r = self._take(capacity, max_len, block_id)
+        if isinstance(r, _BlockBuilder):
+            return r.finish(block_id)
+        return r
+
+    def _take(self, capacity: int, max_len: int, block_id: int):
+        """Like :meth:`take_block` but returns the un-finished
+        ``_BlockBuilder`` on the native path (bundle parses possibly
+        still in flight on the pool) — ``iter_blocks`` defers the
+        finish-join by one block so this thread reads/scans block N+1
+        while block N's parses drain."""
         try:
             from scalce_tpu import native
             if not (native.AVAILABLE
@@ -322,7 +347,7 @@ class _RecordStream:
                 return None
             return _records_to_block(rec, capacity, max_len, block_id)
 
-        bb = _BlockBuilder(capacity, max_len)
+        bb = _BlockBuilder(capacity, max_len, pool=self._pool)
         while bb.got < capacity:
             if self._buf is None or self._cursor >= len(self._starts) - 1:
                 if not self._next_bundle():
@@ -366,7 +391,7 @@ class _RecordStream:
                 raise ValueError("truncated FASTQ: dangling partial record")
             self.exhausted = True
             return None
-        return bb.finish(block_id)
+        return bb
 
     def take_records(self, count: int) -> Optional[_RawRecords]:
         """Return up to ``count`` records (None at clean EOF)."""
@@ -470,24 +495,30 @@ _PARSE_ERRORS = {
 class _BlockBuilder:
     """Accumulates parsed records straight into padded block arrays
     (the native ``parse_into_block`` fast path — no intermediate ragged
-    gather+scatter, which double-copied every seq/qual byte)."""
+    gather+scatter, which double-copied every seq/qual byte).
 
-    def __init__(self, capacity: int, max_len: int):
+    With a ``pool``, each bundle's native parse runs as a WORKER task:
+    row ranges are assigned serially up front (disjoint writes into the
+    padded arrays are thread-safe; the C call releases the GIL), each
+    task keeps private name/plus/exception buffers, and ``finish``
+    joins and merges segments in submission order — so output is
+    byte-identical to the serial path while the pacing thread goes
+    back to reading/scanning the next chunk immediately."""
+
+    def __init__(self, capacity: int, max_len: int, pool=None):
         self.seq = np.zeros((capacity, max_len), np.uint8)
         self.qual = np.zeros((capacity, max_len), np.uint8)
         self.lengths = np.zeros(capacity, np.int32)
         self.max_len = max_len
-        self.name_chunks: List[np.ndarray] = []
-        self.name_lens: List[np.ndarray] = []
-        self.plus_chunks: List[np.ndarray] = []
-        self.plus_lens: List[np.ndarray] = []
-        self.exc_pos = np.empty(1024, np.int64)
-        self.exc_byte = np.empty(1024, np.uint8)
-        self.n_exc = 0
+        #: ordered parse segments: ("done", seg) | ("fut", Future[seg]);
+        #: seg = (rc, name_cat, name_lens, plus_cat, plus_lens,
+        #:        exc_pos, exc_byte)
+        self.segments: List = []
+        self.pool = pool
         self.got = 0
 
-    def add_bundle(self, buf: np.ndarray, starts: np.ndarray,
-                   line0: int, n_rec: int) -> None:
+    def _parse_bundle(self, buf: np.ndarray, starts: np.ndarray,
+                      line0: int, n_rec: int, row0: int):
         from scalce_tpu import native
         cap = int(starts[line0 + 4 * n_rec] - starts[line0])
         name_cat = np.empty(cap, np.uint8)
@@ -495,32 +526,44 @@ class _BlockBuilder:
         name_lens = np.empty(n_rec, np.int64)
         plus_lens = np.empty(n_rec, np.int64)
         meta = np.empty(3, np.int64)
+        exc_cap = 1024
         while True:
+            exc_pos = np.empty(exc_cap, np.int64)
+            exc_byte = np.empty(exc_cap, np.uint8)
             rc = native.parse_into_block(
-                buf, starts, line0, n_rec, self.got, self.max_len,
+                buf, starts, line0, n_rec, row0, self.max_len,
                 BASE_TO_CODE, self.seq, self.qual, self.lengths,
                 name_cat, name_lens, plus_cat, plus_lens,
-                self.exc_pos, self.exc_byte, self.n_exc, meta)
+                exc_pos, exc_byte, 0, meta)
             if rc == -4:           # exception buffer full: grow + retry
-                grown = np.empty(len(self.exc_pos) * 8, np.int64)
-                grown[: self.n_exc] = self.exc_pos[: self.n_exc]
-                gbyte = np.empty(len(grown), np.uint8)
-                gbyte[: self.n_exc] = self.exc_byte[: self.n_exc]
-                self.exc_pos, self.exc_byte = grown, gbyte
+                exc_cap *= 8
                 continue
             break
+        if rc < 0:
+            return (rc, None, None, None, None, None, None)
+        return (0, name_cat[: int(meta[1])].copy(), name_lens,
+                plus_cat[: int(meta[2])].copy(), plus_lens,
+                exc_pos[: int(meta[0])], exc_byte[: int(meta[0])])
+
+    def add_bundle(self, buf: np.ndarray, starts: np.ndarray,
+                   line0: int, n_rec: int) -> None:
+        row0 = self.got
+        self.got += n_rec
+        if self.pool is not None:
+            self.segments.append(("fut", self.pool.submit(
+                self._parse_bundle, buf, starts, line0, n_rec, row0)))
+        else:
+            seg = self._parse_bundle(buf, starts, line0, n_rec, row0)
+            self._raise_on_error(seg[0])
+            self.segments.append(("done", seg))
+
+    def _raise_on_error(self, rc: int) -> None:
         if rc == -5:
             raise ValueError(
                 f"read length exceeds max_read_len={self.max_len}; "
                 f"re-run with a larger --max-read-len")
         if rc < 0:
             raise ValueError(_PARSE_ERRORS[rc])
-        self.n_exc = int(meta[0])
-        self.name_chunks.append(name_cat[: int(meta[1])].copy())
-        self.name_lens.append(name_lens)
-        self.plus_chunks.append(plus_cat[: int(meta[2])].copy())
-        self.plus_lens.append(plus_lens)
-        self.got += n_rec
 
     def add_single(self, nm: bytes, sq: bytes, pl: bytes, ql: bytes
                    ) -> None:
@@ -537,45 +580,54 @@ class _BlockBuilder:
         sarr = np.frombuffer(sq, np.uint8)
         codes = BASE_TO_CODE[sarr]
         exc_local = np.flatnonzero(codes == 255)
-        if exc_local.size:
-            need = self.n_exc + exc_local.size
-            if need > len(self.exc_pos):
-                grown = np.empty(max(need, len(self.exc_pos) * 8),
-                                 np.int64)
-                grown[: self.n_exc] = self.exc_pos[: self.n_exc]
-                gbyte = np.empty(len(grown), np.uint8)
-                gbyte[: self.n_exc] = self.exc_byte[: self.n_exc]
-                self.exc_pos, self.exc_byte = grown, gbyte
-            self.exc_pos[self.n_exc: need] = (self.got * self.max_len
-                                              + exc_local)
-            self.exc_byte[self.n_exc: need] = sarr[exc_local]
-            self.n_exc = need
+        exc_pos = self.got * self.max_len + exc_local
+        exc_byte = sarr[exc_local].copy() if exc_local.size else _EMPTY_U8
         self.seq[self.got, :l] = np.where(codes == 255, 0, codes)
         self.qual[self.got, :l] = qarr
         self.lengths[self.got] = l
-        self.name_chunks.append(np.frombuffer(nm[1:], np.uint8))
-        self.name_lens.append(np.asarray([len(nm) - 1], np.int64))
-        self.plus_chunks.append(np.frombuffer(pl[1:], np.uint8))
-        self.plus_lens.append(np.asarray([len(pl) - 1], np.int64))
+        self.segments.append(("done", (
+            0, np.frombuffer(nm[1:], np.uint8),
+            np.asarray([len(nm) - 1], np.int64),
+            np.frombuffer(pl[1:], np.uint8),
+            np.asarray([len(pl) - 1], np.int64),
+            exc_pos, exc_byte)))
         self.got += 1
 
     def finish(self, block_id: int) -> ReadBlock:
         n = self.got
-        name_lens = (np.concatenate(self.name_lens) if self.name_lens
+        name_chunks, name_lens_l = [], []
+        plus_chunks, plus_lens_l = [], []
+        exc_pos_l, exc_byte_l = [], []
+        for kind, seg in self.segments:
+            if kind == "fut":
+                seg = seg.result()
+            self._raise_on_error(seg[0])
+            _, nc, nl, pc, pl, ep, eb = seg
+            name_chunks.append(nc)
+            name_lens_l.append(nl)
+            plus_chunks.append(pc)
+            plus_lens_l.append(pl)
+            if ep.size:
+                exc_pos_l.append(ep)
+                exc_byte_l.append(eb)
+        name_lens = (np.concatenate(name_lens_l) if name_lens_l
                      else np.zeros(0, np.int64))
-        names = Ragged(np.concatenate(self.name_chunks)
-                       if self.name_chunks else _EMPTY_U8,
+        names = Ragged(np.concatenate(name_chunks)
+                       if name_chunks else _EMPTY_U8,
                        lens_to_offsets(name_lens))
-        plus_lens = (np.concatenate(self.plus_lens) if self.plus_lens
+        plus_lens = (np.concatenate(plus_lens_l) if plus_lens_l
                      else np.zeros(0, np.int64))
         plus: Optional[Ragged] = None
         if plus_lens.sum() > 0:
-            plus = Ragged(np.concatenate(self.plus_chunks),
+            plus = Ragged(np.concatenate(plus_chunks),
                           lens_to_offsets(plus_lens))
+        exc_pos = (np.concatenate(exc_pos_l) if exc_pos_l
+                   else np.empty(0, np.int64))
+        exc_byte = (np.concatenate(exc_byte_l) if exc_byte_l
+                    else _EMPTY_U8)
         return ReadBlock(seq=self.seq, qual=self.qual,
                          lengths=self.lengths, n_reads=n,
-                         exc_pos=self.exc_pos[: self.n_exc].copy(),
-                         exc_byte=self.exc_byte[: self.n_exc].copy(),
+                         exc_pos=exc_pos, exc_byte=exc_byte,
                          names=names, plus=plus, block_id=block_id)
 
 
@@ -648,14 +700,22 @@ def _records_to_block(rec: _RawRecords, capacity: int, max_len: int,
 
 
 def iter_blocks(path: str, capacity: int, max_len: int) -> Iterator[ReadBlock]:
-    """Parse a FASTQ file into fixed-shape ``ReadBlock``s of ``capacity`` reads."""
+    """Parse a FASTQ file into fixed-shape ``ReadBlock``s of ``capacity``
+    reads.  One block's pool parses stay IN FLIGHT while this thread
+    reads/scans the next block; the finish-join is deferred one block
+    (output identical — segments merge in submission order)."""
     stream = _RecordStream(path)
+    pending = None
     block_id = 0
     while True:
-        block = stream.take_block(capacity, max_len, block_id)
-        if block is None:
+        item = stream._take(capacity, max_len, block_id)
+        if pending is not None:
+            pb, pid = pending
+            yield pb.finish(pid) if isinstance(pb, _BlockBuilder) else pb
+            pending = None
+        if item is None:
             return
-        yield block
+        pending = (item, block_id)
         block_id += 1
 
 

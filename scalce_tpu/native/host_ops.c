@@ -923,41 +923,51 @@ EXPORT int64_t analyze_names(const uint8_t *cat, const int64_t *offsets,
     return k;
 }
 
+/* SWAR newline detection: a set high bit per 0x0A byte of v. */
+static inline uint64_t nl_mask64(uint64_t v)
+{
+    uint64_t x = v ^ 0x0A0A0A0A0A0A0A0AULL;
+    return (x - 0x0101010101010101ULL) & ~x & 0x8080808080808080ULL;
+}
+
 /* Newline scan for the FASTQ parser: writes 0 then (index+1) of every
- * '\n' in buf into out; returns the entry count.  memchr is the
- * SIMD-accelerated libc scan — ~10x the numpy eq+flatnonzero path on
- * the 32MB parse chunks.  out must hold >= count_newlines(buf)+1. */
+ * '\n' in buf into out; returns the entry count.  FASTQ lines average
+ * ~25 bytes, so a memchr PER LINE paid call overhead 4M times per
+ * 32MB chunk (~1 GB/s); the branch-free 8-byte SWAR sweep with
+ * ctz-iterated hits runs at memory speed.  out must hold
+ * >= count_newlines(buf)+1. */
 EXPORT int64_t find_line_starts(const uint8_t *buf, int64_t n,
                                 int64_t *out)
 {
     int64_t cnt = 0;
     out[cnt++] = 0;
-    const uint8_t *p = buf;
-    const uint8_t *end = buf + n;
-    while (p < end) {
-        const uint8_t *nl = (const uint8_t *)memchr(p, '\n',
-                                                    (size_t)(end - p));
-        if (!nl)
-            break;
-        out[cnt++] = (int64_t)(nl - buf) + 1;
-        p = nl + 1;
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t v;
+        memcpy(&v, buf + i, 8);
+        uint64_t m = nl_mask64(v);
+        while (m) {
+            out[cnt++] = i + (__builtin_ctzll(m) >> 3) + 1;
+            m &= m - 1;
+        }
     }
+    for (; i < n; i++)
+        if (buf[i] == '\n')
+            out[cnt++] = i + 1;
     return cnt;
 }
 
 EXPORT int64_t count_newlines(const uint8_t *buf, int64_t n)
 {
     int64_t cnt = 0;
-    const uint8_t *p = buf;
-    const uint8_t *end = buf + n;
-    while (p < end) {
-        const uint8_t *nl = (const uint8_t *)memchr(p, '\n',
-                                                    (size_t)(end - p));
-        if (!nl)
-            break;
-        cnt++;
-        p = nl + 1;
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t v;
+        memcpy(&v, buf + i, 8);
+        cnt += __builtin_popcountll(nl_mask64(v));
     }
+    for (; i < n; i++)
+        cnt += buf[i] == '\n';
     return cnt;
 }
 
