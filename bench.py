@@ -56,6 +56,18 @@ def main() -> None:
     # number underreports sustained throughput
     n_reads = int(os.environ.get("BENCH_READS", 1 << 20))
     block_reads = int(os.environ.get("BENCH_BLOCK_READS", 1 << 17))
+    # placement: EXPLICIT host by default.  AUTO resolves to host on
+    # this tunnel anyway (link << 200 MB/s), but AUTO's probe initializes
+    # the axon backend whose connection threads then compete for the 4
+    # host cores at an unpredictable point in the timed window (observed
+    # 0.07-0.27 GB/s scatter run-to-run).  BENCH_PLACEMENT=auto|device
+    # restores the probing/device paths for fast-link hardware.
+    placement = os.environ.get("BENCH_PLACEMENT", "host")
+    place_kw = {}
+    if placement == "host":
+        place_kw["core_on_device"] = False
+    elif placement == "device":
+        place_kw["core_on_device"] = True
 
     from scalce_tpu.config import Config
     from scalce_tpu.pipeline import driver
@@ -80,7 +92,7 @@ def main() -> None:
     def run(in_path: str, out_name: str):
         cfg = Config(mode="compress", inputs=(in_path,),
                      output=os.path.join(tmp, out_name),
-                     block_reads=block_reads)
+                     block_reads=block_reads, **place_kw)
         t0 = time.monotonic()
         stats = driver.compress(cfg)
         return time.monotonic() - t0, stats
@@ -97,7 +109,7 @@ def main() -> None:
     log("warm-up slice-width variants")
     from scalce_tpu.pipeline.encode import warm_slice_variants
     warm_slice_variants(Config(mode="compress", inputs=(warm_path,),
-                               block_reads=block_reads))
+                               block_reads=block_reads, **place_kw))
     log("timed encode")
     wall, stats = run(path, "bench")
 

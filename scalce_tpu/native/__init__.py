@@ -176,6 +176,17 @@ def _bind() -> None:
     lib.rans_encode_qual.restype = ctypes.c_int64
     lib.build_enc_table.argtypes = [_u32p, _u32p, ctypes.c_int64, _u8p]
     lib.build_enc_table.restype = None
+    try:
+        # 16-lane AVX-512 encoder — only exported when the .so was
+        # built on a machine with AVX512F+DQ (the ISA-tagged cache key
+        # guarantees build machine == run machine)
+        lib.rans_encode_qual_v.argtypes = [_u8p, _i64p, _u32p, _u32p,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           _u32p, _i64p, _u16p]
+        lib.rans_encode_qual_v.restype = ctypes.c_int64
+    except AttributeError:
+        pass
     lib.rans_decode_lanes.argtypes = [_u32p, _u16p, _i64p, _u32p, _i64p,
                                       ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64, ctypes.c_int64,
@@ -477,16 +488,21 @@ def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,
     N = B * L // T
     f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
     c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
-    tab = np.empty(f32.shape[0] * 16, np.uint8)   # packed enc_entry[]
-    _lib.build_enc_table(f32, c32, f32.shape[0], tab)
     states = np.empty(N, np.uint32)
     wcounts = np.empty(N, np.int64)
     words_cat = np.empty(N * T, np.uint16)
-    total = _lib.rans_encode_qual(np.ascontiguousarray(qual).reshape(-1),
-                                  np.ascontiguousarray(
-                                      lengths.astype(np.int64)),
-                                  tab, B, L, T, order,
-                                  states, wcounts, words_cat)
+    q8 = np.ascontiguousarray(qual).reshape(-1)
+    l64 = np.ascontiguousarray(lengths.astype(np.int64))
+    if hasattr(_lib, "rans_encode_qual_v"):
+        # AVX-512 16-lane path; bit-identical (pinned by tests)
+        total = _lib.rans_encode_qual_v(q8, l64, f32, c32, B, L, T,
+                                        order, states, wcounts,
+                                        words_cat)
+    else:
+        tab = np.empty(f32.shape[0] * 16, np.uint8)  # packed enc_entry[]
+        _lib.build_enc_table(f32, c32, f32.shape[0], tab)
+        total = _lib.rans_encode_qual(q8, l64, tab, B, L, T, order,
+                                      states, wcounts, words_cat)
     if total < 0:
         raise MemoryError("rans_encode_qual scratch allocation failed")
     return states, wcounts, words_cat[:total].copy()

@@ -1295,6 +1295,253 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
     return off;
 }
 
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+
+/* AVX-512 variant of rans_encode_qual: 32 lanes as TWO interleaved
+ * 16-lane groups (the per-lane state chain x -> divide -> x' is ~20
+ * cycles of latency; two independent chains keep the ports busy).
+ * BIT-IDENTICAL output to the scalar path (pinned by tests):
+ *
+ * - contexts: the same q_ctx, vectorized; (prev2, prev1, s) rebuilt
+ *   with ONE 4-byte gather per lane from the clamped-symbol scratch
+ * - coder tables: one u32 gather of (cum << 16 | freq) — both fit 16
+ *   bits — plus two 8-lane f64 gathers of precomputed reciprocals
+ * - division: q = trunc(x * (1/f)) with a one-step integer fixup.
+ *   Exactness: x < 2^32 and f <= 4096 are exact in f64; the product's
+ *   absolute error is < 2^-19 while non-integer quotients sit >= 1/f
+ *   >= 2^-12 away from any integer, so only an EXACT-integer quotient
+ *   can truncate one too low — the fixup (rem >= f => q+1) restores
+ *   it and can never overshoot.
+ * - renorm rule and per-lane word order exactly as the scalar code;
+ *   emission (~25% of lanes per step) is scalar, driven by the kmask.
+ */
+EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
+                                  const int64_t *lengths,
+                                  const uint32_t *freq,
+                                  const uint32_t *cum,
+                                  int64_t B, int64_t L, int64_t T,
+                                  int64_t order, uint32_t *states,
+                                  int64_t *wcounts, uint16_t *words_cat)
+{
+    int64_t N = (B * L) / T;
+    int64_t k = T / L;
+    int64_t off = 0;
+    enum { G = 2, IL = 32 };        /* 2 groups x 16 lanes */
+    int64_t n_ctx = 1 + Q_POS_BUCKETS *
+        (order == 2 ? (Q_PREV_LEVELS + 1) * Q_PREV2_LEVELS
+                    : (Q_PREV1_FULL + 1));
+    int64_t n_ent = n_ctx * Q_NSYMS;
+    uint16_t *tmp = (uint16_t *)malloc((size_t)IL * T * 2);
+    uint8_t *srow_buf = (uint8_t *)malloc((size_t)(IL * L + 10));
+    uint32_t *fc = (uint32_t *)malloc((size_t)n_ent * 4);
+    double *rcpd = (double *)malloc((size_t)n_ent * 8);
+    if (!tmp || !srow_buf || !fc || !rcpd) {
+        free(tmp); free(srow_buf); free(fc); free(rcpd);
+        return -1;
+    }
+    for (int64_t i = 0; i < n_ent; i++) {
+        fc[i] = (cum[i] << 16) | freq[i];
+        rcpd[i] = freq[i] ? 1.0 / (double)freq[i] : 0.0;
+    }
+    /* zero EVERYTHING: gathers also read inactive tail lanes' rows
+     * (masked out downstream, but garbage bytes there would push the
+     * table index out of bounds) plus 2 front / 8 tail pad bytes */
+    memset(srow_buf, 0, (size_t)(IL * L + 10));
+    uint8_t *srow = srow_buf + 2;   /* gather reads [col-2, col+1] */
+
+    int32_t lane_base_i[IL];
+    for (int j = 0; j < IL; j++)
+        lane_base_i[j] = (int32_t)(j * L);
+    const __m512i v94 = _mm512_set1_epi32(94);
+    const __m512i vff = _mm512_set1_epi32(0xFF);
+    const __m512i vmask16 = _mm512_set1_epi32(0xFFFF);
+    const __m512i vone = _mm512_set1_epi32(1);
+    __m512i lane_base[G];
+    for (int h = 0; h < G; h++)
+        lane_base[h] = _mm512_loadu_si512(lane_base_i + 16 * h);
+
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        __m512i x[G];
+        int64_t cnt[IL];
+        for (int h = 0; h < G; h++)
+            x[h] = _mm512_set1_epi32((int)RANS_LOW);
+        for (int j = 0; j < IL; j++)
+            cnt[j] = 0;
+        for (int64_t r_off = k - 1; r_off >= 0; r_off--) {
+            int32_t len_i[IL];
+            int64_t lmax = 0;
+            for (int j = 0; j < IL; j++) {
+                int64_t len = 0;
+                if (j < nl) {
+                    int64_t read = (n0 + j) * k + r_off;
+                    const uint8_t *qrow = qual + read * L;
+                    len = lengths[read];
+                    uint8_t *sj = srow + j * L;
+                    for (int64_t col = 0; col < len; col++) {
+                        int v = (int)qrow[col] - Q_OFFSET;
+                        if (v < 0) v = 0;
+                        if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
+                        sj[col] = (uint8_t)v;
+                    }
+                    for (int64_t col = len; col < L; col++)
+                        sj[col] = 0;
+                }
+                len_i[j] = (int32_t)len;
+                if (len > lmax)
+                    lmax = len;
+            }
+            __m512i lenv[G];
+            for (int h = 0; h < G; h++)
+                lenv[h] = _mm512_loadu_si512(len_i + 16 * h);
+            for (int64_t col = (lmax ? lmax : 0) - 1; col >= 0; col--) {
+                const __m512i colv = _mm512_set1_epi32((int)col);
+                uint32_t pb = (uint32_t)(col >> 4);
+                if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+                __mmask16 valid[G];
+                int any = 0;
+                for (int h = 0; h < G; h++) {
+                    valid[h] = _mm512_cmp_epi32_mask(colv, lenv[h],
+                                                     _MM_CMPINT_LT);
+                    any |= valid[h];
+                }
+                if (!any)
+                    continue;
+                __m512i fv[G], cv[G], idx[G];
+                for (int h = 0; h < G; h++) {
+                    /* one gather rebuilds (p2, p1, s) per lane */
+                    __m512i gidx = _mm512_add_epi32(
+                        lane_base[h], _mm512_set1_epi32((int)col - 2));
+                    __m512i g = _mm512_i32gather_epi32(
+                        gidx, (const int *)srow, 1);
+                    __m512i s = _mm512_and_si512(
+                        _mm512_srli_epi32(g, 16), vff);
+                    __m512i ctx;
+                    if (order == 2) {
+                        __m512i pq, p2v;
+                        if (col == 0) {
+                            pq = _mm512_set1_epi32(Q_PREV_LEVELS);
+                        } else {
+                            __m512i p1 = _mm512_and_si512(
+                                _mm512_srli_epi32(g, 8), vff);
+                            pq = _mm512_min_epi32(
+                                _mm512_srli_epi32(p1, 2),
+                                _mm512_set1_epi32(Q_PREV_LEVELS - 1));
+                        }
+                        if (col <= 1) {
+                            p2v = _mm512_set1_epi32(Q_PREV2_LEVELS - 1);
+                        } else {
+                            __m512i p2 = _mm512_and_si512(g, vff);
+                            p2v = _mm512_min_epi32(
+                                _mm512_srli_epi32(p2, 4),
+                                _mm512_set1_epi32(Q_PREV2_LEVELS - 2));
+                        }
+                        ctx = _mm512_add_epi32(
+                            _mm512_mullo_epi32(
+                                _mm512_add_epi32(
+                                    _mm512_set1_epi32(
+                                        (int)(pb * (Q_PREV_LEVELS + 1))),
+                                    pq),
+                                _mm512_set1_epi32(Q_PREV2_LEVELS)),
+                            p2v);
+                    } else {
+                        __m512i pq;
+                        if (col == 0) {
+                            pq = _mm512_set1_epi32(Q_PREV1_FULL);
+                        } else {
+                            __m512i p1 = _mm512_and_si512(
+                                _mm512_srli_epi32(g, 8), vff);
+                            pq = _mm512_min_epi32(
+                                p1,
+                                _mm512_set1_epi32(Q_PREV1_FULL - 1));
+                        }
+                        ctx = _mm512_add_epi32(
+                            pq, _mm512_set1_epi32(
+                                    (int)(pb * (Q_PREV1_FULL + 1))));
+                    }
+                    /* valid context index is ctx+1 (0 = padding ctx) */
+                    idx[h] = _mm512_add_epi32(
+                        _mm512_mullo_epi32(_mm512_add_epi32(ctx, vone),
+                                           v94),
+                        s);
+                    __m512i fcv = _mm512_i32gather_epi32(
+                        idx[h], (const int *)fc, 4);
+                    fv[h] = _mm512_and_si512(fcv, vmask16);
+                    cv[h] = _mm512_srli_epi32(fcv, 16);
+                }
+                for (int h = 0; h < G; h++) {
+                    /* renorm: emit low 16 where (x >> 20) >= f */
+                    __mmask16 emit = _mm512_mask_cmp_epu32_mask(
+                        valid[h], _mm512_srli_epi32(x[h], 20), fv[h],
+                        _MM_CMPINT_NLT);
+                    if (emit) {
+                        uint32_t wbuf[16];
+                        _mm512_storeu_si512(
+                            wbuf, _mm512_and_si512(x[h], vmask16));
+                        unsigned m = emit;
+                        while (m) {
+                            int j = __builtin_ctz(m);
+                            m &= m - 1;
+                            int jl = 16 * h + j;
+                            tmp[(size_t)jl * T + cnt[jl]++] =
+                                (uint16_t)wbuf[j];
+                        }
+                        x[h] = _mm512_mask_srli_epi32(x[h], emit,
+                                                      x[h], 16);
+                    }
+                }
+                for (int h = 0; h < G; h++) {
+                    /* q = trunc(x * rcp) with one-step fixup */
+                    __m512d rc0 = _mm512_i32gather_pd(
+                        _mm512_castsi512_si256(idx[h]), rcpd, 8);
+                    __m512d rc1 = _mm512_i32gather_pd(
+                        _mm512_extracti32x8_epi32(idx[h], 1), rcpd, 8);
+                    __m512d xd0 = _mm512_cvtepu32_pd(
+                        _mm512_castsi512_si256(x[h]));
+                    __m512d xd1 = _mm512_cvtepu32_pd(
+                        _mm512_extracti64x4_epi64(x[h], 1));
+                    __m256i q0 = _mm512_cvttpd_epu32(
+                        _mm512_mul_pd(xd0, rc0));
+                    __m256i q1 = _mm512_cvttpd_epu32(
+                        _mm512_mul_pd(xd1, rc1));
+                    __m512i q = _mm512_inserti64x4(
+                        _mm512_castsi256_si512(q0), q1, 1);
+                    __m512i rem = _mm512_sub_epi32(
+                        x[h], _mm512_mullo_epi32(q, fv[h]));
+                    __mmask16 fix = _mm512_cmp_epu32_mask(
+                        rem, fv[h], _MM_CMPINT_NLT);
+                    q = _mm512_mask_add_epi32(q, fix, q, vone);
+                    rem = _mm512_mask_sub_epi32(rem, fix, rem, fv[h]);
+                    /* x' = (q << 12) + rem + c, valid lanes only */
+                    __m512i nx = _mm512_add_epi32(
+                        _mm512_add_epi32(
+                            _mm512_slli_epi32(q, RANS_PROB_BITS), rem),
+                        cv[h]);
+                    x[h] = _mm512_mask_blend_epi32(valid[h], x[h], nx);
+                }
+            }
+        }
+        uint32_t xout[IL];
+        for (int h = 0; h < G; h++)
+            _mm512_storeu_si512(xout + 16 * h, x[h]);
+        for (int j = 0; j < nl; j++) {
+            states[n0 + j] = xout[j];
+            wcounts[n0 + j] = cnt[j];
+            const uint16_t *tj = tmp + (size_t)j * T;
+            for (int64_t i = 0; i < cnt[j]; i++)    /* decode order */
+                words_cat[off + i] = tj[cnt[j] - 1 - i];
+            off += cnt[j];
+        }
+    }
+    free(tmp);
+    free(srow_buf);
+    free(fc);
+    free(rcpd);
+    return off;
+}
+#endif  /* __AVX512F__ && __AVX512DQ__ */
+
 /* Literal-stream helpers: order-2 base-context histogram and encode
  * with INLINE contexts (no sym/ctx grids), mirroring the lane layout of
  * streams/seqs.py (_T_LIT-long lanes over the zero-padded literal

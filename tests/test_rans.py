@@ -362,3 +362,57 @@ def test_grid_direct_encoder_matches_grid_path():
         np.testing.assert_array_equal(st_d, st_g)
         np.testing.assert_array_equal(wc_d, wc_g)
         np.testing.assert_array_equal(w_d, w_g)
+
+
+def test_avx512_qual_encoder_bit_identical_to_scalar():
+    """The AVX-512 16x2-lane encoder must produce byte-identical
+    streams to the scalar C path for every (order, shape, raggedness)
+    — including tail lane groups (N % 32 != 0)."""
+    import numpy as np
+    from scalce_tpu import native
+    from scalce_tpu.models import entropy
+    from scalce_tpu.streams import qualities
+
+    if not (native.AVAILABLE
+            and hasattr(native._lib, "rans_encode_qual_v")):
+        import pytest
+        pytest.skip("AVX-512 build not available on this host")
+    rng = np.random.default_rng(11)
+    for B, L in [(512, 96), (96, 48), (2048, 128)]:
+        q = rng.integers(33, 127, size=(B, L)).astype(np.uint8)
+        lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+        col = np.arange(L)[None, :]
+        q = np.where(col < lens[:, None], q, 0).astype(np.uint8)
+        for order in (1, 2):
+            sym, ctx, _ = qualities._sym_ctx_np(q, lens, order)
+            idx = (ctx.reshape(-1).astype(np.int64) * qualities.N_SYMS
+                   + sym.reshape(-1))
+            counts = np.bincount(
+                idx, minlength=qualities.n_contexts(order)
+                * qualities.N_SYMS)
+            freq, cum = entropy.host_normalize(
+                counts, qualities.n_contexts(order), qualities.N_SYMS)
+            f32 = np.ascontiguousarray(
+                freq.reshape(-1).astype(np.uint32))
+            c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
+            T = qualities.pick_T(B, L, 1024)
+            N = B * L // T
+            q8 = np.ascontiguousarray(q).reshape(-1)
+            l64 = lens.astype(np.int64)
+            tab = np.empty(f32.shape[0] * 16, np.uint8)
+            native._lib.build_enc_table(f32, c32, f32.shape[0], tab)
+            sts = np.empty(N, np.uint32)
+            wcs = np.empty(N, np.int64)
+            wcats = np.empty(N * T, np.uint16)
+            stv = np.empty(N, np.uint32)
+            wcv = np.empty(N, np.int64)
+            wcatv = np.empty(N * T, np.uint16)
+            ts = native._lib.rans_encode_qual(q8, l64, tab, B, L, T,
+                                              order, sts, wcs, wcats)
+            tv = native._lib.rans_encode_qual_v(q8, l64, f32, c32, B, L,
+                                                T, order, stv, wcv,
+                                                wcatv)
+            assert ts == tv
+            assert np.array_equal(sts, stv)
+            assert np.array_equal(wcs, wcv)
+            assert np.array_equal(wcats[:ts], wcatv[:tv])
