@@ -185,6 +185,13 @@ def _bind() -> None:
                                            ctypes.c_int64, ctypes.c_int64,
                                            _u32p, _i64p, _u16p]
         lib.rans_encode_qual_v.restype = ctypes.c_int64
+        lib.rans_decode_lanes_v.argtypes = [_u32p, _u16p, _i64p, _u16p,
+                                            _u16p, _i64p, ctypes.c_int64,
+                                            ctypes.c_int64,
+                                            ctypes.c_int64,
+                                            ctypes.c_int64,
+                                            ctypes.c_int64, _u8p]
+        lib.rans_decode_lanes_v.restype = ctypes.c_int64
     except AttributeError:
         pass
     lib.rans_decode_lanes.argtypes = [_u32p, _u16p, _i64p, _u32p, _i64p,
@@ -548,9 +555,23 @@ def rans_decode_lanes2(states: np.ndarray, words_cat: np.ndarray,
     C, S = freq.shape
     f16 = np.ascontiguousarray(freq.astype(np.uint16)).reshape(-1)
     c16 = np.ascontiguousarray(cum.astype(np.uint16)).reshape(-1)
+    qual = np.empty(B * L, np.uint8)
+    if hasattr(_lib, "rans_decode_lanes_v"):
+        # AVX-512 32-lane path; bit-identical (pinned by tests).  The
+        # word gather does 32-bit loads, so pad the u16 stream by one.
+        wpad = np.empty(words_cat.shape[0] + 1, np.uint16)
+        wpad[:-1] = words_cat
+        wpad[-1] = 0
+        rc = _lib.rans_decode_lanes_v(
+            np.ascontiguousarray(states.astype(np.uint32)), wpad,
+            np.ascontiguousarray(wcounts.astype(np.int64)), f16, c16,
+            np.ascontiguousarray(lengths.astype(np.int64)), B, L, T,
+            order, C, qual)
+        if rc < 0:
+            raise MemoryError("rans_decode_lanes_v LUT allocation failed")
+        return qual.reshape(B, L)
     sym8 = np.empty(C * 256, np.uint8)
     _lib.build_sym8(c16, C, S, sym8)
-    qual = np.empty(B * L, np.uint8)
     _lib.rans_decode_lanes2(
         np.ascontiguousarray(states.astype(np.uint32)),
         np.ascontiguousarray(words_cat),

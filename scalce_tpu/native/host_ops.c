@@ -1540,6 +1540,202 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
     free(rcpd);
     return off;
 }
+/* AVX-512 quality decode: 32 lanes as two interleaved 16-lane groups.
+ * BIT-IDENTICAL to rans_decode_lanes2 (pinned by tests).
+ *
+ * Uses a FLAT slot->entry LUT like the old numpy path — but built in C
+ * (a run-fill loop, ~3 ms for the 12.5MB order-1 table vs 100s of ms
+ * in numpy), because for SIMD one 16-lane gather replaces the whole
+ * sym8-bucket + cum-advance + freq/cum chain; the per-lane DRAM
+ * latency the scalar code avoided is hidden by the gather's internal
+ * parallelism plus two independent state groups.
+ *
+ * words_pad MUST have 2 tail pad bytes (the u16 word fetch gathers
+ * 32-bit loads).  qual is fully zeroed here; only valid cells are
+ * stored. */
+EXPORT int64_t rans_decode_lanes_v(const uint32_t *states,
+                                   const uint16_t *words_pad,
+                                   const int64_t *wcounts,
+                                   const uint16_t *freq,
+                                   const uint16_t *cum,
+                                   const int64_t *lengths, int64_t B,
+                                   int64_t L, int64_t T, int64_t order,
+                                   int64_t n_ctx, uint8_t *qual)
+{
+    int64_t N = (B * L) / T;
+    int64_t k = T / L;
+    enum { G = 2, IL = 32 };
+    uint32_t *lut = (uint32_t *)malloc((size_t)n_ctx * RANS_M * 4);
+    if (!lut)
+        return -1;
+    for (int64_t c = 0; c < n_ctx; c++) {
+        uint32_t *row = lut + c * RANS_M;
+        int64_t slot = 0;
+        uint32_t e = 0;
+        for (int64_t s = 0; s < Q_NSYMS && slot < RANS_M; s++) {
+            uint32_t f = freq[c * Q_NSYMS + s];
+            if (!f)
+                continue;
+            e = ((uint32_t)s << 24) | ((f - 1) << 12)
+                | cum[c * Q_NSYMS + s];
+            for (uint32_t i = 0; i < f && slot < RANS_M; i++)
+                row[slot++] = e;
+        }
+        for (; slot < RANS_M; slot++)    /* corrupt-table safety fill */
+            row[slot] = e;
+    }
+    memset(qual, 0, (size_t)(B * L));
+
+    const __m512i vff = _mm512_set1_epi32(0xFF);
+    const __m512i v4095 = _mm512_set1_epi32(4095);
+    const __m512i vone = _mm512_set1_epi32(1);
+    const __m512i vlow = _mm512_set1_epi32(1 << 16);
+    const __m512i voff = _mm512_set1_epi32(Q_OFFSET);
+
+    int64_t wbase_all = 0;
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        __m512i x[G], p1[G], p2[G], wp[G], wend[G], wbase[G];
+        int64_t cnt_base[IL];
+        for (int j = 0; j < IL; j++) {
+            cnt_base[j] = wbase_all;
+            if (j < nl)
+                wbase_all += wcounts[n0 + j];
+        }
+        for (int h = 0; h < G; h++) {
+            int32_t xi[16], wei[16], wbi[16];
+            for (int j = 0; j < 16; j++) {
+                int jl = 16 * h + j;
+                xi[j] = jl < nl ? (int32_t)states[n0 + jl] : 0;
+                wei[j] = jl < nl ? (int32_t)wcounts[n0 + jl] : 0;
+                wbi[j] = (int32_t)cnt_base[jl < nl ? jl : 0];
+            }
+            x[h] = _mm512_loadu_si512(xi);
+            wend[h] = _mm512_loadu_si512(wei);
+            wbase[h] = _mm512_loadu_si512(wbi);
+            wp[h] = _mm512_setzero_si512();
+            p1[h] = _mm512_setzero_si512();
+            p2[h] = _mm512_setzero_si512();
+        }
+        for (int64_t r_off = 0; r_off < k; r_off++) {
+            int32_t len_i[IL];
+            uint8_t *rowp[IL];
+            for (int j = 0; j < IL; j++) {
+                int64_t read = (n0 + j) * k + r_off;
+                len_i[j] = j < nl ? (int32_t)lengths[read] : 0;
+                rowp[j] = qual + (j < nl ? read * L : 0);
+            }
+            __m512i lenv[G];
+            int64_t lmax = 0;
+            for (int j = 0; j < IL; j++)
+                if (len_i[j] > lmax)
+                    lmax = len_i[j];
+            for (int h = 0; h < G; h++)
+                lenv[h] = _mm512_loadu_si512(len_i + 16 * h);
+            for (int64_t col = 0; col < lmax; col++) {
+                const __m512i colv = _mm512_set1_epi32((int)col);
+                uint32_t pb = (uint32_t)(col >> 4);
+                if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+                for (int h = 0; h < G; h++) {
+                    __mmask16 valid = _mm512_cmp_epi32_mask(
+                        colv, lenv[h], _MM_CMPINT_LT);
+                    if (!valid)
+                        continue;
+                    __m512i ctx;
+                    if (order == 2) {
+                        __m512i pq, p2v;
+                        if (col == 0) {
+                            pq = _mm512_set1_epi32(Q_PREV_LEVELS);
+                        } else {
+                            pq = _mm512_min_epi32(
+                                _mm512_srli_epi32(p1[h], 2),
+                                _mm512_set1_epi32(Q_PREV_LEVELS - 1));
+                        }
+                        if (col <= 1) {
+                            p2v = _mm512_set1_epi32(Q_PREV2_LEVELS - 1);
+                        } else {
+                            p2v = _mm512_min_epi32(
+                                _mm512_srli_epi32(p2[h], 4),
+                                _mm512_set1_epi32(Q_PREV2_LEVELS - 2));
+                        }
+                        ctx = _mm512_add_epi32(
+                            _mm512_mullo_epi32(
+                                _mm512_add_epi32(
+                                    _mm512_set1_epi32(
+                                        (int)(pb * (Q_PREV_LEVELS + 1))),
+                                    pq),
+                                _mm512_set1_epi32(Q_PREV2_LEVELS)),
+                            p2v);
+                    } else {
+                        __m512i pq;
+                        if (col == 0) {
+                            pq = _mm512_set1_epi32(Q_PREV1_FULL);
+                        } else {
+                            pq = _mm512_min_epi32(
+                                p1[h],
+                                _mm512_set1_epi32(Q_PREV1_FULL - 1));
+                        }
+                        ctx = _mm512_add_epi32(
+                            pq, _mm512_set1_epi32(
+                                    (int)(pb * (Q_PREV1_FULL + 1))));
+                    }
+                    ctx = _mm512_add_epi32(ctx, vone); /* valid ctx+1 */
+                    __m512i slot = _mm512_and_si512(x[h], v4095);
+                    __m512i lidx = _mm512_add_epi32(
+                        _mm512_slli_epi32(ctx, 12), slot);
+                    __m512i e = _mm512_i32gather_epi32(
+                        lidx, (const int *)lut, 4);
+                    __m512i s = _mm512_srli_epi32(e, 24);
+                    __m512i f = _mm512_add_epi32(
+                        _mm512_and_si512(_mm512_srli_epi32(e, 12),
+                                         v4095),
+                        vone);
+                    __m512i cm = _mm512_and_si512(e, v4095);
+                    __m512i nx = _mm512_add_epi32(
+                        _mm512_sub_epi32(slot, cm),
+                        _mm512_mullo_epi32(
+                            f, _mm512_srli_epi32(x[h], 12)));
+                    /* renorm: pull one u16 where nx < 2^16 */
+                    __mmask16 need = _mm512_mask_cmp_epu32_mask(
+                        valid, nx, vlow, _MM_CMPINT_LT);
+                    if (need) {
+                        __mmask16 have = _mm512_mask_cmp_epi32_mask(
+                            need, wp[h], wend[h], _MM_CMPINT_LT);
+                        __m512i widx = _mm512_add_epi32(wbase[h],
+                                                        wp[h]);
+                        __m512i w = _mm512_mask_i32gather_epi32(
+                            _mm512_setzero_si512(), have, widx,
+                            (const int *)words_pad, 2);
+                        w = _mm512_and_si512(w, _mm512_set1_epi32(
+                                                    0xFFFF));
+                        w = _mm512_maskz_mov_epi32(have, w);
+                        nx = _mm512_mask_or_epi32(
+                            nx, need, _mm512_slli_epi32(nx, 16), w);
+                        wp[h] = _mm512_mask_add_epi32(wp[h], need,
+                                                      wp[h], vone);
+                    }
+                    x[h] = _mm512_mask_blend_epi32(valid, x[h], nx);
+                    /* store decoded bytes (s + 33) for valid lanes */
+                    __m128i sb = _mm512_cvtepi32_epi8(
+                        _mm512_add_epi32(s, voff));
+                    uint8_t sbuf[16];
+                    _mm_storeu_si128((__m128i *)sbuf, sb);
+                    unsigned m = valid;
+                    while (m) {
+                        int j = __builtin_ctz(m);
+                        m &= m - 1;
+                        rowp[16 * h + j][col] = sbuf[j];
+                    }
+                    p2[h] = _mm512_mask_blend_epi32(valid, p2[h],
+                                                    p1[h]);
+                    p1[h] = _mm512_mask_blend_epi32(valid, p1[h], s);
+                }
+            }
+        }
+    }
+    free(lut);
+    return 0;
+}
 #endif  /* __AVX512F__ && __AVX512DQ__ */
 
 /* Literal-stream helpers: order-2 base-context histogram and encode

@@ -416,3 +416,58 @@ def test_avx512_qual_encoder_bit_identical_to_scalar():
             assert np.array_equal(sts, stv)
             assert np.array_equal(wcs, wcv)
             assert np.array_equal(wcats[:ts], wcatv[:tv])
+
+
+def test_avx512_qual_decoder_matches_scalar():
+    """rans_decode_lanes_v (flat-LUT AVX-512) must reproduce exactly
+    what the scalar two-level decoder produces — including ragged rows,
+    tail lane groups, and both orders."""
+    import numpy as np
+    from scalce_tpu import native
+    from scalce_tpu.models import entropy
+    from scalce_tpu.streams import qualities
+
+    if not (native.AVAILABLE
+            and hasattr(native._lib, "rans_decode_lanes_v")):
+        import pytest
+        pytest.skip("AVX-512 build not available on this host")
+    rng = np.random.default_rng(21)
+    for B, L in [(512, 96), (96, 48)]:
+        q = rng.integers(33, 127, size=(B, L)).astype(np.uint8)
+        lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+        col = np.arange(L)[None, :]
+        q = np.where(col < lens[:, None], q, 0).astype(np.uint8)
+        for order in (1, 2):
+            enc = qualities.encode_host(q, lens, order=order)
+            cum = entropy.freq_to_cum(enc.freq)
+            C = qualities.n_contexts(order)
+            f16 = np.ascontiguousarray(
+                enc.freq.reshape(C, qualities.N_SYMS).astype(np.uint16)
+            ).reshape(-1)
+            c16 = np.ascontiguousarray(
+                cum.reshape(C, qualities.N_SYMS).astype(np.uint16)
+            ).reshape(-1)
+            sym8 = np.empty(C * 256, np.uint8)
+            native._lib.build_sym8(c16, C, qualities.N_SYMS, sym8)
+            qual_s = np.empty(B * L, np.uint8)
+            native._lib.rans_decode_lanes2(
+                np.ascontiguousarray(enc.states.astype(np.uint32)),
+                np.ascontiguousarray(enc.words),
+                np.ascontiguousarray(enc.counts.astype(np.int64)),
+                sym8, f16, c16,
+                np.ascontiguousarray(lens.astype(np.int64)),
+                B, L, enc.T, order, qual_s)
+            wpad = np.empty(enc.words.shape[0] + 1, np.uint16)
+            wpad[:-1] = enc.words
+            wpad[-1] = 0
+            qual_v = np.empty(B * L, np.uint8)
+            rc = native._lib.rans_decode_lanes_v(
+                np.ascontiguousarray(enc.states.astype(np.uint32)),
+                wpad,
+                np.ascontiguousarray(enc.counts.astype(np.int64)),
+                f16, c16,
+                np.ascontiguousarray(lens.astype(np.int64)),
+                B, L, enc.T, order, C, qual_v)
+            assert rc == 0
+            assert np.array_equal(qual_s, qual_v)
+            assert np.array_equal(qual_v.reshape(B, L), q)
