@@ -163,6 +163,12 @@ def _bind() -> None:
     lib.parse_into_block.restype = ctypes.c_int64
     lib.count_newlines.argtypes = [_u8p, ctypes.c_int64]
     lib.count_newlines.restype = ctypes.c_int64
+    lib.bitpack_u32.argtypes = [_u32p, ctypes.c_int64, ctypes.c_int64,
+                                _u8p]
+    lib.bitpack_u32.restype = None
+    lib.bitunpack_u32.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                                  _u32p]
+    lib.bitunpack_u32.restype = None
     lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                ctypes.c_int64, _u32p, _u32p]
     lib.qual_hist2.restype = None
@@ -282,6 +288,21 @@ def fill_block(seq_buf: np.ndarray, seq_starts: np.ndarray,
         if got >= 0:
             return exc_pos[:got], exc_byte[:got]
         cap *= 8
+
+
+def bitpack_u32(vals: np.ndarray, k: int) -> np.ndarray:
+    """LSB-first fixed-width pack of u32 values into bytes."""
+    n = vals.shape[0]
+    out = np.zeros((n * k + 7) // 8, np.uint8)
+    _lib.bitpack_u32(np.ascontiguousarray(vals.astype(np.uint32)),
+                     n, k, out)
+    return out
+
+
+def bitunpack_u32(packed: np.ndarray, n: int, k: int) -> np.ndarray:
+    vals = np.empty(n, np.uint32)
+    _lib.bitunpack_u32(np.ascontiguousarray(packed), n, k, vals)
+    return vals
 
 
 def pack2bit(codes: np.ndarray) -> np.ndarray:

@@ -989,6 +989,47 @@ EXPORT int64_t analyze_names(const uint8_t *cat, const int64_t *offsets,
     return k;
 }
 
+/* Fixed-width bit packing (LSB-first): the stored permutation is a
+ * near-random k = ceil(log2(n))-bit sequence — 17 bits/read at default
+ * block size vs the 21.9 bits/read zstd got from the u32 image. */
+EXPORT void bitpack_u32(const uint32_t *vals, int64_t n, int64_t k,
+                        uint8_t *out)
+{
+    uint64_t acc = 0;
+    int nb = 0;
+    uint8_t *p = out;
+    uint32_t mask = k >= 32 ? 0xFFFFFFFFu : ((1u << k) - 1u);
+    for (int64_t i = 0; i < n; i++) {
+        acc |= (uint64_t)(vals[i] & mask) << nb;
+        nb += (int)k;
+        while (nb >= 8) {
+            *p++ = (uint8_t)(acc & 0xFF);
+            acc >>= 8;
+            nb -= 8;
+        }
+    }
+    if (nb)
+        *p = (uint8_t)(acc & 0xFF);
+}
+
+EXPORT void bitunpack_u32(const uint8_t *in, int64_t n, int64_t k,
+                          uint32_t *vals)
+{
+    uint64_t acc = 0;
+    int nb = 0;
+    const uint8_t *p = in;
+    uint32_t mask = k >= 32 ? 0xFFFFFFFFu : ((1u << k) - 1u);
+    for (int64_t i = 0; i < n; i++) {
+        while (nb < k) {
+            acc |= (uint64_t)(*p++) << nb;
+            nb += 8;
+        }
+        vals[i] = (uint32_t)(acc & mask);
+        acc >>= k;
+        nb -= (int)k;
+    }
+}
+
 /* SWAR newline detection: a set high bit per 0x0A byte of v. */
 static inline uint64_t nl_mask64(uint64_t v)
 {

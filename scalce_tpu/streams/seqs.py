@@ -161,6 +161,30 @@ def _decode_lits_rans(a: Dict[str, np.ndarray], n_lits: int) -> np.ndarray:
     return out[:n_lits]
 
 
+def _perm_bits(n: int) -> int:
+    """Fixed width for permutation entries: ceil(log2(n)), min 1."""
+    return max(1, int(n - 1).bit_length()) if n > 1 else 1
+
+
+def _bitpack_u32(vals: np.ndarray, k: int) -> np.ndarray:
+    if _NATIVE and hasattr(_native, "bitpack_u32"):
+        return _native.bitpack_u32(vals, k)
+    n = vals.shape[0]
+    shifts = np.arange(k, dtype=np.uint32)
+    bits = ((vals.astype(np.uint32)[:, None] >> shifts[None, :])
+            & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little")
+
+
+def _bitunpack_u32(packed: np.ndarray, n: int, k: int) -> np.ndarray:
+    if _NATIVE and hasattr(_native, "bitunpack_u32"):
+        return _native.bitunpack_u32(packed, n, k)
+    shifts = np.arange(k, dtype=np.uint32)
+    ub = np.unpackbits(packed, bitorder="little")[: n * k].reshape(n, k)
+    return (ub.astype(np.uint32) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint32)
+
+
 def _pack2bit_np(codes: np.ndarray) -> np.ndarray:
     """Host 2-bit pack (pack_bases_u32 layout); codes length % 16 == 0."""
     if _NATIVE and hasattr(_native, "pack2bit"):
@@ -184,7 +208,11 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "lengths": lengths[:n_reads].astype(np.uint16),
         "exc_pos": exc_pos.astype(np.uint64),
         "exc_byte": exc_byte.astype(np.uint8),
-        "perm": perm[:n_reads].astype(np.uint32),
+        # permutation: fixed ceil(log2(n))-bit pack — a near-random
+        # permutation is incompressible, and zstd on the u32 image left
+        # it at ~22 bits/read vs the 17-bit floor (measured)
+        "perm_pk": _bitpack_u32(perm[:n_reads].astype(np.uint32),
+                                _perm_bits(n_reads)),
     }
     # literal stream: per-block trial of order-2 rANS vs raw 2-bit pack
     # (host-delta blocks hand literal BYTES; device blocks hand the
@@ -233,6 +261,14 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     a = container.unpack_arrays(blob)
     n = int(a["n_reads"][0])
     n_lits = int(a["n_lits"][0])
+    if not (0 <= n <= B):
+        raise ValueError("corrupt .scalcer block: n_reads out of range")
+    if "perm" not in a:                    # fixed-width packed (current)
+        k = _perm_bits(n)
+        pk = a.get("perm_pk")
+        if pk is None or pk.ndim != 1 or pk.shape[0] < (n * k + 7) // 8:
+            raise ValueError("corrupt .scalcer block: permutation short")
+        a["perm"] = _bitunpack_u32(pk, n, k)
     # native path validates copy bounds INSIDE the reconstruction loop
     # (reconstruct_delta_checked) — the whole-matrix numpy pre-checks
     # are only needed for the unchecked numpy fallback
