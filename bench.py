@@ -63,6 +63,9 @@ def main() -> None:
     # 0.07-0.27 GB/s scatter run-to-run).  BENCH_PLACEMENT=auto|device
     # restores the probing/device paths for fast-link hardware.
     placement = os.environ.get("BENCH_PLACEMENT", "host")
+    if placement not in ("host", "auto", "device"):
+        raise SystemExit(f"BENCH_PLACEMENT={placement!r}: "
+                         "want host|auto|device")
     place_kw = {}
     if placement == "host":
         place_kw["core_on_device"] = False

@@ -298,8 +298,9 @@ class _RecordStream:
         #: bundle-parse worker pool: the native parse is the biggest
         #: single cost on the pacing thread; offloading it (disjoint
         #: row ranges, GIL released in C) lets this thread go straight
-        #: back to reading/scanning the next chunk.  2 workers cover
-        #: the ~1-2 bundles in flight per block.
+        #: back to reading/scanning the next chunk.  3 workers cover
+        #: the bundles in flight across the current block and the
+        #: deferred-finish previous one.
         self._pool = None
         try:
             from scalce_tpu import native
@@ -309,6 +310,11 @@ class _RecordStream:
                     max_workers=3, thread_name_prefix="fastq-parse")
         except Exception:
             pass
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def _next_bundle(self) -> bool:
         try:
@@ -707,16 +713,20 @@ def iter_blocks(path: str, capacity: int, max_len: int) -> Iterator[ReadBlock]:
     stream = _RecordStream(path)
     pending = None
     block_id = 0
-    while True:
-        item = stream._take(capacity, max_len, block_id)
-        if pending is not None:
-            pb, pid = pending
-            yield pb.finish(pid) if isinstance(pb, _BlockBuilder) else pb
-            pending = None
-        if item is None:
-            return
-        pending = (item, block_id)
-        block_id += 1
+    try:
+        while True:
+            item = stream._take(capacity, max_len, block_id)
+            if pending is not None:
+                pb, pid = pending
+                yield (pb.finish(pid) if isinstance(pb, _BlockBuilder)
+                       else pb)
+                pending = None
+            if item is None:
+                return
+            pending = (item, block_id)
+            block_id += 1
+    finally:
+        stream.close()
 
 
 def iter_paired_blocks(path1: str, path2: str, capacity: int,

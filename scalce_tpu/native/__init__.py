@@ -37,7 +37,9 @@ def _isa_tag() -> str:
                     break
     except OSError:
         desc += platform.processor() or ""
-    return hashlib.md5(desc.encode()).hexdigest()[:10]
+    # sha256: md5 raises at import time on FIPS-enforcing hosts, which
+    # would defeat this module's graceful degradation
+    return hashlib.sha256(desc.encode()).hexdigest()[:10]
 
 
 _SO = os.path.join(

@@ -583,6 +583,9 @@ def parse(blob: bytes) -> EncodedQuals:
     a = container.unpack_arrays(blob)
     if a.get("dims") is None or a["dims"].shape != (4,):
         raise ValueError("corrupt quality stream: bad dims")
+    for field in ("freq", "states", "counts", "words"):
+        if field not in a:
+            raise ValueError(f"corrupt quality stream: missing {field}")
     B, L, T, order = (int(x) for x in a["dims"])
     enc = EncodedQuals(freq=a["freq"].astype(np.uint32),
                        states=a["states"],

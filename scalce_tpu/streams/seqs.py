@@ -245,11 +245,13 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
     #   mask_bits: zstd-9 vs zstd-3 is 333K vs 381K of a 2MB array but
     #   89ms vs 10ms per block — the 0.6% size is not worth 15% of the
     #   whole assemble budget
-    #   perm is a near-random permutation — low level loses nothing
+    #   perm_pk is already at the random-permutation entropy floor;
+    #   level 1 only catches partially-sorted inputs (pack_arrays
+    #   stores raw whenever deflate does not win)
     return container.pack_arrays(
         arrays, deflate={"mask_bits": 3, "shifts": 3, "pred_k": 3,
                          "rc_bits": 3, "lengths": 3, "exc_pos": 3,
-                         "exc_byte": 3, "perm": 3},
+                         "exc_byte": 3, "perm_pk": 1},
         level=level, backend=backend)
 
 

@@ -51,6 +51,17 @@ def test_corrupt_qual_counts_words_mismatch_raises():
         qualities.parse(bad)
 
 
+def test_corrupt_qual_missing_field_raises():
+    blob, _, _ = _legit_qual_payload()
+    a = container.unpack_arrays(blob)
+    for field in ("freq", "states", "counts", "words"):
+        arrays = {k: v for k, v in a.items() if k != field}
+        bad = container.pack_arrays(arrays, deflate=(), level=1,
+                                    backend="gz")
+        with pytest.raises(ValueError):
+            qualities.parse(bad)
+
+
 def test_corrupt_qual_truncated_states_raises():
     blob, _, _ = _legit_qual_payload()
     a = container.unpack_arrays(blob)
