@@ -1113,6 +1113,27 @@ EXPORT void gather_orient(const uint8_t *codes, const int64_t *perm,
  * Candidate set is identical to delta_match's whenever bnd is derived
  * from ck over sorted runs (equal cores are contiguous after the
  * bucket sort), so outputs are byte-identical — pinned by test. */
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+
+/* Matching columns of [c0, c1) in one 64-byte sweep; fault-suppressing
+ * masked loads make the (possibly out-of-row) base addresses safe. */
+static inline uint64_t match_mask64(const uint8_t *a, const uint8_t *b,
+                                    int64_t base, int64_t c0, int64_t c1)
+{
+    uint64_t range = ~0ULL;
+    if (base < c0)
+        range = c0 - base >= 64 ? 0 : range << (c0 - base);
+    if (c1 - base < 64)
+        range &= c1 - base <= 0 ? 0 : ~0ULL >> (64 - (c1 - base));
+    if (!range)
+        return 0;
+    __m512i va = _mm512_maskz_loadu_epi8(range, a + base);
+    __m512i vb = _mm512_maskz_loadu_epi8(range, b + base);
+    return _mm512_cmpeq_epi8_mask(va, vb) & range;
+}
+#endif
+
 EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
                                 const int32_t *cp, const int64_t *lens,
                                 int64_t n, int64_t L, int64_t K,
@@ -1135,8 +1156,14 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
             int64_t c1 = lens[j] - sh < len_i ? lens[j] - sh : len_i;
             int32_t cnt = 0;
             const uint8_t *cj = codes + j * L + sh;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+            for (int64_t base = c0 & ~(int64_t)63; base < c1; base += 64)
+                cnt += (int32_t)__builtin_popcountll(
+                    match_mask64(ci, cj, base, c0, c1));
+#else
             for (int64_t col = c0; col < c1; col++)
                 cnt += ci[col] == cj[col];
+#endif
             if (cnt > best_count) {
                 best_count = cnt;
                 best_shift = sh;
@@ -1148,8 +1175,8 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
         uint8_t *mb = mask_bits + i * stride;
         memset(mb, 0, (size_t)stride);
         if (best_count < 0) {                /* whole row is literal */
-            for (int64_t col = 0; col < len_i; col++)
-                lits[n_lits++] = ci[col];
+            memcpy(lits + n_lits, ci, (size_t)len_i);
+            n_lits += len_i;
             continue;
         }
         int64_t j = i - 1 - best_k;
@@ -1157,12 +1184,36 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
         int64_t c1 = lens[j] - best_shift < len_i ? lens[j] - best_shift
                                                   : len_i;
         const uint8_t *cj = codes + j * L + best_shift;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+        /* the 64-bit match mask IS the LSB-first mask_bits image; the
+         * literals are the mismatch bits, iterated with ctz (few after
+         * a good match, straight memcpy when nothing matched) */
+        for (int64_t base = 0; base < len_i; base += 64) {
+            int64_t take = len_i - base < 64 ? len_i - base : 64;
+            uint64_t lanes = take == 64 ? ~0ULL : (1ULL << take) - 1;
+            uint64_t m = match_mask64(ci, cj, base, c0, c1) & lanes;
+            memcpy(mb + (base >> 3), &m,
+                   (size_t)((take + 7) >> 3));
+            uint64_t nm = lanes & ~m;
+            if (nm == lanes) {
+                memcpy(lits + n_lits, ci + base, (size_t)take);
+                n_lits += take;
+            } else {
+                while (nm) {
+                    int64_t b = __builtin_ctzll(nm);
+                    nm &= nm - 1;
+                    lits[n_lits++] = ci[base + b];
+                }
+            }
+        }
+#else
         for (int64_t col = 0; col < len_i; col++) {
             int m = col >= c0 && col < c1 && ci[col] == cj[col];
             mb[col >> 3] |= (uint8_t)(m << (col & 7));
             if (!m)
                 lits[n_lits++] = ci[col];
         }
+#endif
     }
     return n_lits;
 }
