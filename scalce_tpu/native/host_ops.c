@@ -15,6 +15,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 #define EXPORT __attribute__((visibility("default")))
 
 /* Concatenate buf[starts[i] : starts[i]+lens[i]] into out. */
@@ -861,6 +865,53 @@ EXPORT int64_t parse_into_block(const uint8_t *buf, const int64_t *starts,
         uint8_t *so = seq_out + row * L;
         const uint8_t *sp = buf + s2;
         int64_t base = row * L;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+        /* branch-free translate: (b>>1)&3 maps ACGT to 0,1,3,2; a
+         * masked 5-c swap fixes G/T; non-ACGT bytes (rare) become
+         * zero-coded exceptions via the invalid kmask.  Guarded by a
+         * one-time check that base2code IS the standard table. */
+        if (base2code['A'] == 0 && base2code['C'] == 1
+            && base2code['G'] == 2 && base2code['T'] == 3) {
+            const __m512i v3 = _mm512_set1_epi8(3);
+            const __m512i v5 = _mm512_set1_epi8(5);
+            const __m512i vA = _mm512_set1_epi8('A');
+            const __m512i vC = _mm512_set1_epi8('C');
+            const __m512i vG = _mm512_set1_epi8('G');
+            const __m512i vT = _mm512_set1_epi8('T');
+            for (int64_t j = 0; j < l; j += 64) {
+                int64_t take = l - j < 64 ? l - j : 64;
+                uint64_t lanes = take == 64 ? ~0ULL
+                                            : (1ULL << take) - 1;
+                __m512i b = _mm512_maskz_loadu_epi8(lanes, sp + j);
+                __m512i c = _mm512_and_si512(
+                    _mm512_and_si512(_mm512_srli_epi16(b, 1),
+                                     _mm512_set1_epi8(0x7F)),
+                    v3);
+                __mmask64 ge2 = _mm512_cmpge_epu8_mask(c,
+                                                       _mm512_set1_epi8(2));
+                c = _mm512_mask_sub_epi8(c, ge2, v5, c);
+                uint64_t ok = _mm512_cmpeq_epi8_mask(b, vA)
+                              | _mm512_cmpeq_epi8_mask(b, vC)
+                              | _mm512_cmpeq_epi8_mask(b, vG)
+                              | _mm512_cmpeq_epi8_mask(b, vT);
+                ok &= lanes;
+                c = _mm512_maskz_mov_epi8(ok, c);
+                _mm512_mask_storeu_epi8(so + j, lanes, c);
+                uint64_t exc = lanes & ~ok;
+                while (exc) {
+                    int64_t e = __builtin_ctzll(exc);
+                    exc &= exc - 1;
+                    if (n_exc >= exc_cap)
+                        return -4;
+                    exc_pos[n_exc] = base + j + e;
+                    exc_byte[n_exc] = sp[j + e];
+                    n_exc++;
+                }
+            }
+            lens_out[row] = (int32_t)l;
+            continue;
+        }
+#endif
         for (int64_t j = 0; j < l; j++) {
             uint8_t c = base2code[sp[j]];
             if (c == 255) {

@@ -25,3 +25,18 @@ def test_import_does_not_initialize_backend():
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
     assert "clean" in r.stdout
+
+
+def test_native_builds_when_compiler_present():
+    """The numpy fallbacks exist for toolchain-less hosts — but on a
+    host WITH a compiler, a silent native build failure must fail CI
+    (it once hid an #include-order bug behind 10x-slower fallbacks)."""
+    import os
+    import shutil
+
+    import pytest
+
+    if shutil.which(os.environ.get("CC", "cc")) is None:
+        pytest.skip("no C compiler on this host")
+    from scalce_tpu import native
+    assert native.AVAILABLE
