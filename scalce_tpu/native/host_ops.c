@@ -570,6 +570,64 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                     }
                 }
             }
+#if defined(__AVX512F__)
+            /* two-pass SIMD argmin: the scalar loop's data-dependent
+             * branches mispredict on (hashed) random ranks — ~30 of
+             * the matcher's ~65 ms/block.  Pass 1 min-reduces; pass 2
+             * finds the FIRST (fwd) / LAST (rc) position of the min —
+             * exactly the scalar tie rules. */
+            {
+                const __m512i vnc = _mm512_set1_epi32(-1); /* NO_CORE */
+                __m512i mf = vnc, mr = vnc;
+                for (int64_t p = 0; p < P; p += 16) {
+                    __mmask16 lm = P - p >= 16
+                        ? (__mmask16)0xFFFF
+                        : (__mmask16)((1u << (P - p)) - 1);
+                    mf = _mm512_mask_min_epu32(
+                        mf, lm, mf, _mm512_maskz_loadu_epi32(lm, rfv + p));
+                    mr = _mm512_mask_min_epu32(
+                        mr, lm, mr, _mm512_maskz_loadu_epi32(lm, rrv + p));
+                }
+                /* mask_min updates live lanes only, so the maskz
+                 * loads' zeroed tail lanes never contaminate the min
+                 * (dead lanes stay at the NO_CORE init) */
+                uint32_t minf = _mm512_reduce_min_epu32(mf);
+                uint32_t minr = _mm512_reduce_min_epu32(mr);
+                if (minf != NO_CORE) {
+                    best_f = minf;
+                    __m512i t = _mm512_set1_epi32((int)minf);
+                    for (int64_t p = 0; p < P; p += 16) {
+                        __mmask16 lm = P - p >= 16
+                            ? (__mmask16)0xFFFF
+                            : (__mmask16)((1u << (P - p)) - 1);
+                        __mmask16 eq = _mm512_mask_cmpeq_epu32_mask(
+                            lm, _mm512_maskz_loadu_epi32(lm, rfv + p), t);
+                        if (eq) {          /* first occurrence wins */
+                            pos_f = p + __builtin_ctz(eq);
+                            break;
+                        }
+                    }
+                    kf = kmv[pos_f];
+                }
+                if (minr != NO_CORE) {
+                    best_r = minr;
+                    __m512i t = _mm512_set1_epi32((int)minr);
+                    for (int64_t p = (P - 1) & ~(int64_t)15; p >= 0;
+                         p -= 16) {
+                        __mmask16 lm = P - p >= 16
+                            ? (__mmask16)0xFFFF
+                            : (__mmask16)((1u << (P - p)) - 1);
+                        __mmask16 eq = _mm512_mask_cmpeq_epu32_mask(
+                            lm, _mm512_maskz_loadu_epi32(lm, rrv + p), t);
+                        if (eq) {          /* LAST forward pos wins */
+                            pos_r = p + 31 - __builtin_clz(eq);
+                            break;
+                        }
+                    }
+                    kr = rkv[pos_r];
+                }
+            }
+#else
             for (int64_t p = 0; p < P; p++) {
                 uint32_t rf = rfv[p];
                 /* rank == NO_CORE aliases the sentinel; the XLA path
@@ -586,6 +644,7 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                     kr = rkv[p];
                 }
             }
+#endif
         }
         if (has_exc)
             for (int64_t e = e0; e < ei; e++)
