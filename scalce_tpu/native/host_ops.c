@@ -1529,7 +1529,7 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
     int64_t N = (B * L) / T;
     int64_t k = T / L;
     int64_t off = 0;
-    enum { G = 2, IL = 32 };        /* 2 groups x 16 lanes */
+    enum { G = 4, IL = 64 };        /* interleaved 16-lane groups */
     int64_t n_ctx = 1 + Q_POS_BUCKETS *
         (order == 2 ? (Q_PREV_LEVELS + 1) * Q_PREV2_LEVELS
                     : (Q_PREV1_FULL + 1));
@@ -1766,7 +1766,7 @@ EXPORT int64_t rans_decode_lanes_v(const uint32_t *states,
 {
     int64_t N = (B * L) / T;
     int64_t k = T / L;
-    enum { G = 2, IL = 32 };
+    enum { G = 4, IL = 64 };
     uint32_t *lut = (uint32_t *)malloc((size_t)n_ctx * RANS_M * 4);
     if (!lut)
         return -1;
