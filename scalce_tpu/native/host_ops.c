@@ -1333,6 +1333,26 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
  * trial their coded cost; walking the 13MB-per-block grid once instead
  * of twice halves the dominant memory traffic of the host quality path.
  * counts1 [n_ctx(1)*94], counts2 [n_ctx(2)*94] (caller zeroes both). */
+static inline void qual_hist2_cell(uint32_t s, uint32_t prev1,
+                                   uint32_t prev2, int64_t col,
+                                   uint32_t *counts1, uint32_t *counts2)
+{
+    uint32_t pb = (uint32_t)(col >> 4);
+    if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+    uint32_t c1 = q_ctx(prev1, prev2, pb, col == 0, col == 1, 1, 1);
+    uint32_t c2 = q_ctx(prev1, prev2, pb, col == 0, col == 1, 1, 2);
+    counts1[(int64_t)c1 * Q_NSYMS + s]++;
+    counts2[(int64_t)c2 * Q_NSYMS + s]++;
+}
+
+static inline uint32_t clamp_sym(uint8_t q)
+{
+    int v = (int)q - Q_OFFSET;
+    if (v < 0) v = 0;
+    if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
+    return (uint32_t)v;
+}
+
 EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
                        int64_t B, int64_t L,
                        uint32_t *counts1, uint32_t *counts2)
@@ -1343,18 +1363,8 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
         uint32_t prev1 = 0, prev2 = 0;
         int64_t lim = len < L ? len : L;
         for (int64_t col = 0; col < lim; col++) {
-            int v = (int)qrow[col] - Q_OFFSET;
-            if (v < 0) v = 0;
-            if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
-            uint32_t s = (uint32_t)v;
-            uint32_t pb = (uint32_t)(col >> 4);
-            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
-            uint32_t c1 = q_ctx(prev1, prev2, pb, col == 0, col == 1,
-                                1, 1);
-            uint32_t c2 = q_ctx(prev1, prev2, pb, col == 0, col == 1,
-                                1, 2);
-            counts1[(int64_t)c1 * Q_NSYMS + s]++;
-            counts2[(int64_t)c2 * Q_NSYMS + s]++;
+            uint32_t s = clamp_sym(qrow[col]);
+            qual_hist2_cell(s, prev1, prev2, col, counts1, counts2);
             prev2 = prev1;
             prev1 = s;
         }

@@ -471,3 +471,31 @@ def test_avx512_qual_decoder_matches_scalar():
             assert rc == 0
             assert np.array_equal(qual_s, qual_v)
             assert np.array_equal(qual_v.reshape(B, L), q)
+
+
+def test_native_qual_hist2_matches_numpy():
+    """qual_hist2 (fused dual-order histogram) must reproduce the
+    numpy sym/ctx histogram exactly — it decides order auto-selection
+    and the coder tables, i.e. output bytes."""
+    import numpy as np
+    from scalce_tpu import native
+    from scalce_tpu.streams import qualities
+
+    if not (native.AVAILABLE and hasattr(native, "qual_hist2")):
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(31)
+    for B, L in [(515, 96), (7, 48), (33, 8)]:
+        q = rng.integers(33, 127, size=(B, L)).astype(np.uint8)
+        lens = rng.integers(0, L + 1, size=B).astype(np.int64)
+        col = np.arange(L)[None, :]
+        q = np.where(col < lens[:, None], q, 0).astype(np.uint8)
+        c1, c2 = native.qual_hist2(q, lens, L)
+        for order, got in ((1, c1), (2, c2)):
+            ref = np.zeros(qualities.n_contexts(order) * 94, np.int64)
+            sym, ctx, _ = qualities._sym_ctx_np(q, lens.astype(np.int32),
+                                                order)
+            idx = (ctx.reshape(-1).astype(np.int64) * 94
+                   + sym.reshape(-1))
+            np.add.at(ref, idx, 1)
+            assert np.array_equal(got, ref)
