@@ -201,8 +201,28 @@ EXPORT void render_fastq2(const uint8_t *codes,      /* [n*L] 2-bit */
         memcpy(o, name_cat + name_off[i], (size_t)nl); o += nl;
         *o++ = '\n';
         const uint8_t *c = codes + i * L;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+        {
+            /* 64-wide code->base translate: codes are 0..3, so a
+             * broadcast 16-byte shuffle table replaces the per-byte
+             * LUT load */
+            const __m512i tab = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                (char)code2base[0], (char)code2base[1],
+                (char)code2base[2], (char)code2base[3],
+                0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0));
+            const __m512i v3 = _mm512_set1_epi8(3);
+            for (int64_t j = 0; j < l; j += 64) {
+                int64_t take = l - j < 64 ? l - j : 64;
+                uint64_t lanes = take == 64 ? ~0ULL : (1ULL << take) - 1;
+                __m512i v = _mm512_maskz_loadu_epi8(lanes, c + j);
+                v = _mm512_shuffle_epi8(tab, _mm512_and_si512(v, v3));
+                _mm512_mask_storeu_epi8(o + j, lanes, v);
+            }
+        }
+#else
         for (int64_t j = 0; j < l; j++)
             o[j] = code2base[c[j] & 3];
+#endif
         o += l;
         *o++ = '\n';
         *o++ = '+';

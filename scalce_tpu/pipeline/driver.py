@@ -348,6 +348,42 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     return stats
 
 
+class _AsyncWriter:
+    """Single background writer draining an ordered (file, buffer)
+    queue — file writes at disk-writeback speed were ~50 ms of every
+    decompressed block's wall; overlapping them with decode costs one
+    thread and preserves per-file byte order (emit enqueues in block
+    order)."""
+
+    def __init__(self, depth: int = 4):
+        self._q: _queue.Queue = _queue.Queue(maxsize=depth)
+        self._err: List[BaseException] = []
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            out, buf = item
+            try:
+                out.write(buf)
+            except BaseException as e:     # surfaced on next write/close
+                self._err.append(e)
+
+    def write(self, out, buf) -> None:
+        if self._err:
+            raise self._err[0]
+        self._q.put((out, buf))
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        if self._err:
+            raise self._err[0]
+
+
 def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
                          workers: int, stats: RunStats) -> None:
     """Pipelined decompress over one or more channels (mates).
@@ -357,7 +393,7 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
       worker pool:  payload parse (seq reconstruct + qual fields)
       main thread:  device dispatch of each group's quality decode
       worker pool:  D2H fetch + finish + FASTQ render
-      main thread:  ordered writes
+      writer thread: ordered writes (overlapped with decode)
 
     This is the decompress counterpart of ``_run_pipelined`` — the
     reference's ``-T`` concurrency applied to the decode direction
@@ -387,12 +423,14 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
         b = decs[c]._finish(payloads, parsed, qual, start)
         return [b], render_all([b])
 
+    writer = _AsyncWriter()
+
     def emit(futs):
         for c, f in futs:
             blocks, bufs = f.result()
             for b, buf in zip(blocks, bufs):
                 if buf is not None and len(buf):
-                    outs[c].write(buf)
+                    writer.write(outs[c], buf)
                 stats.n_reads += b.n_reads
             if c == 0:
                 stats.n_blocks += len(blocks)
@@ -458,6 +496,7 @@ def _run_decode_pipeline(items: Iterator, decs: List, outs: List,
         drain(True)
     finally:
         pool.shutdown(wait=True)
+        writer.close()   # join pending writes; re-raise writer errors
 
 
 def decompress(cfg: Config) -> RunStats:
