@@ -305,3 +305,52 @@ def test_native_name_analysis_byte_identical():
         # and the payload decodes back to the records
         dec = ns.decode(native_blob)
         assert dec.to_list() == list(recs)
+
+
+def test_heavy_exception_round_trip(tmp_path):
+    """50% non-ACGT bases stress the vectorized translate's exception
+    extraction (ctz loop) and the exception-buffer growth/retry."""
+    import numpy as np
+
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    from scalce_tpu.utils.synth import synth_fastq
+
+    payload = synth_fastq(800, 64, seed=5, n_rate=0.5, var_len=True)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=256,
+                 max_read_len=128)
+    driver.compress(cfg)
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "o.00.scalcer"),),
+                  output=str(tmp_path / "d"), block_reads=256,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_tiny_read_lengths_round_trip(tmp_path):
+    """Reads of length 1..4 exercise every scalar prologue / masked
+    tail of the SIMD kernels (parse translate, hist, coders, delta)."""
+    recs = []
+    for i, seq in enumerate(["A", "AC", "ACG", "ACGT", "T", "GG",
+                             "NNN", "ACGTACGT"] * 40):
+        q = "I" * len(seq)
+        recs.append(f"@r{i}\n{seq}\n+\n{q}\n")
+    payload = "".join(recs).encode()
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=256,
+                 max_read_len=16)
+    driver.compress(cfg)
+    dcfg = Config(mode="decompress",
+                  inputs=(str(tmp_path / "o.00.scalcer"),),
+                  output=str(tmp_path / "d"), block_reads=256,
+                  keep_order=True)
+    driver.decompress(dcfg)
+    assert (tmp_path / "d.fastq").read_bytes() == payload
