@@ -169,7 +169,7 @@ class _GzChunkReader:
         self._f = f
         self._z = zlib.decompressobj(47)       # 32+15: gzip/zlib auto
         self._pending = b""                    # unconsumed compressed
-        self._out = bytearray()
+        self._out = bytearray()                # flush leftovers only
         self._eof = False
 
     def readinto(self, b) -> int:
@@ -177,13 +177,18 @@ class _GzChunkReader:
         n = len(mv)
         got = 0
         while got < n:
-            if self._out:
+            if self._out:                      # rare: flush() tail
                 take = min(len(self._out), n - got)
                 mv[got: got + take] = self._out[:take]
                 del self._out[:take]
                 got += take
                 continue
-            comp = self._pending or self._f.read(4 << 20)
+            # max_length-bounded decompress writes STRAIGHT into the
+            # caller's buffer slice (one copy); the old bytearray
+            # staging copied every inflated byte twice more — all
+            # under the GIL, starving the other pipeline threads
+            comp = (self._z.unconsumed_tail or self._pending
+                    or self._f.read(4 << 20))
             self._pending = b""
             if not comp:
                 if not self._eof:
@@ -191,7 +196,9 @@ class _GzChunkReader:
                     self._out += self._z.flush()
                     continue
                 break
-            self._out += self._z.decompress(comp)
+            out = self._z.decompress(comp, n - got)
+            mv[got: got + len(out)] = out
+            got += len(out)
             if self._z.eof:                    # next gzip member
                 tail = self._z.unused_data
                 self._z = zlib.decompressobj(47)
