@@ -50,7 +50,8 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
         genome_len = len(genome)
     starts = rng.integers(0, genome_len - L, size=n_reads)
     if var_len:
-        lens = rng.integers(max(20, L // 2), L + 1, size=n_reads)
+        lo = min(max(20, L // 2), L)     # short reads: clamp to [1, L]
+        lens = rng.integers(max(1, lo), L + 1, size=n_reads)
     else:
         lens = np.full(n_reads, L, dtype=np.int64)
 
