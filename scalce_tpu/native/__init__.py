@@ -232,6 +232,22 @@ def _bind() -> None:
                                                flags="C_CONTIGUOUS"),
                                      _u32p, _i64p, _u16p]
     lib.rans_encode_lits.restype = ctypes.c_int64
+    lib.mask_hist.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_int64, _i64p]
+    lib.mask_hist.restype = None
+    lib.rans_encode_mask.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, _u32p, _u32p,
+                                     ndpointer(np.uint64,
+                                               flags="C_CONTIGUOUS"),
+                                     _u32p, _i64p, _u16p]
+    lib.rans_encode_mask.restype = ctypes.c_int64
+    lib.rans_decode_mask.argtypes = [_u32p, _u16p, _i64p, _u32p,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, _u8p]
+    lib.rans_decode_mask.restype = None
+    lib.build_flat_lut.argtypes = [_u32p, _u32p, ctypes.c_int64,
+                                   ctypes.c_int64, _u32p]
+    lib.build_flat_lut.restype = None
     lib.rans_decode_lits.argtypes = [_u32p, _u16p, _i64p, _u32p,
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int64, _u8p]
@@ -556,6 +572,50 @@ def rans_encode_lits(lits: np.ndarray, n_lits: int, N: int, T: int,
     total = _lib.rans_encode_lits(np.ascontiguousarray(lits), n_lits, N, T,
                                   f32, c32, rcp, states, wcounts, words_cat)
     return states, wcounts, words_cat[:total].copy()
+
+
+def mask_hist(b: np.ndarray, nb: int, N: int, T: int) -> np.ndarray:
+    counts = np.zeros(257 * 256, np.int64)
+    _lib.mask_hist(np.ascontiguousarray(b), nb, N, T, counts)
+    return counts
+
+
+def rans_encode_mask(b: np.ndarray, nb: int, N: int, T: int,
+                     freq: np.ndarray, cum: np.ndarray):
+    f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
+    c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
+    rcp = np.empty(f32.shape[0], np.uint64)
+    _lib.build_rcp44(f32, f32.shape[0], rcp)
+    states = np.empty(N, np.uint32)
+    wcounts = np.empty(N, np.int64)
+    words_cat = np.empty(N * T, np.uint16)
+    total = _lib.rans_encode_mask(np.ascontiguousarray(b), nb, N, T,
+                                  f32, c32, rcp, states, wcounts,
+                                  words_cat)
+    return states, wcounts, words_cat[:total].copy()
+
+
+def build_flat_lut(freq: np.ndarray, cum: np.ndarray, n_ctx: int,
+                   n_syms: int) -> np.ndarray:
+    """C run-fill flat decode LUT (numpy repeat costs 100s of ms at
+    quality-table sizes)."""
+    lut = np.empty(n_ctx * 4096, np.uint32)
+    _lib.build_flat_lut(
+        np.ascontiguousarray(freq.reshape(-1).astype(np.uint32)),
+        np.ascontiguousarray(cum.reshape(-1).astype(np.uint32)),
+        n_ctx, n_syms, lut)
+    return lut
+
+
+def rans_decode_mask(states: np.ndarray, words_cat: np.ndarray,
+                     wcounts: np.ndarray, decode_lut: np.ndarray,
+                     nb: int, N: int, T: int) -> np.ndarray:
+    out = np.zeros(nb, np.uint8)
+    _lib.rans_decode_mask(np.ascontiguousarray(states.astype(np.uint32)),
+                          np.ascontiguousarray(words_cat),
+                          np.ascontiguousarray(wcounts.astype(np.int64)),
+                          decode_lut, nb, N, T, out)
+    return out
 
 
 def rans_decode_lits(states: np.ndarray, words_cat: np.ndarray,

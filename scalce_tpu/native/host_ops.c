@@ -2083,6 +2083,137 @@ EXPORT void rans_decode_lits(const uint32_t *states,
     }
 }
 
+/* Mask-byte rANS codec: order-1 byte context (ctx = 1 + prev byte,
+ * ctx 0 = tail padding) over the flattened copy-mask bytes of the
+ * sequence stream.  The masks are long runs of 0xFF with sparse
+ * mismatch patterns; the conditional model beats zstd-3 by ~35%
+ * (measured 0.28 vs 0.44 MB per 131k-read block).  Same coder
+ * conventions as the quality/literal streams (u32 state, 16-bit
+ * renorm, PROB_BITS=12); lane layout mirrors rans_encode_lits. */
+EXPORT void mask_hist(const uint8_t *b, int64_t nb, int64_t N,
+                      int64_t T, int64_t *counts /* [257*256], zeroed */)
+{
+    for (int64_t lane = 0; lane < N; lane++) {
+        int64_t base = lane * T;
+        uint32_t p1 = 0;
+        for (int64_t t = 0; t < T; t++) {
+            int64_t g = base + t;
+            uint32_t s = g < nb ? b[g] : 0u;
+            uint32_t c = g < nb ? 1u + (t >= 1 ? p1 : 0u) : 0u;
+            counts[(int64_t)c * 256 + s]++;
+            p1 = s;
+        }
+    }
+}
+
+EXPORT int64_t rans_encode_mask(const uint8_t *b, int64_t nb,
+                                int64_t N, int64_t T,
+                                const uint32_t *freq, const uint32_t *cum,
+                                const uint64_t *rcp, uint32_t *states,
+                                int64_t *wcounts, uint16_t *words_cat)
+{
+    int64_t off = 0;
+    enum { IL = 4 };
+    uint16_t tmp[IL][32768];
+    int64_t cnt[IL];
+    uint32_t x[IL];
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        for (int j = 0; j < nl; j++) {
+            x[j] = RANS_LOW;
+            cnt[j] = 0;
+        }
+        for (int64_t t = T - 1; t >= 0; t--) {
+            for (int j = 0; j < nl; j++) {
+                int64_t g = (n0 + j) * T + t;
+                uint32_t s = g < nb ? b[g] : 0u;
+                uint32_t c = 0;
+                if (g < nb)
+                    c = 1u + (t >= 1 ? (uint32_t)b[g - 1] : 0u);
+                int64_t e = (int64_t)c * 256 + s;
+                uint32_t f = freq[e];
+                uint32_t cm = cum[e];
+                uint32_t xj = x[j];
+                if ((xj >> 20) >= f) {
+                    tmp[j][cnt[j]++] = (uint16_t)(xj & 0xFFFFu);
+                    xj >>= 16;
+                }
+                uint32_t q = div_rcp(xj, rcp[e]);
+                x[j] = (q << RANS_PROB_BITS) + (xj - q * f) + cm;
+            }
+        }
+        for (int j = 0; j < nl; j++) {
+            states[n0 + j] = x[j];
+            wcounts[n0 + j] = cnt[j];
+            for (int64_t i = 0; i < cnt[j]; i++)
+                words_cat[off + i] = tmp[j][cnt[j] - 1 - i];
+            off += cnt[j];
+        }
+    }
+    return off;
+}
+
+/* Flat slot->entry decode LUT (s<<24 | (f-1)<<12 | cum) built with a
+ * run-fill loop — the numpy repeat build cost 100s of ms at this
+ * size.  Corrupt tables (rows not summing to M) fill the remainder
+ * with the last entry instead of reading out of bounds. */
+EXPORT void build_flat_lut(const uint32_t *freq, const uint32_t *cum,
+                           int64_t n_ctx, int64_t n_syms, uint32_t *lut)
+{
+    for (int64_t c = 0; c < n_ctx; c++) {
+        uint32_t *rowp = lut + c * RANS_M;
+        int64_t slot = 0;
+        uint32_t e = 0;
+        for (int64_t s = 0; s < n_syms && slot < RANS_M; s++) {
+            uint32_t f = freq[c * n_syms + s];
+            if (!f)
+                continue;
+            e = ((uint32_t)s << 24) | ((f - 1) << RANS_PROB_BITS)
+                | cum[c * n_syms + s];
+            for (uint32_t i = 0; i < f && slot < RANS_M; i++)
+                rowp[slot++] = e;
+        }
+        for (; slot < RANS_M; slot++)
+            rowp[slot] = e;
+    }
+}
+
+EXPORT void rans_decode_mask(const uint32_t *states,
+                             const uint16_t *words_cat,
+                             const int64_t *wcounts,
+                             const uint32_t *decode_lut, int64_t nb,
+                             int64_t N, int64_t T, uint8_t *out)
+{
+    int64_t woff = 0;
+    for (int64_t n = 0; n < N; n++) {
+        uint32_t x = states[n];
+        const uint16_t *w = words_cat + woff;
+        int64_t wend = wcounts[n];
+        int64_t wp = 0;
+        uint32_t prev1 = 0;
+        for (int64_t t = 0; t < T; t++) {
+            int64_t gpos = n * T + t;
+            int valid = gpos < nb;
+            uint32_t c = valid ? 1u + (t >= 1 ? prev1 : 0u) : 0u;
+            uint32_t slot = x & (RANS_M - 1);
+            uint32_t e = decode_lut[(int64_t)c * RANS_M + slot];
+            uint32_t s = e >> 24;
+            uint32_t f = ((e >> RANS_PROB_BITS) & (RANS_M - 1)) + 1u;
+            uint32_t cm = e & (RANS_M - 1);
+            x = f * (x >> RANS_PROB_BITS) + slot - cm;
+            if (x < RANS_LOW) {
+                uint32_t word = wp < wend ? w[wp] : 0u;
+                x = (x << 16) | word;
+                wp++;
+            }
+            if (valid)
+                out[gpos] = (uint8_t)s;
+            prev1 = s;
+        }
+        woff += wend;
+    }
+}
+
 /* In-place reverse-complement of flagged rows: reads travel
  * strand-canonical (rc flag per read); decode must flip them back to
  * input orientation [SURVEY.md §1 item 6 pair-sync; qualities are never

@@ -161,6 +161,119 @@ def _decode_lits_rans(a: Dict[str, np.ndarray], n_lits: int) -> np.ndarray:
     return out[:n_lits]
 
 
+#: mask-byte rANS lane span / context count (ctx = 1 + prev byte,
+#: ctx 0 = tail padding)
+_T_MASK = 4096
+_MASK_CTX = 257
+
+
+def _mask_ctx_grid(flat: np.ndarray, nb: int, N: int) -> np.ndarray:
+    g = flat.reshape(N, _T_MASK)
+    p1 = np.zeros_like(g)
+    p1[:, 1:] = g[:, :-1]
+    valid = np.arange(N * _T_MASK).reshape(N, _T_MASK) < nb
+    return np.where(valid, 1 + p1.astype(np.int32), 0).astype(
+        np.int64).reshape(-1)
+
+
+def _encode_mask_rans(mb: np.ndarray, backend: str):
+    """Order-1 byte-context rANS over the copy-mask bytes.  The masks
+    are runs of 0xFF with sparse mismatch patterns; the conditional
+    model beats zstd-3 by ~35% on the bench blocks (0.28 vs 0.44 MB).
+
+    The rANS-vs-backend decision compares the histogram's exact coded
+    size against the ACTUAL backend-compressed size — both pure
+    functions of (block content, config), so output bytes stay
+    deterministic.  Returns (freq u16, states, wcounts, words) or None
+    when the generic backend wins."""
+    from scalce_tpu.io.backend import compress_bytes
+    from scalce_tpu.models import entropy
+    nb = mb.shape[0]
+    if nb == 0:
+        return None
+    N = (nb + _T_MASK - 1) // _T_MASK
+    native_path = _NATIVE and hasattr(_native, "rans_encode_mask")
+    if native_path:
+        counts = _native.mask_hist(mb, nb, N, _T_MASK)
+    else:
+        flat = np.zeros(N * _T_MASK, np.uint8)
+        flat[:nb] = mb
+        ctx = _mask_ctx_grid(flat, nb, N)
+        idx = ctx * 256 + flat
+        counts = np.bincount(idx, minlength=_MASK_CTX * 256)
+    freq, cum = entropy.host_normalize(counts, _MASK_CTX, 256)
+    cs = counts.reshape(_MASK_CTX, 256)
+    fr = freq.reshape(_MASK_CTX, 256)
+    nz = (cs > 0) & (fr > 0)
+    bits = float((cs[nz] * (12.0 - np.log2(fr[nz]))).sum())
+    import zlib
+    table = len(zlib.compress(fr.astype("<u2").tobytes(), 1))
+    est = bits / 8.0 + N * 6 + table
+    alt = min(len(compress_bytes(mb.tobytes(), backend, 3)), nb)
+    if est >= alt:
+        return None
+    if native_path:
+        states, wcounts, words = _native.rans_encode_mask(
+            mb, nb, N, _T_MASK, freq, cum)
+    else:
+        from scalce_tpu.streams.qualities import _host_rans_encode
+        states, wgrid, emits = _host_rans_encode(idx, freq, cum, _T_MASK)
+        wt, et = wgrid.T, emits.T
+        wcounts = et.sum(axis=1).astype(np.int64)
+        words = wt[et]
+    return (freq.astype(np.uint16), states, wcounts.astype(np.uint16),
+            words)
+
+
+def _decode_mask_rans(a: Dict[str, np.ndarray], nb: int) -> np.ndarray:
+    from scalce_tpu.models import entropy
+    freq = a["mask_freq"].astype(np.uint32)
+    if freq.size != _MASK_CTX * 256:
+        raise ValueError("corrupt .scalcer block: bad mask freq table")
+    N = (nb + _T_MASK - 1) // _T_MASK
+    states = a["mask_states"]
+    wcounts = a["mask_counts"].astype(np.int64)
+    words = a["mask_words"]
+    if states.ndim != 1 or states.shape[0] != N or wcounts.shape[0] != N:
+        raise ValueError("corrupt .scalcer block: mask lane mismatch")
+    if int(wcounts.sum()) != words.shape[0] or (wcounts > _T_MASK).any():
+        raise ValueError("corrupt .scalcer block: mask word mismatch")
+    cum = entropy.freq_to_cum(freq.reshape(_MASK_CTX, 256))
+    if _NATIVE and hasattr(_native, "rans_decode_mask"):
+        lut = _native.build_flat_lut(freq, cum, _MASK_CTX, 256)
+        return _native.rans_decode_mask(states, words, wcounts, lut,
+                                        nb, N, _T_MASK)
+    lut = entropy.build_decode_lut(freq.reshape(_MASK_CTX, 256),
+                                   cum.reshape(_MASK_CTX, 256))
+    x = states.astype(np.uint32).copy()
+    W = int(wcounts.max()) if N else 0
+    wpad = np.zeros((N, W + 1), np.uint16)
+    fill = np.arange(W)[None, :] < wcounts[:, None]
+    wpad[:, :W][fill] = words
+    cursor = np.zeros(N, np.int64)
+    prev1 = np.zeros(N, np.uint32)
+    out = np.zeros(N * _T_MASK, np.uint8)
+    lanes = np.arange(N)
+    base = lanes * _T_MASK
+    for t in range(_T_MASK):
+        validt = base + t < nb
+        c = np.where(validt, 1 + (prev1 if t >= 1 else 0), 0).astype(
+            np.int64)
+        slot = x & np.uint32(4095)
+        e = lut[c * 4096 + slot]
+        s = e >> np.uint32(24)
+        f = ((e >> np.uint32(12)) & np.uint32(4095)) + np.uint32(1)
+        cm = e & np.uint32(4095)
+        x = f * (x >> np.uint32(12)) + slot - cm
+        need = x < np.uint32(1 << 16)
+        w = wpad[lanes, np.minimum(cursor, W)]
+        x = np.where(need, (x << np.uint32(16)) | w.astype(np.uint32), x)
+        cursor += need
+        out[base + t] = np.where(validt, s, 0)
+        prev1 = s.astype(np.uint32)
+    return out[:nb]
+
+
 def _perm_bits(n: int) -> int:
     """Fixed width for permutation entries: ceil(log2(n)), min 1."""
     return max(1, int(n - 1).bit_length()) if n > 1 else 1
@@ -198,9 +311,9 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             exc_pos: np.ndarray, exc_byte: np.ndarray,
             perm: np.ndarray, level: int = 6, backend: str = "gz") -> bytes:
     n_lits = int(delta["n_lits"])
+    mb = np.ascontiguousarray(delta["mask_bits"][:n_reads])
     arrays = {
         "n_reads": np.asarray([n_reads], np.int64),
-        "mask_bits": np.ascontiguousarray(delta["mask_bits"][:n_reads]),
         "shifts": np.ascontiguousarray(delta["shifts"][:n_reads]),
         "n_lits": np.asarray([n_lits], np.int64),
         "pred_k": np.ascontiguousarray(delta["pred_k"][:n_reads]),
@@ -239,6 +352,19 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             padded = np.zeros(((n_lits + 15) // 16) * 16, np.uint8)
             padded[:n_lits] = lits[:n_lits]
             arrays["lit_packed"] = _pack2bit_np(padded)
+    # copy-mask bytes: per-block trial of order-1 byte-context rANS vs
+    # the generic backend (same pattern as the literal stream)
+    menc = _encode_mask_rans(mb.reshape(-1), backend)
+    if menc is not None:
+        mfreq, mstates, mwcounts, mwords = menc
+        arrays["mask_mode"] = np.asarray([1], np.uint8)
+        arrays["mask_freq"] = mfreq
+        arrays["mask_states"] = mstates
+        arrays["mask_counts"] = mwcounts
+        arrays["mask_words"] = mwords
+    else:
+        arrays["mask_mode"] = np.asarray([0], np.uint8)
+        arrays["mask_bits"] = mb
     # per-array codec levels (measured on the bench workload):
     #   lit_packed is entropy-coded 2-bit data — incompressible, stored
     #   raw (attempting it costs ~25 ms/block for nothing)
@@ -249,7 +375,8 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
     #   level 1 only catches partially-sorted inputs (pack_arrays
     #   stores raw whenever deflate does not win)
     return container.pack_arrays(
-        arrays, deflate={"mask_bits": 3, "shifts": 3, "pred_k": 3,
+        arrays, deflate={"mask_bits": 3, "mask_freq": 3,
+                         "mask_counts": 3, "shifts": 3, "pred_k": 3,
                          "rc_bits": 3, "lengths": 3, "exc_pos": 3,
                          "exc_byte": 3, "perm_pk": 1},
         level=level, backend=backend)
@@ -271,6 +398,18 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
         if pk is None or pk.ndim != 1 or pk.shape[0] < (n * k + 7) // 8:
             raise ValueError("corrupt .scalcer block: permutation short")
         a["perm"] = _bitunpack_u32(pk, n, k)
+    if "mask_bits" not in a:               # rANS-coded masks (mode 1)
+        if int(a["mask_mode"][0]) if "mask_mode" in a else 0:
+            for fld in ("mask_freq", "mask_states", "mask_counts",
+                        "mask_words"):
+                if fld not in a:
+                    raise ValueError(
+                        f"corrupt .scalcer block: missing {fld}")
+            a["mask_bits"] = _decode_mask_rans(
+                a, n * (L // 8)).reshape(n, L // 8)
+        else:
+            raise ValueError("corrupt .scalcer block: mask stream "
+                             "missing")
     # native path validates copy bounds INSIDE the reconstruction loop
     # (reconstruct_delta_checked) — the whole-matrix numpy pre-checks
     # are only needed for the unchecked numpy fallback

@@ -147,3 +147,38 @@ def test_backend_validation_matches_availability():
     with pytest.raises(ValueError):
         Config(mode="compress", inputs=("x",), output="y",
                backend="lzma")
+
+
+def test_corrupt_mask_rans_fields_raise():
+    """mask_mode=1 blocks must validate lane/table sizes before the
+    native mask decode walks them."""
+    import numpy as np
+
+    from scalce_tpu.streams import seqs
+
+    rng = np.random.default_rng(3)
+    nb = 262144
+    mb = np.full(nb, 255, np.uint8)
+    noise = rng.random(nb) < 0.08
+    mb[noise] = rng.integers(0, 256, size=int(noise.sum()),
+                             dtype=np.uint8)
+    enc = seqs._encode_mask_rans(mb, "gz")
+    assert enc is not None
+    freq, states, wc, words = enc
+    base = {"mask_freq": freq, "mask_states": states,
+            "mask_counts": wc, "mask_words": words}
+    assert np.array_equal(seqs._decode_mask_rans(dict(base), nb), mb)
+    bad = dict(base)
+    bad["mask_states"] = states[:-1]
+    with pytest.raises(ValueError):
+        seqs._decode_mask_rans(bad, nb)
+    bad = dict(base)
+    wc2 = wc.copy()
+    wc2[0] += 5
+    bad["mask_counts"] = wc2
+    with pytest.raises(ValueError):
+        seqs._decode_mask_rans(bad, nb)
+    bad = dict(base)
+    bad["mask_freq"] = freq[:-256]
+    with pytest.raises(ValueError):
+        seqs._decode_mask_rans(bad, nb)
