@@ -200,6 +200,16 @@ def _bind() -> None:
                                             ctypes.c_int64,
                                             ctypes.c_int64, _u8p]
         lib.rans_decode_lanes_v.restype = ctypes.c_int64
+        lib.rans_encode_mask_v.argtypes = [_u8p, ctypes.c_int64,
+                                           ctypes.c_int64,
+                                           ctypes.c_int64, _u32p, _u32p,
+                                           _u32p, _i64p, _u16p]
+        lib.rans_encode_mask_v.restype = ctypes.c_int64
+        lib.rans_decode_mask_v.argtypes = [_u32p, _u16p, _i64p, _u32p,
+                                           ctypes.c_int64,
+                                           ctypes.c_int64,
+                                           ctypes.c_int64, _u8p]
+        lib.rans_decode_mask_v.restype = None
     except AttributeError:
         pass
     lib.rans_decode_lanes.argtypes = [_u32p, _u16p, _i64p, _u32p, _i64p,
@@ -584,14 +594,20 @@ def rans_encode_mask(b: np.ndarray, nb: int, N: int, T: int,
                      freq: np.ndarray, cum: np.ndarray):
     f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
     c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
-    rcp = np.empty(f32.shape[0], np.uint64)
-    _lib.build_rcp44(f32, f32.shape[0], rcp)
     states = np.empty(N, np.uint32)
     wcounts = np.empty(N, np.int64)
     words_cat = np.empty(N * T, np.uint16)
-    total = _lib.rans_encode_mask(np.ascontiguousarray(b), nb, N, T,
-                                  f32, c32, rcp, states, wcounts,
-                                  words_cat)
+    b8 = np.ascontiguousarray(b)
+    if hasattr(_lib, "rans_encode_mask_v"):
+        total = _lib.rans_encode_mask_v(b8, nb, N, T, f32, c32,
+                                        states, wcounts, words_cat)
+    else:
+        rcp = np.empty(f32.shape[0], np.uint64)
+        _lib.build_rcp44(f32, f32.shape[0], rcp)
+        total = _lib.rans_encode_mask(b8, nb, N, T, f32, c32, rcp,
+                                      states, wcounts, words_cat)
+    if total < 0:
+        raise MemoryError("rans_encode_mask scratch allocation failed")
     return states, wcounts, words_cat[:total].copy()
 
 
@@ -611,9 +627,16 @@ def rans_decode_mask(states: np.ndarray, words_cat: np.ndarray,
                      wcounts: np.ndarray, decode_lut: np.ndarray,
                      nb: int, N: int, T: int) -> np.ndarray:
     out = np.zeros(nb, np.uint8)
-    _lib.rans_decode_mask(np.ascontiguousarray(states.astype(np.uint32)),
-                          np.ascontiguousarray(words_cat),
-                          np.ascontiguousarray(wcounts.astype(np.int64)),
+    s32 = np.ascontiguousarray(states.astype(np.uint32))
+    wc64 = np.ascontiguousarray(wcounts.astype(np.int64))
+    if hasattr(_lib, "rans_decode_mask_v"):
+        wpad = np.empty(words_cat.shape[0] + 1, np.uint16)
+        wpad[:-1] = words_cat
+        wpad[-1] = 0
+        _lib.rans_decode_mask_v(s32, wpad, wc64, decode_lut, nb, N, T,
+                                out)
+        return out
+    _lib.rans_decode_mask(s32, np.ascontiguousarray(words_cat), wc64,
                           decode_lut, nb, N, T, out)
     return out
 

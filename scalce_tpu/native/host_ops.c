@@ -2178,6 +2178,256 @@ EXPORT void build_flat_lut(const uint32_t *freq, const uint32_t *cum,
     }
 }
 
+#if defined(__AVX512F__) && defined(__AVX512DQ__) && defined(__AVX512BW__)
+/* 32-lane AVX-512 mask encode (2 interleaved 16-lane groups): the
+ * context is just 1 + previous INPUT byte, so one 4-byte gather at
+ * g-1 yields (prev, s) and everything else mirrors the quality
+ * encoder's reciprocal-multiply coder.  Bit-identical to the scalar
+ * path (pinned by tests). */
+EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
+                                  int64_t N, int64_t T,
+                                  const uint32_t *freq,
+                                  const uint32_t *cum,
+                                  uint32_t *states, int64_t *wcounts,
+                                  uint16_t *words_cat)
+{
+    enum { G = 2, IL = 32 };
+    int64_t n_ent = 257 * 256;
+    uint16_t *tmp = (uint16_t *)malloc((size_t)IL * T * 2);
+    uint8_t *bpad = (uint8_t *)malloc((size_t)(nb + 6));
+    uint32_t *fc = (uint32_t *)malloc((size_t)n_ent * 4);
+    double *rcpd = (double *)malloc((size_t)n_ent * 8);
+    if (!tmp || !bpad || !fc || !rcpd) {
+        free(tmp); free(bpad); free(fc); free(rcpd);
+        return -1;
+    }
+    bpad[0] = 0;                     /* gather at g-1 for g = 0 */
+    memcpy(bpad + 1, b, (size_t)nb);
+    memset(bpad + 1 + nb, 0, 5);
+    for (int64_t i = 0; i < n_ent; i++) {
+        fc[i] = (cum[i] << 16) | freq[i];
+        rcpd[i] = freq[i] ? 1.0 / (double)freq[i] : 0.0;
+    }
+    const __m512i vff = _mm512_set1_epi32(0xFF);
+    const __m512i vmask16 = _mm512_set1_epi32(0xFFFF);
+    const __m512i vone = _mm512_set1_epi32(1);
+    int64_t off = 0;
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        __m512i x[G], gbase[G];
+        int64_t cnt[IL];
+        for (int h = 0; h < G; h++) {
+            int32_t gb[16];
+            for (int j = 0; j < 16; j++) {
+                int jl = 16 * h + j;
+                /* dead tail lanes alias lane 0 (in-bounds, masked) */
+                gb[j] = (int32_t)(((jl < nl ? n0 + jl : n0) ) * T);
+            }
+            gbase[h] = _mm512_loadu_si512(gb);
+            x[h] = _mm512_set1_epi32((int)RANS_LOW);
+        }
+        for (int j = 0; j < IL; j++)
+            cnt[j] = 0;
+        __mmask16 live[G];
+        for (int h = 0; h < G; h++) {
+            unsigned m = 0;
+            for (int j = 0; j < 16; j++)
+                if (16 * h + j < nl)
+                    m |= 1u << j;
+            live[h] = (__mmask16)m;
+        }
+        for (int64_t t = T - 1; t >= 0; t--) {
+            const __m512i tv = _mm512_set1_epi32((int)t);
+            for (int h = 0; h < G; h++) {
+                __m512i g = _mm512_add_epi32(gbase[h], tv);
+                __mmask16 valid = _mm512_mask_cmp_epi32_mask(
+                    live[h], g, _mm512_set1_epi32((int)nb),
+                    _MM_CMPINT_LT);
+                /* gather bpad[g-1 .. g+2]: byte0 = b[g-1], byte1 = b[g]
+                 * (bpad is b shifted right by one pad byte); masked —
+                 * tail-padding lanes' g runs past the buffer */
+                __m512i w = _mm512_mask_i32gather_epi32(
+                    _mm512_setzero_si512(), valid, g,
+                    (const int *)bpad, 1);
+                __m512i s = _mm512_and_si512(_mm512_srli_epi32(w, 8),
+                                             vff);
+                __m512i prev = t >= 1 ? _mm512_and_si512(w, vff)
+                                      : _mm512_setzero_si512();
+                s = _mm512_maskz_mov_epi32(valid, s);
+                __m512i c = _mm512_maskz_add_epi32(valid, prev, vone);
+                __m512i idx = _mm512_add_epi32(
+                    _mm512_slli_epi32(c, 8), s);
+                __m512i fcv = _mm512_i32gather_epi32(
+                    idx, (const int *)fc, 4);
+                __m512i f = _mm512_and_si512(fcv, vmask16);
+                __m512i cm = _mm512_srli_epi32(fcv, 16);
+                __mmask16 emit = _mm512_mask_cmp_epu32_mask(
+                    live[h], _mm512_srli_epi32(x[h], 20), f,
+                    _MM_CMPINT_NLT);
+                if (emit) {
+                    uint32_t wbuf[16];
+                    _mm512_storeu_si512(
+                        wbuf, _mm512_and_si512(x[h], vmask16));
+                    unsigned m = emit;
+                    while (m) {
+                        int j = __builtin_ctz(m);
+                        m &= m - 1;
+                        int jl = 16 * h + j;
+                        tmp[(size_t)jl * T + cnt[jl]++] =
+                            (uint16_t)wbuf[j];
+                    }
+                    x[h] = _mm512_mask_srli_epi32(x[h], emit, x[h], 16);
+                }
+                __m512d rc0 = _mm512_i32gather_pd(
+                    _mm512_castsi512_si256(idx), rcpd, 8);
+                __m512d rc1 = _mm512_i32gather_pd(
+                    _mm512_extracti32x8_epi32(idx, 1), rcpd, 8);
+                __m512d xd0 = _mm512_cvtepu32_pd(
+                    _mm512_castsi512_si256(x[h]));
+                __m512d xd1 = _mm512_cvtepu32_pd(
+                    _mm512_extracti64x4_epi64(x[h], 1));
+                __m256i q0 = _mm512_cvttpd_epu32(
+                    _mm512_mul_pd(xd0, rc0));
+                __m256i q1 = _mm512_cvttpd_epu32(
+                    _mm512_mul_pd(xd1, rc1));
+                __m512i q = _mm512_inserti64x4(
+                    _mm512_castsi256_si512(q0), q1, 1);
+                __m512i rem = _mm512_sub_epi32(
+                    x[h], _mm512_mullo_epi32(q, f));
+                __mmask16 fix = _mm512_cmp_epu32_mask(
+                    rem, f, _MM_CMPINT_NLT);
+                q = _mm512_mask_add_epi32(q, fix, q, vone);
+                rem = _mm512_mask_sub_epi32(rem, fix, rem, f);
+                __m512i nx = _mm512_add_epi32(
+                    _mm512_add_epi32(
+                        _mm512_slli_epi32(q, RANS_PROB_BITS), rem),
+                    cm);
+                x[h] = _mm512_mask_blend_epi32(live[h], x[h], nx);
+            }
+        }
+        uint32_t xout[IL];
+        for (int h = 0; h < G; h++)
+            _mm512_storeu_si512(xout + 16 * h, x[h]);
+        for (int j = 0; j < nl; j++) {
+            states[n0 + j] = xout[j];
+            wcounts[n0 + j] = cnt[j];
+            const uint16_t *tj = tmp + (size_t)j * T;
+            for (int64_t i = 0; i < cnt[j]; i++)
+                words_cat[off + i] = tj[cnt[j] - 1 - i];
+            off += cnt[j];
+        }
+    }
+    free(tmp);
+    free(bpad);
+    free(fc);
+    free(rcpd);
+    return off;
+}
+
+/* 32-lane mask decode over the flat LUT; ctx = 1 + previous DECODED
+ * byte (carried in-register). */
+EXPORT void rans_decode_mask_v(const uint32_t *states,
+                               const uint16_t *words_pad,
+                               const int64_t *wcounts,
+                               const uint32_t *lut, int64_t nb,
+                               int64_t N, int64_t T, uint8_t *out)
+{
+    enum { G = 2, IL = 32 };
+    const __m512i v4095 = _mm512_set1_epi32(4095);
+    const __m512i vone = _mm512_set1_epi32(1);
+    const __m512i vlow = _mm512_set1_epi32(1 << 16);
+    int64_t wbase_all = 0;
+    for (int64_t n0 = 0; n0 < N; n0 += IL) {
+        int nl = (int)(N - n0 < IL ? N - n0 : IL);
+        __m512i x[G], prev[G], wp[G], wend[G], wbase[G], gbase[G];
+        int64_t cnt_base[IL];
+        for (int j = 0; j < IL; j++) {
+            cnt_base[j] = wbase_all;
+            if (j < nl)
+                wbase_all += wcounts[n0 + j];
+        }
+        __mmask16 live[G];
+        for (int h = 0; h < G; h++) {
+            int32_t xi[16], wei[16], wbi[16], gb[16];
+            unsigned lm = 0;
+            for (int j = 0; j < 16; j++) {
+                int jl = 16 * h + j;
+                int ok = jl < nl;
+                if (ok)
+                    lm |= 1u << j;
+                xi[j] = ok ? (int32_t)states[n0 + jl] : 0;
+                wei[j] = ok ? (int32_t)wcounts[n0 + jl] : 0;
+                wbi[j] = (int32_t)cnt_base[ok ? jl : 0];
+                gb[j] = (int32_t)((ok ? n0 + jl : n0) * T);
+            }
+            live[h] = (__mmask16)lm;
+            x[h] = _mm512_loadu_si512(xi);
+            wend[h] = _mm512_loadu_si512(wei);
+            wbase[h] = _mm512_loadu_si512(wbi);
+            gbase[h] = _mm512_loadu_si512(gb);
+            wp[h] = _mm512_setzero_si512();
+            prev[h] = _mm512_setzero_si512();
+        }
+        for (int64_t t = 0; t < T; t++) {
+            const __m512i tv = _mm512_set1_epi32((int)t);
+            for (int h = 0; h < G; h++) {
+                __m512i g = _mm512_add_epi32(gbase[h], tv);
+                __mmask16 valid = _mm512_mask_cmp_epi32_mask(
+                    live[h], g, _mm512_set1_epi32((int)nb),
+                    _MM_CMPINT_LT);
+                if (!valid)
+                    continue;
+                __m512i c = _mm512_maskz_add_epi32(
+                    valid, t >= 1 ? prev[h] : _mm512_setzero_si512(),
+                    vone);
+                __m512i slot = _mm512_and_si512(x[h], v4095);
+                __m512i e = _mm512_i32gather_epi32(
+                    _mm512_add_epi32(_mm512_slli_epi32(c, 12), slot),
+                    (const int *)lut, 4);
+                __m512i s = _mm512_srli_epi32(e, 24);
+                __m512i f = _mm512_add_epi32(
+                    _mm512_and_si512(_mm512_srli_epi32(e, 12), v4095),
+                    vone);
+                __m512i cm = _mm512_and_si512(e, v4095);
+                __m512i nx = _mm512_add_epi32(
+                    _mm512_sub_epi32(slot, cm),
+                    _mm512_mullo_epi32(
+                        f, _mm512_srli_epi32(x[h], 12)));
+                __mmask16 need = _mm512_mask_cmp_epu32_mask(
+                    valid, nx, vlow, _MM_CMPINT_LT);
+                if (need) {
+                    __mmask16 have = _mm512_mask_cmp_epi32_mask(
+                        need, wp[h], wend[h], _MM_CMPINT_LT);
+                    __m512i w = _mm512_mask_i32gather_epi32(
+                        _mm512_setzero_si512(), have,
+                        _mm512_add_epi32(wbase[h], wp[h]),
+                        (const int *)words_pad, 2);
+                    w = _mm512_maskz_mov_epi32(
+                        have, _mm512_and_si512(
+                                  w, _mm512_set1_epi32(0xFFFF)));
+                    nx = _mm512_mask_or_epi32(
+                        nx, need, _mm512_slli_epi32(nx, 16), w);
+                    wp[h] = _mm512_mask_add_epi32(wp[h], need, wp[h],
+                                                  vone);
+                }
+                x[h] = _mm512_mask_blend_epi32(valid, x[h], nx);
+                /* scatter decoded bytes: lanes stride T apart */
+                __m128i sb = _mm512_cvtepi32_epi8(s);
+                uint8_t sbuf[16];
+                _mm_storeu_si128((__m128i *)sbuf, sb);
+                unsigned m = valid;
+                while (m) {
+                    int j = __builtin_ctz(m);
+                    m &= m - 1;
+                    out[(int64_t)(n0 + 16 * h + j) * T + t] = sbuf[j];
+                }
+                prev[h] = _mm512_mask_blend_epi32(valid, prev[h], s);
+            }
+        }
+    }
+}
+#endif  /* AVX512 mask coders */
+
 EXPORT void rans_decode_mask(const uint32_t *states,
                              const uint16_t *words_cat,
                              const int64_t *wcounts,
