@@ -1785,6 +1785,9 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
  * words_pad MUST have 2 tail pad bytes (the u16 word fetch gathers
  * 32-bit loads).  qual is fully zeroed here; only valid cells are
  * stored. */
+EXPORT void build_flat_lut(const uint32_t *freq, const uint32_t *cum,
+                           int64_t n_ctx, int64_t n_syms, uint32_t *lut);
+
 EXPORT int64_t rans_decode_lanes_v(const uint32_t *states,
                                    const uint16_t *words_pad,
                                    const int64_t *wcounts,
@@ -1798,24 +1801,19 @@ EXPORT int64_t rans_decode_lanes_v(const uint32_t *states,
     int64_t k = T / L;
     enum { G = 4, IL = 64 };
     uint32_t *lut = (uint32_t *)malloc((size_t)n_ctx * RANS_M * 4);
-    if (!lut)
+    uint32_t *f32 = (uint32_t *)malloc((size_t)n_ctx * Q_NSYMS * 8);
+    if (!lut || !f32) {
+        free(lut);
+        free(f32);
         return -1;
-    for (int64_t c = 0; c < n_ctx; c++) {
-        uint32_t *row = lut + c * RANS_M;
-        int64_t slot = 0;
-        uint32_t e = 0;
-        for (int64_t s = 0; s < Q_NSYMS && slot < RANS_M; s++) {
-            uint32_t f = freq[c * Q_NSYMS + s];
-            if (!f)
-                continue;
-            e = ((uint32_t)s << 24) | ((f - 1) << 12)
-                | cum[c * Q_NSYMS + s];
-            for (uint32_t i = 0; i < f && slot < RANS_M; i++)
-                row[slot++] = e;
-        }
-        for (; slot < RANS_M; slot++)    /* corrupt-table safety fill */
-            row[slot] = e;
     }
+    uint32_t *c32 = f32 + n_ctx * Q_NSYMS;
+    for (int64_t i = 0; i < n_ctx * Q_NSYMS; i++) {
+        f32[i] = freq[i];
+        c32[i] = cum[i];
+    }
+    build_flat_lut(f32, c32, n_ctx, Q_NSYMS, lut);
+    free(f32);
     memset(qual, 0, (size_t)(B * L));
 
     const __m512i vff = _mm512_set1_epi32(0xFF);

@@ -211,6 +211,10 @@ def _encode_mask_rans(mb: np.ndarray, backend: str):
     est = bits / 8.0 + N * 6 + table
     alt = min(len(compress_bytes(mb.tobytes(), backend, 3)), nb)
     if est >= alt:
+        # mode-0 blocks recompress mask_bits inside pack_arrays (same
+        # codec/level) — accepted: the backend only wins on degenerate
+        # masks (constant blocks, tiny blocks), never on the bench or
+        # coverage-bearing data, so the double cost is cold-path
         return None
     if native_path:
         states, wcounts, words = _native.rans_encode_mask(

@@ -50,8 +50,10 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
         genome_len = len(genome)
     starts = rng.integers(0, genome_len - L, size=n_reads)
     if var_len:
-        lo = min(max(20, L // 2), L)     # short reads: clamp to [1, L]
-        lens = rng.integers(max(1, lo), L + 1, size=n_reads)
+        # lengths in [max(20, L/2), L]; short reads (L <= 20) still get
+        # variation from [max(1, L/2), L] instead of degenerating to L
+        lo = max(20, L // 2) if L > 20 else max(1, L // 2)
+        lens = rng.integers(lo, L + 1, size=n_reads)
     else:
         lens = np.full(n_reads, L, dtype=np.int64)
 

@@ -499,3 +499,70 @@ def test_native_qual_hist2_matches_numpy():
                    + sym.reshape(-1))
             np.add.at(ref, idx, 1)
             assert np.array_equal(got, ref)
+
+
+def test_mask_coder_paths_bit_identical():
+    """The mask stream's AVX-512, scalar-C, and numpy coders must all
+    emit/decode identical bytes — archives written by any host must
+    match (the multi-host merge byte-identity depends on it)."""
+    import numpy as np
+    import pytest
+
+    import scalce_tpu.streams.seqs as S
+    from scalce_tpu import native
+    from scalce_tpu.models import entropy
+
+    rng = np.random.default_rng(41)
+    nb = 200_000
+    mb = np.full(nb, 255, np.uint8)
+    noise = rng.random(nb) < 0.08
+    mb[noise] = rng.integers(0, 256, size=int(noise.sum()),
+                             dtype=np.uint8)
+    enc = S._encode_mask_rans(mb, "gz")     # native (AVX if available)
+    assert enc is not None
+    nat = S._NATIVE
+    S._NATIVE = False
+    try:
+        enc_np = S._encode_mask_rans(mb, "gz")
+    finally:
+        S._NATIVE = nat
+    for a, b in zip(enc, enc_np):
+        assert np.array_equal(a, b)
+    if native.AVAILABLE and hasattr(native._lib, "rans_encode_mask_v"):
+        # scalar C vs vector C directly
+        N = (nb + S._T_MASK - 1) // S._T_MASK
+        counts = native.mask_hist(mb, nb, N, S._T_MASK)
+        freq, cum = entropy.host_normalize(counts, S._MASK_CTX, 256)
+        f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
+        c32 = np.ascontiguousarray(cum.reshape(-1).astype(np.uint32))
+        rcp = np.empty(f32.shape[0], np.uint64)
+        native._lib.build_rcp44(f32, f32.shape[0], rcp)
+        sts = np.empty(N, np.uint32)
+        wcs = np.empty(N, np.int64)
+        wcats = np.empty(N * S._T_MASK, np.uint16)
+        ts = native._lib.rans_encode_mask(mb, nb, N, S._T_MASK, f32,
+                                          c32, rcp, sts, wcs, wcats)
+        assert np.array_equal(sts, enc[1])
+        assert np.array_equal(wcs.astype(np.uint16), enc[2])
+        assert np.array_equal(wcats[:ts], enc[3])
+        # decode: vector (via wrapper) vs scalar C vs numpy
+        a = {"mask_freq": enc[0], "mask_states": enc[1],
+             "mask_counts": enc[2], "mask_words": enc[3]}
+        dec_v = S._decode_mask_rans(dict(a), nb)
+        lut = native.build_flat_lut(freq.astype(np.uint32),
+                                    cum.astype(np.uint32),
+                                    S._MASK_CTX, 256)
+        dec_s = np.zeros(nb, np.uint8)
+        native._lib.rans_decode_mask(
+            enc[1].astype(np.uint32), enc[3],
+            enc[2].astype(np.int64), lut, nb, N, S._T_MASK, dec_s)
+        assert np.array_equal(dec_v, dec_s)
+        assert np.array_equal(dec_v, mb)
+    S._NATIVE = False
+    try:
+        a = {"mask_freq": enc[0], "mask_states": enc[1],
+             "mask_counts": enc[2], "mask_words": enc[3]}
+        dec_np = S._decode_mask_rans(a, nb)
+    finally:
+        S._NATIVE = nat
+    assert np.array_equal(dec_np, mb)
