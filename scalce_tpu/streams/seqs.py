@@ -209,7 +209,14 @@ def _encode_mask_rans(mb: np.ndarray, backend: str):
     import zlib
     table = len(zlib.compress(fr.astype("<u2").tobytes(), 1))
     est = bits / 8.0 + N * 6 + table
-    alt = min(len(compress_bytes(mb.tobytes(), backend, 3)), nb)
+    # backend comparator from a 256KB prefix SAMPLE, extrapolated —
+    # compressing the full 2MB mask just to decide cost ~9 ms/block.
+    # Still a pure function of (content, config); near-tie blocks may
+    # flip mode, which only trades a handful of bytes either way.
+    sample = mb[: 1 << 18]
+    scale = nb / sample.shape[0]
+    alt = min(int(len(compress_bytes(sample.tobytes(), backend, 3))
+                  * scale), nb)
     if est >= alt:
         # mode-0 blocks recompress mask_bits inside pack_arrays (same
         # codec/level) — accepted: the backend only wins on degenerate
