@@ -203,7 +203,10 @@ class Config:
                              "[64, 32768] (word counts are 16-bit)")
         if self.qual_context_order not in (0, 1, 2):
             raise ValueError("qual_context_order must be 0 (auto), 1 or 2")
-        if self.qual_context_order == 0 and self.qual_on_device:
+        if (self.qual_context_order == 0 and self.qual_on_device
+                and self.mode == "compress"):
+            # decompress reads each block's order from the container;
+            # only the ENCODE device path compiles per order
             raise ValueError("qual_context_order=0 (auto) requires the "
                              "host quality path (the device path "
                              "compiles per order)")
