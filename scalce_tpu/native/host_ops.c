@@ -2189,7 +2189,7 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
                                   uint32_t *states, int64_t *wcounts,
                                   uint16_t *words_cat)
 {
-    enum { G = 2, IL = 32 };
+    enum { G = 4, IL = 64 };
     int64_t n_ent = 257 * 256;
     uint16_t *tmp = (uint16_t *)malloc((size_t)IL * T * 2);
     uint8_t *bpad = (uint8_t *)malloc((size_t)(nb + 6));
@@ -2330,7 +2330,7 @@ EXPORT void rans_decode_mask_v(const uint32_t *states,
                                const uint32_t *lut, int64_t nb,
                                int64_t N, int64_t T, uint8_t *out)
 {
-    enum { G = 2, IL = 32 };
+    enum { G = 4, IL = 64 };
     const __m512i v4095 = _mm512_set1_epi32(4095);
     const __m512i vone = _mm512_set1_epi32(1);
     const __m512i vlow = _mm512_set1_epi32(1 << 16);
