@@ -171,13 +171,17 @@ def _bind() -> None:
     lib.bitunpack_u32.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
                                   _u32p]
     lib.bitunpack_u32.restype = None
-    lib.qual_hist2.argtypes = [_u8p, _i64p, ctypes.c_int64,
+    lib.qual_hist2.argtypes = [_u8p, _i64p, _i64p, _u8p, ctypes.c_int64,
                                ctypes.c_int64, _u32p, _u32p]
     lib.qual_hist2.restype = None
+    lib.qual_hist_one.argtypes = [_u8p, _i64p, _i64p, _u8p,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, _u32p]
+    lib.qual_hist_one.restype = None
     lib.build_rcp44.argtypes = [_u32p, ctypes.c_int64,
                                 ndpointer(np.uint64, flags="C_CONTIGUOUS")]
     lib.build_rcp44.restype = None
-    lib.rans_encode_qual.argtypes = [_u8p, _i64p, _u8p,
+    lib.rans_encode_qual.argtypes = [_u8p, _i64p, _i64p, _u8p, _u8p,
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_int64,
                                      _u32p, _i64p, _u16p]
@@ -188,7 +192,8 @@ def _bind() -> None:
         # 16-lane AVX-512 encoder — only exported when the .so was
         # built on a machine with AVX512F+DQ (the ISA-tagged cache key
         # guarantees build machine == run machine)
-        lib.rans_encode_qual_v.argtypes = [_u8p, _i64p, _u32p, _u32p,
+        lib.rans_encode_qual_v.argtypes = [_u8p, _i64p, _i64p, _u8p,
+                                           _u32p, _u32p,
                                            ctypes.c_int64, ctypes.c_int64,
                                            ctypes.c_int64, ctypes.c_int64,
                                            _u32p, _i64p, _u16p]
@@ -523,7 +528,34 @@ def delta_match_runs(codes: np.ndarray, bnd: np.ndarray, cp: np.ndarray,
     return mask_bits, shifts, pred_k, lits[:n_lits].copy()
 
 
-def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int):
+
+_IDENT_QMAP = np.arange(256, dtype=np.uint8)
+_IDENT_PERM_CACHE: dict = {}
+
+
+def _ident_perm(B: int) -> np.ndarray:
+    p = _IDENT_PERM_CACHE.get(B)
+    if p is None:
+        p = np.arange(B, dtype=np.int64)
+        if len(_IDENT_PERM_CACHE) < 8:      # bounded (few block shapes)
+            _IDENT_PERM_CACHE[B] = p
+    return p
+
+
+def _perm_or_ident(perm, B: int) -> np.ndarray:
+    if perm is None:
+        return _ident_perm(B)
+    return np.ascontiguousarray(perm, dtype=np.int64)
+
+
+def _qmap_or_ident(qmap) -> np.ndarray:
+    if qmap is None:
+        return _IDENT_QMAP
+    return np.ascontiguousarray(qmap, dtype=np.uint8)
+
+
+def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int,
+               perm=None, qmap=None):
     """One pass over the quality grid -> (counts_order1, counts_order2)."""
     B = len(lengths)
     # u32 counters: half the cache footprint of the hot scatter adds
@@ -532,14 +564,33 @@ def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int):
     counts2 = np.zeros(1401 * 94, np.uint32)    # n_contexts(2) * N_SYMS
     _lib.qual_hist2(np.ascontiguousarray(qual).reshape(-1),
                     np.ascontiguousarray(lengths.astype(np.int64)),
+                    _perm_or_ident(perm, B), _qmap_or_ident(qmap),
                     B, L, counts1, counts2)
     return counts1.astype(np.int64), counts2.astype(np.int64)
 
 
+def qual_hist_one(qual: np.ndarray, lengths: np.ndarray, L: int,
+                  order: int, n_ctx: int, perm=None, qmap=None):
+    """Single-order (ctx,sym) histogram over the quality grid.
+
+    ``perm`` indirects rows (the sorted-frame permutation, fused into
+    the row walk); ``qmap`` is the 256-byte quality remap LUT."""
+    B = len(lengths)
+    counts = np.zeros(n_ctx * 94, np.uint32)
+    _lib.qual_hist_one(np.ascontiguousarray(qual).reshape(-1),
+                       np.ascontiguousarray(lengths.astype(np.int64)),
+                       _perm_or_ident(perm, B), _qmap_or_ident(qmap),
+                       B, L, order, counts)
+    return counts.astype(np.int64)
+
+
 def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,
-                     freq: np.ndarray, cum: np.ndarray, T: int, order: int):
+                     freq: np.ndarray, cum: np.ndarray, T: int, order: int,
+                     perm=None, qmap=None):
     """Grid-direct quality encode (inline contexts, reciprocal divide);
-    byte-identical to rans_encode_lanes over qual_sym_ctx_hist grids."""
+    byte-identical to rans_encode_lanes over qual_sym_ctx_hist grids.
+    ``perm``/``qmap`` fuse the row permute and lossy remap into the
+    coder's own row copy (see host_ops.c clamp_sym_m)."""
     B, L = qual.shape
     N = B * L // T
     f32 = np.ascontiguousarray(freq.reshape(-1).astype(np.uint32))
@@ -549,16 +600,18 @@ def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,
     words_cat = np.empty(N * T, np.uint16)
     q8 = np.ascontiguousarray(qual).reshape(-1)
     l64 = np.ascontiguousarray(lengths.astype(np.int64))
+    p64 = _perm_or_ident(perm, B)
+    m8 = _qmap_or_ident(qmap)
     if hasattr(_lib, "rans_encode_qual_v"):
         # AVX-512 16-lane path; bit-identical (pinned by tests)
-        total = _lib.rans_encode_qual_v(q8, l64, f32, c32, B, L, T,
-                                        order, states, wcounts,
+        total = _lib.rans_encode_qual_v(q8, l64, p64, m8, f32, c32,
+                                        B, L, T, order, states, wcounts,
                                         words_cat)
     else:
         tab = np.empty(f32.shape[0] * 16, np.uint8)  # packed enc_entry[]
         _lib.build_enc_table(f32, c32, f32.shape[0], tab)
-        total = _lib.rans_encode_qual(q8, l64, tab, B, L, T, order,
-                                      states, wcounts, words_cat)
+        total = _lib.rans_encode_qual(q8, l64, p64, m8, tab, B, L, T,
+                                      order, states, wcounts, words_cat)
     if total < 0:
         raise MemoryError("rans_encode_qual scratch allocation failed")
     return states, wcounts, words_cat[:total].copy()

@@ -1373,21 +1373,162 @@ static inline uint32_t clamp_sym(uint8_t q)
     return (uint32_t)v;
 }
 
+/* Mapped variant: the quality functions take a 256-byte remap LUT
+ * (identity when lossless, the lossy quantizer's merge table under -p)
+ * plus a row permutation — fusing the [B, L] permute gather and the
+ * lossy remap into the row copy the coder does anyway (~10 ms/block
+ * saved vs materializing the permuted grid on the Python side). */
+static inline uint32_t clamp_sym_m(uint8_t q, const uint8_t *qmap)
+{
+    int v = (int)qmap[q] - Q_OFFSET;
+    if (v < 0) v = 0;
+    if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
+    return (uint32_t)v;
+}
+
+/* Single-order variant: forced-order runs (and the full-histogram half
+ * of auto mode, whose order trial runs on a row SAMPLE) only need one
+ * (ctx,sym) table — half the increments of qual_hist2. */
+static inline void qual_hist1_cell(uint32_t s, uint32_t prev1,
+                                   uint32_t prev2, int64_t col, int order,
+                                   uint32_t *counts)
+{
+    uint32_t pb = (uint32_t)(col >> 4);
+    if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+    uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1, 1, order);
+    counts[(int64_t)c * Q_NSYMS + s]++;
+}
+
+static void qual_hist1_row(const uint8_t *qrow, const uint8_t *qmap,
+                           int64_t from, int64_t to,
+                           uint32_t *prev1, uint32_t *prev2, int order,
+                           uint32_t *counts)
+{
+    uint32_t p1 = *prev1, p2 = *prev2;
+    for (int64_t col = from; col < to; col++) {
+        uint32_t s = clamp_sym_m(qrow[col], qmap);
+        qual_hist1_cell(s, p1, p2, col, order, counts);
+        p2 = p1;
+        p1 = s;
+    }
+    *prev1 = p1;
+    *prev2 = p2;
+}
+
+EXPORT void qual_hist_one(const uint8_t *qual, const int64_t *lengths,
+                          const int64_t *perm, const uint8_t *qmap,
+                          int64_t B, int64_t L, int64_t order,
+                          uint32_t *counts)
+{
+    int o = (int)order;
+    int64_t i = 0;
+    for (; i + 4 <= B; i += 4) {
+        const uint8_t *q[4];
+        int64_t lim[4];
+        uint32_t p1[4] = {0, 0, 0, 0}, p2[4] = {0, 0, 0, 0};
+        int64_t lim_min = L;
+        for (int r = 0; r < 4; r++) {
+            q[r] = qual + perm[i + r] * L;
+            int64_t len = lengths[i + r];
+            lim[r] = len < L ? len : L;
+            if (lim[r] < lim_min) lim_min = lim[r];
+        }
+        for (int64_t col = 0; col < lim_min; col++) {
+            uint32_t s0 = clamp_sym_m(q[0][col], qmap);
+            uint32_t s1 = clamp_sym_m(q[1][col], qmap);
+            uint32_t s2 = clamp_sym_m(q[2][col], qmap);
+            uint32_t s3 = clamp_sym_m(q[3][col], qmap);
+            qual_hist1_cell(s0, p1[0], p2[0], col, o, counts);
+            qual_hist1_cell(s1, p1[1], p2[1], col, o, counts);
+            qual_hist1_cell(s2, p1[2], p2[2], col, o, counts);
+            qual_hist1_cell(s3, p1[3], p2[3], col, o, counts);
+            p2[0] = p1[0]; p1[0] = s0;
+            p2[1] = p1[1]; p1[1] = s1;
+            p2[2] = p1[2]; p1[2] = s2;
+            p2[3] = p1[3]; p1[3] = s3;
+        }
+        for (int r = 0; r < 4; r++) {
+            if (lim[r] > lim_min)
+                qual_hist1_row(q[r], qmap, lim_min, lim[r], &p1[r],
+                               &p2[r], o, counts);
+            counts[0] += (uint32_t)(L - lim[r]);
+        }
+    }
+    for (; i < B; i++) {
+        int64_t len = lengths[i];
+        int64_t lim = len < L ? len : L;
+        uint32_t prev1 = 0, prev2 = 0;
+        qual_hist1_row(qual + perm[i] * L, qmap, 0, lim, &prev1, &prev2,
+                       o, counts);
+        counts[0] += (uint32_t)(L - lim);
+    }
+}
+
+static void qual_hist2_row(const uint8_t *qrow, const uint8_t *qmap,
+                           int64_t from, int64_t to,
+                           uint32_t *prev1, uint32_t *prev2,
+                           uint32_t *counts1, uint32_t *counts2)
+{
+    uint32_t p1 = *prev1, p2 = *prev2;
+    for (int64_t col = from; col < to; col++) {
+        uint32_t s = clamp_sym_m(qrow[col], qmap);
+        qual_hist2_cell(s, p1, p2, col, counts1, counts2);
+        p2 = p1;
+        p1 = s;
+    }
+    *prev1 = p1;
+    *prev2 = p2;
+}
+
 EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
+                       const int64_t *perm, const uint8_t *qmap,
                        int64_t B, int64_t L,
                        uint32_t *counts1, uint32_t *counts2)
 {
-    for (int64_t i = 0; i < B; i++) {
-        int64_t len = lengths[i];
-        const uint8_t *qrow = qual + i * L;
-        uint32_t prev1 = 0, prev2 = 0;
-        int64_t lim = len < L ? len : L;
-        for (int64_t col = 0; col < lim; col++) {
-            uint32_t s = clamp_sym(qrow[col]);
-            qual_hist2_cell(s, prev1, prev2, col, counts1, counts2);
-            prev2 = prev1;
-            prev1 = s;
+    int64_t i = 0;
+    /* 4-row interleave: quality data is run-heavy, so consecutive
+     * increments from ONE row often hit the same counter cell and
+     * serialize on store-to-load forwarding (~42 ms/block measured);
+     * alternating rows spaces same-cell increments 4 apart (~2x). */
+    for (; i + 4 <= B; i += 4) {
+        const uint8_t *q[4];
+        int64_t lim[4];
+        uint32_t p1[4] = {0, 0, 0, 0}, p2[4] = {0, 0, 0, 0};
+        int64_t lim_min = L;
+        for (int r = 0; r < 4; r++) {
+            q[r] = qual + perm[i + r] * L;
+            int64_t len = lengths[i + r];
+            lim[r] = len < L ? len : L;
+            if (lim[r] < lim_min) lim_min = lim[r];
         }
+        for (int64_t col = 0; col < lim_min; col++) {
+            uint32_t s0 = clamp_sym_m(q[0][col], qmap);
+            uint32_t s1 = clamp_sym_m(q[1][col], qmap);
+            uint32_t s2 = clamp_sym_m(q[2][col], qmap);
+            uint32_t s3 = clamp_sym_m(q[3][col], qmap);
+            qual_hist2_cell(s0, p1[0], p2[0], col, counts1, counts2);
+            qual_hist2_cell(s1, p1[1], p2[1], col, counts1, counts2);
+            qual_hist2_cell(s2, p1[2], p2[2], col, counts1, counts2);
+            qual_hist2_cell(s3, p1[3], p2[3], col, counts1, counts2);
+            p2[0] = p1[0]; p1[0] = s0;
+            p2[1] = p1[1]; p1[1] = s1;
+            p2[2] = p1[2]; p1[2] = s2;
+            p2[3] = p1[3]; p1[3] = s3;
+        }
+        for (int r = 0; r < 4; r++) {
+            if (lim[r] > lim_min)
+                qual_hist2_row(q[r], qmap, lim_min, lim[r], &p1[r],
+                               &p2[r], counts1, counts2);
+            counts1[0] += (uint32_t)(L - lim[r]);
+            counts2[0] += (uint32_t)(L - lim[r]);
+        }
+    }
+    for (; i < B; i++) {
+        int64_t len = lengths[i];
+        int64_t lim = len < L ? len : L;
+        uint32_t prev1 = 0, prev2 = 0;
+        qual_hist2_row(qual + perm[i] * L, qmap, 0, lim, &prev1, &prev2,
+                       counts1, counts2);
         /* padding cells all land in (ctx 0, sym 0) — add arithmetically
          * instead of walking them (identical counts -> identical tables) */
         counts1[0] += (uint32_t)(L - lim);
@@ -1446,6 +1587,7 @@ EXPORT void build_enc_table(const uint32_t *freq, const uint32_t *cum,
 
 EXPORT int64_t rans_encode_qual(const uint8_t *qual,
                                 const int64_t *lengths,
+                                const int64_t *perm, const uint8_t *qmap,
                                 const enc_entry *tab,
                                 int64_t B, int64_t L, int64_t T,
                                 int64_t order, uint32_t *states,
@@ -1474,16 +1616,12 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
         for (int64_t r_off = k - 1; r_off >= 0; r_off--) {
             for (int j = 0; j < nl; j++) {
                 int64_t read = (n0 + j) * k + r_off;
-                const uint8_t *qrow = qual + read * L;
+                const uint8_t *qrow = qual + perm[read] * L;
                 int64_t len = lengths[read];
                 len_j[j] = len;
                 uint8_t *sj = srow + j * L;
-                for (int64_t col = 0; col < len; col++) {
-                    int v = (int)qrow[col] - Q_OFFSET;
-                    if (v < 0) v = 0;
-                    if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
-                    sj[col] = (uint8_t)v;
-                }
+                for (int64_t col = 0; col < len; col++)
+                    sj[col] = (uint8_t)clamp_sym_m(qrow[col], qmap);
                 for (int64_t col = len; col < L; col++)
                     sj[col] = 0;
             }
@@ -1550,6 +1688,8 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
  */
 EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                                   const int64_t *lengths,
+                                  const int64_t *perm,
+                                  const uint8_t *qmap,
                                   const uint32_t *freq,
                                   const uint32_t *cum,
                                   int64_t B, int64_t L, int64_t T,
@@ -1608,15 +1748,11 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                 int64_t len = 0;
                 if (j < nl) {
                     int64_t read = (n0 + j) * k + r_off;
-                    const uint8_t *qrow = qual + read * L;
+                    const uint8_t *qrow = qual + perm[read] * L;
                     len = lengths[read];
                     uint8_t *sj = srow + j * L;
-                    for (int64_t col = 0; col < len; col++) {
-                        int v = (int)qrow[col] - Q_OFFSET;
-                        if (v < 0) v = 0;
-                        if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
-                        sj[col] = (uint8_t)v;
-                    }
+                    for (int64_t col = 0; col < len; col++)
+                        sj[col] = (uint8_t)clamp_sym_m(qrow[col], qmap);
                     for (int64_t col = len; col < L; col++)
                         sj[col] = 0;
                 }

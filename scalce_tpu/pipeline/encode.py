@@ -876,14 +876,16 @@ class BlockEncoder:
         cfg = self.cfg
         B, L = block.seq.shape
         if enc_q is None and sym is None:
-            # host-placement quality stream: permute on host, encode
-            # with the bit-identical numpy codec (qualities never
-            # crossed the device link)
-            qual_s = block.qual[perm_np]
-            enc_q = qualities.encode_host(qual_s, np.asarray(len_s),
+            # host-placement quality stream: the sort permutation and
+            # the (lossy) remap LUT ride into the bit-identical native
+            # codec, which fuses both into its own row walk (qualities
+            # never crossed the device link, and the permuted grid is
+            # never materialized)
+            enc_q = qualities.encode_host(block.qual, np.asarray(len_s),
                                           cfg.qual_context_order,
                                           T_target=cfg.qual_T_target,
-                                          qual_map=self.qual_map_np)
+                                          qual_map=self.qual_map_np,
+                                          perm=perm_np)
         elif enc_q is None:
             # quality stream pass B (device tables + rANS)
             enc_q = qualities.encode_from_grids(sym, ctx, counts, B, L,

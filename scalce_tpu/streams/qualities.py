@@ -374,62 +374,61 @@ def _sym_ctx_np(qual: np.ndarray, lengths: np.ndarray, order: int):
 
 def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
                 T_target: int = 1024,
-                qual_map: Optional[np.ndarray] = None) -> EncodedQuals:
-    """Host-side quality encode (qual already in SORTED order).
+                qual_map: Optional[np.ndarray] = None,
+                perm: Optional[np.ndarray] = None) -> EncodedQuals:
+    """Host-side quality encode (qual already in SORTED order, or in
+    ORIGINAL order with the sort permutation passed as ``perm`` — the
+    native paths fuse the row gather into the coder's own row copy;
+    ``lengths`` are always the SORTED-frame lengths).
 
     Bit-identical to :func:`encode` / the fused device passes.
     ``order=0`` auto-selects the cheaper of order 1/2 per block by
     table-aware trial cost on the histograms (the adaptivity the
     reference's AC gets for free, recovered at negligible host cost).
     """
+    fused = (_NATIVE_Q and hasattr(_native, "qual_hist_one")
+             and hasattr(_native, "rans_encode_qual"))
     if qual_map is not None:
         qual_map = np.asarray(qual_map)
-        # the lossless identity map is the common case: skip the 16MB
-        # remap gather entirely
-        if not np.array_equal(qual_map, np.arange(256, dtype=np.uint8)):
+        # the lossless identity map is the common case: never worth a
+        # 16MB remap gather; the fused native path takes it as a LUT
+        if np.array_equal(qual_map, np.arange(256, dtype=np.uint8)):
+            qual_map = None
+        elif not fused:
             qual = qual_map[qual]
+            qual_map = None
+    if perm is not None and not fused:
+        qual = qual[perm]
+        perm = None
     B, L = qual.shape
     lengths = np.asarray(lengths)
     T = pick_T(B, L, T_target)
+    if order == 0:
+        order = _auto_order(qual, lengths, L, perm, qual_map)
     if _NATIVE_Q and hasattr(_native, "rans_encode_qual"):
-        # grid-free path: one dual-order histogram pass, then encode
+        # grid-free path: one single-order histogram pass, then encode
         # straight off the quality grid (contexts recomputed inline,
         # reciprocal divide) — byte-identical to the grid path below
-        counts1, counts2 = _native.qual_hist2(qual, lengths, L)
-        if order == 0:
-            order = 2 if _trial_cost(counts2, 2) < \
-                _trial_cost(counts1, 1) else 1
-        counts = counts2 if order == 2 else counts1
+        counts = _native.qual_hist_one(qual, lengths, L, order,
+                                       n_contexts(order), perm, qual_map)
         freq, cum = entropy.host_normalize(counts, n_contexts(order),
                                            N_SYMS)
         states, wcounts, words = _native.rans_encode_qual(
-            qual, lengths, freq, cum, T, order)
+            qual, lengths, freq, cum, T, order, perm, qual_map)
         return EncodedQuals(freq=freq, states=states, counts=wcounts,
                             words=words, B=B, L=L, T=T, order=order)
     if _NATIVE_Q:
-        if order == 0:
-            cands = {}
-            for o in (1, 2):
-                cands[o] = _native.qual_sym_ctx_hist(qual, lengths, L, o,
-                                                     n_contexts(o))
-            order = 2 if _trial_cost(cands[2][2], 2) < \
-                _trial_cost(cands[1][2], 1) else 1
-            sym, ctx, counts = cands[order]
-        else:
-            sym, ctx, counts = _native.qual_sym_ctx_hist(
-                qual, lengths, L, order, n_contexts(order))
+        sym, ctx, counts = _native.qual_sym_ctx_hist(
+            qual, lengths, L, order, n_contexts(order))
         freq, cum = entropy.host_normalize(counts, n_contexts(order),
                                            N_SYMS)
         states, wcounts, words = _native.rans_encode_lanes(
             sym, ctx, freq, cum, B * L // T, T)
         return EncodedQuals(freq=freq, states=states, counts=wcounts,
                             words=words, B=B, L=L, T=T, order=order)
-    if order == 0:
-        order, idx, counts = _choose_order(qual, lengths)
-    else:
-        sym, ctx, _ = _sym_ctx_np(qual, lengths, order)
-        idx = ctx.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
-        counts = np.bincount(idx, minlength=n_contexts(order) * N_SYMS)
+    sym, ctx, _ = _sym_ctx_np(qual, lengths, order)
+    idx = ctx.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
+    counts = np.bincount(idx, minlength=n_contexts(order) * N_SYMS)
     C = n_contexts(order)
     freq, cum = entropy.host_normalize(counts, C, N_SYMS)
     states, words, emits = _host_rans_encode(idx, freq, cum, T)
@@ -449,29 +448,53 @@ def _table_cost_bytes(freq: np.ndarray) -> int:
     return len(zlib.compress(freq.astype("<u2").tobytes(), 1))
 
 
-def _trial_cost(counts: np.ndarray, order: int) -> float:
+def _trial_cost(counts: np.ndarray, order: int, scale: float = 1.0) -> float:
     """Total coded bytes under a static table built from ``counts``:
-    data bits with the ACTUAL normalized frequencies + table bytes."""
+    data bits with the ACTUAL normalized frequencies + table bytes.
+    ``scale`` extrapolates sample data bits to the full block (the table
+    bytes are a per-block constant and are NOT scaled)."""
     C = n_contexts(order)
     freq, _ = entropy.host_normalize(counts, C, N_SYMS)
     cs = counts.reshape(C, N_SYMS)
     nz = (cs > 0) & (freq > 0)
     bits = (cs[nz] * (rans.PROB_BITS - np.log2(freq[nz]))).sum()
-    return bits / 8.0 + _table_cost_bytes(freq)
+    return bits * scale / 8.0 + _table_cost_bytes(freq)
 
 
-def _choose_order(qual: np.ndarray, lengths: np.ndarray):
-    """Per-block order auto-selection (order=0): trial table-aware cost
-    for order 1 and 2; ties favor the smaller model."""
-    sym, ctx1, _ = _sym_ctx_np(qual, lengths, 1)
-    idx1 = ctx1.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
-    counts1 = np.bincount(idx1, minlength=n_contexts(1) * N_SYMS)
-    _, ctx2, _ = _sym_ctx_np(qual, lengths, 2)
-    idx2 = ctx2.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
-    counts2 = np.bincount(idx2, minlength=n_contexts(2) * N_SYMS)
-    if _trial_cost(counts2, 2) < _trial_cost(counts1, 1):
-        return 2, idx2, counts2
-    return 1, idx1, counts1
+#: rows used by the order auto-selection trial.  The trial only COMPARES
+#: two context models; a 16k-row sample decides that as reliably as the
+#: full block while the full histogram pass is paid once, for the chosen
+#: order only.  Deterministic (first rows of the sorted block), so
+#: output bytes stay a pure function of (block content, config).
+_AUTO_SAMPLE_ROWS = 16384
+
+
+def _auto_order(qual: np.ndarray, lengths: np.ndarray, L: int,
+                perm: Optional[np.ndarray] = None,
+                qual_map: Optional[np.ndarray] = None) -> int:
+    """Per-block order auto-selection (order=0): table-aware trial cost
+    for order 1 and 2 on a deterministic row sample (the first sample
+    rows of the SORTED frame, whether materialized or via ``perm``);
+    ties favor the smaller model."""
+    B = lengths.shape[0]
+    ns = min(B, _AUTO_SAMPLE_ROWS)
+    ls = lengths[:ns]
+    if _NATIVE_Q and hasattr(_native, "qual_hist2"):
+        counts1, counts2 = _native.qual_hist2(
+            qual, ls, L, None if perm is None else perm[:ns], qual_map)
+    else:
+        qs = qual[:ns] if perm is None else qual[perm[:ns]]
+        if qual_map is not None:
+            qs = qual_map[qs]
+        sym, ctx1, _ = _sym_ctx_np(qs, ls, 1)
+        idx1 = ctx1.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
+        counts1 = np.bincount(idx1, minlength=n_contexts(1) * N_SYMS)
+        _, ctx2, _ = _sym_ctx_np(qs, ls, 2)
+        idx2 = ctx2.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
+        counts2 = np.bincount(idx2, minlength=n_contexts(2) * N_SYMS)
+    scale = B / ns
+    return 2 if _trial_cost(counts2, 2, scale) < \
+        _trial_cost(counts1, 1, scale) else 1
 
 
 def _host_rans_encode(idx: np.ndarray, freq: np.ndarray, cum: np.ndarray,

@@ -407,11 +407,14 @@ def test_avx512_qual_encoder_bit_identical_to_scalar():
             stv = np.empty(N, np.uint32)
             wcv = np.empty(N, np.int64)
             wcatv = np.empty(N * T, np.uint16)
-            ts = native._lib.rans_encode_qual(q8, l64, tab, B, L, T,
-                                              order, sts, wcs, wcats)
-            tv = native._lib.rans_encode_qual_v(q8, l64, f32, c32, B, L,
-                                                T, order, stv, wcv,
-                                                wcatv)
+            p64 = native._perm_or_ident(None, B)
+            m8 = native._qmap_or_ident(None)
+            ts = native._lib.rans_encode_qual(q8, l64, p64, m8, tab, B,
+                                              L, T, order, sts, wcs,
+                                              wcats)
+            tv = native._lib.rans_encode_qual_v(q8, l64, p64, m8, f32,
+                                                c32, B, L, T, order,
+                                                stv, wcv, wcatv)
             assert ts == tv
             assert np.array_equal(sts, stv)
             assert np.array_equal(wcs, wcv)
@@ -566,3 +569,44 @@ def test_mask_coder_paths_bit_identical():
     finally:
         S._NATIVE = nat
     assert np.array_equal(dec_np, mb)
+
+
+def test_encode_host_fused_perm_map_identity():
+    """encode_host with perm= / qual_map= (fused into the native row
+    walk) must emit exactly the bytes of materializing the permuted,
+    remapped grid first — for both orders, auto, ragged rows, and the
+    pure-numpy fallback."""
+    import numpy as np
+    from scalce_tpu.streams import qualities
+
+    rng = np.random.default_rng(17)
+    B, L = 1024, 96
+    q = rng.integers(33, 74, size=(B, L)).astype(np.uint8)
+    lens_o = rng.integers(1, L + 1, size=B).astype(np.int64)
+    col = np.arange(L)[None, :]
+    q = np.where(col < lens_o[:, None], q, 0).astype(np.uint8)
+    perm = rng.permutation(B).astype(np.int64)
+    lens = lens_o[perm]
+    qmap = np.minimum(np.arange(256), 70).astype(np.uint8)  # lossy-ish
+
+    def key(e):
+        return (e.order, e.freq.tobytes(), e.states.tobytes(),
+                np.asarray(e.counts).tobytes(), e.words.tobytes())
+
+    for order in (0, 1, 2):
+        for m in (None, qmap):
+            ref_grid = q[perm] if m is None else m[q[perm]]
+            ref = qualities.encode_host(ref_grid, lens, order=order)
+            fused = qualities.encode_host(q, lens, order=order,
+                                          qual_map=m, perm=perm)
+            assert key(ref) == key(fused), (order, m is not None)
+    # numpy fallback path must agree too (no native)
+    nat = qualities._NATIVE_Q
+    qualities._NATIVE_Q = False
+    try:
+        ref = qualities.encode_host(qmap[q[perm]], lens, order=0)
+        fused = qualities.encode_host(q, lens, order=0, qual_map=qmap,
+                                      perm=perm)
+    finally:
+        qualities._NATIVE_Q = nat
+    assert key(ref) == key(fused)
