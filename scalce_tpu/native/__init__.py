@@ -178,6 +178,9 @@ def _bind() -> None:
                                   ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, _u32p]
     lib.qual_hist_one.restype = None
+    lib.permute_rows_u8.argtypes = [_u8p, _i64p, ctypes.c_int64,
+                                    ctypes.c_int64, _u8p]
+    lib.permute_rows_u8.restype = None
     lib.build_rcp44.argtypes = [_u32p, ctypes.c_int64,
                                 ndpointer(np.uint64, flags="C_CONTIGUOUS")]
     lib.build_rcp44.restype = None
@@ -582,6 +585,18 @@ def qual_hist_one(qual: np.ndarray, lengths: np.ndarray, L: int,
                        _perm_or_ident(perm, B), _qmap_or_ident(qmap),
                        B, L, order, counts)
     return counts.astype(np.int64)
+
+
+def permute_rows_u8(src: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """dst[i] = src[perm[i]] via a scatter copy (sequential reads)."""
+    B, L = src.shape
+    p = np.ascontiguousarray(perm, dtype=np.int64)
+    inv = np.empty(B, np.int64)
+    inv[p] = np.arange(B, dtype=np.int64)
+    dst = np.empty_like(src)
+    _lib.permute_rows_u8(np.ascontiguousarray(src).reshape(-1), inv,
+                         B, L, dst.reshape(-1))
+    return dst
 
 
 def rans_encode_qual(qual: np.ndarray, lengths: np.ndarray,

@@ -432,7 +432,8 @@ static inline uint32_t revcomp_kmer_c(uint32_t v, int64_t k)
 
 typedef struct {
     uint32_t key0, s0, s1;
-    int64_t row;
+    uint32_t row;        /* n < 2^26 by config; 16-byte recs cut the
+                            radix passes' memory traffic by a third */
 } sort_rec;
 
 static int sort_rec_cmp(const void *pa, const void *pb)
@@ -444,6 +445,90 @@ static int sort_rec_cmp(const void *pa, const void *pb)
     if (a->s1 != b->s1) return a->s1 < b->s1 ? -1 : 1;
     return a->row < b->row ? -1 : 1;       /* stability */
 }
+
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+/* SIMD 2-bit pack: bases (u8 0..3) -> big-endian u32 words, 16 bases
+ * per word, zeros past len (identical layout to the scalar acc loop in
+ * build_sort_keys / ops.bitops.pack_bases_u32). */
+static inline void pack_row_be(const uint8_t *row, int64_t len,
+                               uint32_t *wbuf, int64_t nw)
+{
+    /* output byte j (word q = j/4, byte b = j%4, little-endian) takes
+     * the 8-bit packed quad at i32 lane 4q + (3 - b) */
+    static const uint8_t pidx_b[64] = {
+        12, 8, 4, 0, 28, 24, 20, 16, 44, 40, 36, 32, 60, 56, 52, 48,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+    const __m512i pidx = _mm512_loadu_si512(pidx_b);
+    for (int64_t q = 0; q < nw; q += 4) {
+        int64_t rem = len - q * 16;
+        __mmask64 m = rem >= 64 ? ~0ULL
+                                : ((1ULL << (rem > 0 ? rem : 0)) - 1);
+        __m512i in = _mm512_maskz_loadu_epi8(m, row + q * 16);
+        /* pairs: b0*4 + b1 (big-endian pair), then quads: p0*16 + p1 */
+        __m512i t1 = _mm512_maddubs_epi16(in, _mm512_set1_epi16(0x0104));
+        __m512i t2 = _mm512_madd_epi16(t1, _mm512_set1_epi32(0x00010010));
+        __m512i g = _mm512_permutexvar_epi8(pidx, t2);
+        int64_t wrem = nw - q;
+        if (wrem >= 4) {
+            _mm_storeu_si128((__m128i *)(wbuf + q),
+                             _mm512_castsi512_si128(g));
+        } else {
+            uint32_t tmp[4];
+            _mm_storeu_si128((__m128i *)tmp, _mm512_castsi512_si128(g));
+            for (int64_t t = 0; t < wrem; t++)
+                wbuf[q + t] = tmp[t];
+        }
+    }
+}
+
+/* Funnel-shift k-mer extraction off the packed words: 16 positions per
+ * word via per-lane u64 shifts, and the RC k-mers as a vectorized
+ * revcomp of the forward ones (rkv[p] == revcomp_kmer_c(kmv[p], k)).
+ * Replaces the serial rolling-hash chain (~12 of the matcher's
+ * ~36 ms/block was that 2-cycle loop-carried dependency).  Writes in
+ * 16-lane blocks — callers pad kmv/rkv by 16 and wbuf by 2 words. */
+static inline void kmer_extract_v(const uint32_t *wbuf, int64_t P,
+                                  int64_t k, uint32_t kmask,
+                                  uint32_t *kmv, uint32_t *rkv)
+{
+    long long base = 64 - 2 * k;
+    const __m512i sh_lo = _mm512_setr_epi64(base, base - 2, base - 4,
+                                            base - 6, base - 8, base - 10,
+                                            base - 12, base - 14);
+    const __m512i sh_hi = _mm512_sub_epi64(sh_lo, _mm512_set1_epi64(16));
+    const __m512i vkmask = _mm512_set1_epi32((int)kmask);
+    const __m512i m2 = _mm512_set1_epi32(0x33333333);
+    const __m512i m4 = _mm512_set1_epi32(0x0F0F0F0F);
+    const __m512i m8 = _mm512_set1_epi32(0x00FF00FF);
+    const unsigned rc_sh = (unsigned)(32 - 2 * k);
+    for (int64_t q = 0; q * 16 < P; q++) {
+        uint64_t v = ((uint64_t)wbuf[q] << 32) | wbuf[q + 1];
+        __m512i vv = _mm512_set1_epi64((long long)v);
+        __m256i lo = _mm512_cvtepi64_epi32(_mm512_srlv_epi64(vv, sh_lo));
+        __m256i hi = _mm512_cvtepi64_epi32(_mm512_srlv_epi64(vv, sh_hi));
+        __m512i kk = _mm512_inserti64x4(_mm512_castsi256_si512(lo), hi, 1);
+        kk = _mm512_and_si512(kk, vkmask);
+        _mm512_storeu_si512(kmv + q * 16, kk);
+        /* revcomp_kmer_c, 16 lanes at once */
+        __m512i x = _mm512_xor_si512(kk, _mm512_set1_epi32(-1));
+        x = _mm512_or_si512(
+            _mm512_slli_epi32(_mm512_and_si512(x, m2), 2),
+            _mm512_and_si512(_mm512_srli_epi32(x, 2), m2));
+        x = _mm512_or_si512(
+            _mm512_slli_epi32(_mm512_and_si512(x, m4), 4),
+            _mm512_and_si512(_mm512_srli_epi32(x, 4), m4));
+        x = _mm512_or_si512(
+            _mm512_slli_epi32(_mm512_and_si512(x, m8), 8),
+            _mm512_and_si512(_mm512_srli_epi32(x, 8), m8));
+        x = _mm512_or_si512(_mm512_slli_epi32(x, 16),
+                            _mm512_srli_epi32(x, 16));
+        x = _mm512_srli_epi32(x, (int)rc_sh);
+        _mm512_storeu_si512(rkv + q * 16, x);
+    }
+}
+#endif
 
 /* LSD 16-bit radix over (key0, s0, s1); stable, and rows enter in
  * ascending order, so ties come out row-ascending — the same total
@@ -560,8 +645,20 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
              * under -O3 -march=native (the old fused branchy loop was
              * ~2x slower); pass 3: scalar argmin scans with the XLA
              * tie rules.  Scratch lives row-local (L1/L2). */
-            uint32_t kmv[32768], rkv[32768];    /* L <= 32752 by config */
+            uint32_t kmv[32768 + 16], rkv[32768 + 16];  /* L <= 32752;
+                                  +16: kmer_extract_v stores whole
+                                  16-lane blocks */
             uint32_t rfv[32768], rrv[32768];
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+            {
+                uint32_t wbuf[2048 + 4];        /* ceil(32752/16) + pad */
+                int64_t nw = (len + 15) / 16;
+                pack_row_be(row, len, wbuf, nw);
+                wbuf[nw] = 0;                   /* funnel tail window */
+                wbuf[nw + 1] = 0;
+                kmer_extract_v(wbuf, P, k, kmask, kmv, rkv);
+            }
+#else
             uint32_t km = 0, rkm = 0;
             int shift_top = (int)(2 * (k - 1));
             for (int64_t j = 0; j < k - 1; j++) {
@@ -574,6 +671,7 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                 kmv[j - k + 1] = km;
                 rkv[j - k + 1] = rkm;
             }
+#endif
             for (int64_t p = 0; p < P; p++)
                 rfv[p] = mix32_c(kmv[p], seed);
             for (int64_t p = 0; p < P; p++)
@@ -700,11 +798,11 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
         recs[i].key0 = ck[i];
         recs[i].s0 = s[0];
         recs[i].s1 = s[1];
-        recs[i].row = i;
+        recs[i].row = (uint32_t)i;
     }
     radix_sort_recs(recs, n);
     for (int64_t i = 0; i < n; i++)
-        perm[i] = recs[i].row;
+        perm[i] = (int64_t)recs[i].row;
     free(excrow);
     free(recs);
     return 0;
@@ -1348,6 +1446,18 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
     return n_lits;
 }
 
+/* Row permutation as a SCATTER copy: reads stream sequentially and the
+ * random-address writes retire through the store buffer without
+ * stalling (a gather formulation pays an L3/DRAM-latency READ per row;
+ * measured 2-3x slower at [131k, 100]). inv[r] = destination row of
+ * source row r. */
+EXPORT void permute_rows_u8(const uint8_t *src, const int64_t *inv,
+                            int64_t B, int64_t L, uint8_t *dst)
+{
+    for (int64_t r = 0; r < B; r++)
+        memcpy(dst + inv[r] * L, src + r * L, (size_t)L);
+}
+
 /* Dual-order histogram in ONE pass over the quality grid: the order-0
  * (auto) mode needs both order-1 and order-2 (ctx,sym) histograms to
  * trial their coded cost; walking the 13MB-per-block grid once instead
@@ -1751,10 +1861,58 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                     const uint8_t *qrow = qual + perm[read] * L;
                     len = lengths[read];
                     uint8_t *sj = srow + j * L;
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__)
+                    /* map+clamp 64 bytes/step: the scalar per-byte fill
+                     * was ~6 ms of every block (13 MB through a LUT).
+                     * qmap via 4x VPERMB (low-6-bit select) blended by
+                     * bits 6/7, then the [0,93] clamp as saturating
+                     * sub + min.  Masked stores: a full-width tail
+                     * store would spill into the NEXT lane's row —
+                     * fatal for inactive tail lanes, whose rows must
+                     * stay zero (gathered, masked downstream). */
+                    {
+                        const __m512i t0 = _mm512_loadu_si512(qmap);
+                        const __m512i t1 = _mm512_loadu_si512(qmap + 64);
+                        const __m512i t2 = _mm512_loadu_si512(qmap + 128);
+                        const __m512i t3 = _mm512_loadu_si512(qmap + 192);
+                        const __m512i voff = _mm512_set1_epi8(Q_OFFSET);
+                        const __m512i vmax = _mm512_set1_epi8(
+                            Q_NSYMS - 1);
+                        const __m512i b6 = _mm512_set1_epi8(0x40);
+                        const __m512i b7 = _mm512_set1_epi8(
+                            (char)0x80);
+                        for (int64_t col = 0; col < L; col += 64) {
+                            int64_t remw = L - col;
+                            __mmask64 wm = remw >= 64
+                                ? ~0ULL : ((1ULL << remw) - 1);
+                            int64_t remv = len - col;
+                            __mmask64 lm = remv <= 0 ? 0
+                                : (remv >= 64 ? ~0ULL
+                                              : ((1ULL << remv) - 1));
+                            __m512i q = _mm512_maskz_loadu_epi8(
+                                lm, qrow + col);
+                            __mmask64 m6 = _mm512_test_epi8_mask(q, b6);
+                            __mmask64 m7 = _mm512_test_epi8_mask(q, b7);
+                            __m512i lo = _mm512_mask_blend_epi8(
+                                m6, _mm512_permutexvar_epi8(q, t0),
+                                _mm512_permutexvar_epi8(q, t1));
+                            __m512i hi = _mm512_mask_blend_epi8(
+                                m6, _mm512_permutexvar_epi8(q, t2),
+                                _mm512_permutexvar_epi8(q, t3));
+                            __m512i v = _mm512_mask_blend_epi8(
+                                m7, lo, hi);
+                            v = _mm512_subs_epu8(v, voff);
+                            v = _mm512_min_epu8(v, vmax);
+                            v = _mm512_maskz_mov_epi8(lm, v);
+                            _mm512_mask_storeu_epi8(sj + col, wm, v);
+                        }
+                    }
+#else
                     for (int64_t col = 0; col < len; col++)
                         sj[col] = (uint8_t)clamp_sym_m(qrow[col], qmap);
                     for (int64_t col = len; col < L; col++)
                         sj[col] = 0;
+#endif
                 }
                 len_i[j] = (int32_t)len;
                 if (len > lmax)

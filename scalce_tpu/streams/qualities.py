@@ -400,6 +400,14 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
     if perm is not None and not fused:
         qual = qual[perm]
         perm = None
+    elif perm is not None and hasattr(_native, "permute_rows_u8"):
+        # materialize the sorted grid ONCE with the native scatter copy
+        # (sequential reads); every later pass then streams it in order.
+        # Row-indirecting the passes themselves pays an L3-latency read
+        # per row PER PASS (hist + encode + sample = ~30 ms/block worse,
+        # measured).  The remap LUT stays fused (clamp_sym_m).
+        qual = _native.permute_rows_u8(qual, perm)
+        perm = None
     B, L = qual.shape
     lengths = np.asarray(lengths)
     T = pick_T(B, L, T_target)
