@@ -1814,7 +1814,9 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
         (order == 2 ? (Q_PREV_LEVELS + 1) * Q_PREV2_LEVELS
                     : (Q_PREV1_FULL + 1));
     int64_t n_ent = n_ctx * Q_NSYMS;
-    uint16_t *tmp = (uint16_t *)malloc((size_t)IL * T * 2);
+    /* u32 emission buffer: the renorm words are written by a masked
+     * scatter (4-byte granularity), narrowed to u16 at drain time */
+    uint32_t *tmp = (uint32_t *)malloc((size_t)IL * T * 4);
     uint8_t *srow_buf = (uint8_t *)malloc((size_t)(IL * L + 10));
     uint32_t *fc = (uint32_t *)malloc((size_t)n_ent * 4);
     double *rcpd = (double *)malloc((size_t)n_ent * 8);
@@ -1843,14 +1845,19 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
     for (int h = 0; h < G; h++)
         lane_base[h] = _mm512_loadu_si512(lane_base_i + 16 * h);
 
+    int32_t base_i[IL];
+    for (int j = 0; j < IL; j++)
+        base_i[j] = (int32_t)(j * (int64_t)T);
+    __m512i vbase[G];
+    for (int h = 0; h < G; h++)
+        vbase[h] = _mm512_loadu_si512(base_i + 16 * h);
     for (int64_t n0 = 0; n0 < N; n0 += IL) {
         int nl = (int)(N - n0 < IL ? N - n0 : IL);
-        __m512i x[G];
-        int64_t cnt[IL];
-        for (int h = 0; h < G; h++)
+        __m512i x[G], cntv[G];
+        for (int h = 0; h < G; h++) {
             x[h] = _mm512_set1_epi32((int)RANS_LOW);
-        for (int j = 0; j < IL; j++)
-            cnt[j] = 0;
+            cntv[h] = _mm512_setzero_si512();
+        }
         for (int64_t r_off = k - 1; r_off >= 0; r_off--) {
             int32_t len_i[IL];
             int64_t lmax = 0;
@@ -1997,22 +2004,20 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                     cv[h] = _mm512_srli_epi32(fcv, 16);
                 }
                 for (int h = 0; h < G; h++) {
-                    /* renorm: emit low 16 where (x >> 20) >= f */
+                    /* renorm: emit low 16 where (x >> 20) >= f; the
+                     * per-lane append is ONE masked scatter (lanes own
+                     * disjoint tmp rows, so no conflicts) instead of a
+                     * ctz-iterated scalar loop over set bits */
                     __mmask16 emit = _mm512_mask_cmp_epu32_mask(
                         valid[h], _mm512_srli_epi32(x[h], 20), fv[h],
                         _MM_CMPINT_NLT);
                     if (emit) {
-                        uint32_t wbuf[16];
-                        _mm512_storeu_si512(
-                            wbuf, _mm512_and_si512(x[h], vmask16));
-                        unsigned m = emit;
-                        while (m) {
-                            int j = __builtin_ctz(m);
-                            m &= m - 1;
-                            int jl = 16 * h + j;
-                            tmp[(size_t)jl * T + cnt[jl]++] =
-                                (uint16_t)wbuf[j];
-                        }
+                        _mm512_mask_i32scatter_epi32(
+                            tmp, emit,
+                            _mm512_add_epi32(vbase[h], cntv[h]),
+                            _mm512_and_si512(x[h], vmask16), 4);
+                        cntv[h] = _mm512_mask_add_epi32(
+                            cntv[h], emit, cntv[h], vone);
                         x[h] = _mm512_mask_srli_epi32(x[h], emit,
                                                       x[h], 16);
                     }
@@ -2049,15 +2054,19 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
             }
         }
         uint32_t xout[IL];
-        for (int h = 0; h < G; h++)
+        int32_t cnt32[IL];
+        for (int h = 0; h < G; h++) {
             _mm512_storeu_si512(xout + 16 * h, x[h]);
+            _mm512_storeu_si512(cnt32 + 16 * h, cntv[h]);
+        }
         for (int j = 0; j < nl; j++) {
+            int64_t cj = cnt32[j];
             states[n0 + j] = xout[j];
-            wcounts[n0 + j] = cnt[j];
-            const uint16_t *tj = tmp + (size_t)j * T;
-            for (int64_t i = 0; i < cnt[j]; i++)    /* decode order */
-                words_cat[off + i] = tj[cnt[j] - 1 - i];
-            off += cnt[j];
+            wcounts[n0 + j] = cj;
+            const uint32_t *tj = tmp + (size_t)j * T;
+            for (int64_t i = 0; i < cj; i++)        /* decode order */
+                words_cat[off + i] = (uint16_t)tj[cj - 1 - i];
+            off += cj;
         }
     }
     free(tmp);
