@@ -181,6 +181,9 @@ def _bind() -> None:
     lib.permute_rows_u8.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                     ctypes.c_int64, _u8p]
     lib.permute_rows_u8.restype = None
+    lib.mask_tail_check.argtypes = [_u8p, _i64p, ctypes.c_int64,
+                                    ctypes.c_int64]
+    lib.mask_tail_check.restype = ctypes.c_int64
     lib.build_rcp44.argtypes = [_u32p, ctypes.c_int64,
                                 ndpointer(np.uint64, flags="C_CONTIGUOUS")]
     lib.build_rcp44.restype = None
@@ -585,6 +588,14 @@ def qual_hist_one(qual: np.ndarray, lengths: np.ndarray, L: int,
                        _perm_or_ident(perm, B), _qmap_or_ident(qmap),
                        B, L, order, counts)
     return counts.astype(np.int64)
+
+
+def mask_tail_check(mb: np.ndarray, lens: np.ndarray) -> bool:
+    """True iff any mask bit sits at/past its row's length (corrupt)."""
+    n, stride = mb.shape
+    return bool(_lib.mask_tail_check(
+        np.ascontiguousarray(mb).reshape(-1),
+        np.ascontiguousarray(lens, dtype=np.int64), n, stride))
 
 
 def permute_rows_u8(src: np.ndarray, perm: np.ndarray) -> np.ndarray:

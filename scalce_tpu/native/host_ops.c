@@ -1446,6 +1446,29 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
     return n_lits;
 }
 
+/* Validation helper: any copy-mask bit at or past each row's length is
+ * corruption (the checked reconstruction loop ignores those bits, so
+ * acceptance must not depend on them).  Returns 1 on violation.
+ * Callers verify lens[i] <= stride*8 first. */
+EXPORT int64_t mask_tail_check(const uint8_t *mb, const int64_t *lens,
+                               int64_t n, int64_t stride)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t len = lens[i];
+        int64_t nb = (len + 7) >> 3;
+        const uint8_t *row = mb + i * stride;
+        for (int64_t b = nb; b < stride; b++)
+            if (row[b])
+                return 1;
+        if (len & 7) {
+            uint8_t keep = (uint8_t)(0xFFu << (len & 7));
+            if (row[len >> 3] & keep)
+                return 1;
+        }
+    }
+    return 0;
+}
+
 /* Row permutation as a SCATTER copy: reads stream sequentially and the
  * random-address writes retire through the store buffer without
  * stalling (a gather formulation pays an L3/DRAM-latency READ per row;
@@ -2494,7 +2517,9 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
 {
     enum { G = 4, IL = 64 };
     int64_t n_ent = 257 * 256;
-    uint16_t *tmp = (uint16_t *)malloc((size_t)IL * T * 2);
+    /* u32 emission rows for the masked-scatter drain (see
+     * rans_encode_qual_v); narrowed to u16 when concatenated */
+    uint32_t *tmp = (uint32_t *)malloc((size_t)IL * T * 4);
     uint8_t *bpad = (uint8_t *)malloc((size_t)(nb + 6));
     uint32_t *fc = (uint32_t *)malloc((size_t)n_ent * 4);
     double *rcpd = (double *)malloc((size_t)n_ent * 8);
@@ -2515,20 +2540,20 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
     int64_t off = 0;
     for (int64_t n0 = 0; n0 < N; n0 += IL) {
         int nl = (int)(N - n0 < IL ? N - n0 : IL);
-        __m512i x[G], gbase[G];
-        int64_t cnt[IL];
+        __m512i x[G], gbase[G], cntv[G], tbase[G];
         for (int h = 0; h < G; h++) {
-            int32_t gb[16];
+            int32_t gb[16], tb[16];
             for (int j = 0; j < 16; j++) {
                 int jl = 16 * h + j;
                 /* dead tail lanes alias lane 0 (in-bounds, masked) */
                 gb[j] = (int32_t)(((jl < nl ? n0 + jl : n0) ) * T);
+                tb[j] = (int32_t)(jl * (int64_t)T);
             }
             gbase[h] = _mm512_loadu_si512(gb);
+            tbase[h] = _mm512_loadu_si512(tb);
             x[h] = _mm512_set1_epi32((int)RANS_LOW);
+            cntv[h] = _mm512_setzero_si512();
         }
-        for (int j = 0; j < IL; j++)
-            cnt[j] = 0;
         __mmask16 live[G];
         for (int h = 0; h < G; h++) {
             unsigned m = 0;
@@ -2566,17 +2591,12 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
                     live[h], _mm512_srli_epi32(x[h], 20), f,
                     _MM_CMPINT_NLT);
                 if (emit) {
-                    uint32_t wbuf[16];
-                    _mm512_storeu_si512(
-                        wbuf, _mm512_and_si512(x[h], vmask16));
-                    unsigned m = emit;
-                    while (m) {
-                        int j = __builtin_ctz(m);
-                        m &= m - 1;
-                        int jl = 16 * h + j;
-                        tmp[(size_t)jl * T + cnt[jl]++] =
-                            (uint16_t)wbuf[j];
-                    }
+                    _mm512_mask_i32scatter_epi32(
+                        tmp, emit,
+                        _mm512_add_epi32(tbase[h], cntv[h]),
+                        _mm512_and_si512(x[h], vmask16), 4);
+                    cntv[h] = _mm512_mask_add_epi32(
+                        cntv[h], emit, cntv[h], vone);
                     x[h] = _mm512_mask_srli_epi32(x[h], emit, x[h], 16);
                 }
                 __m512d rc0 = _mm512_i32gather_pd(
@@ -2607,15 +2627,19 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
             }
         }
         uint32_t xout[IL];
-        for (int h = 0; h < G; h++)
+        int32_t cnt32[IL];
+        for (int h = 0; h < G; h++) {
             _mm512_storeu_si512(xout + 16 * h, x[h]);
+            _mm512_storeu_si512(cnt32 + 16 * h, cntv[h]);
+        }
         for (int j = 0; j < nl; j++) {
+            int64_t cj = cnt32[j];
             states[n0 + j] = xout[j];
-            wcounts[n0 + j] = cnt[j];
-            const uint16_t *tj = tmp + (size_t)j * T;
-            for (int64_t i = 0; i < cnt[j]; i++)
-                words_cat[off + i] = tj[cnt[j] - 1 - i];
-            off += cnt[j];
+            wcounts[n0 + j] = cj;
+            const uint32_t *tj = tmp + (size_t)j * T;
+            for (int64_t i = 0; i < cj; i++)
+                words_cat[off + i] = (uint16_t)tj[cj - 1 - i];
+            off += cj;
         }
     }
     free(tmp);
@@ -2840,6 +2864,58 @@ EXPORT int64_t reconstruct_delta_checked(
 {
     int64_t stride = L / 8;
     int64_t lit_off = 0;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    /* 64 columns per step: one masked copy from the predecessor (the
+     * per-byte bounds checks collapse to a first/last-set-bit envelope
+     * test per chunk — identical accept/reject set), literals as a
+     * whole-chunk memcpy when nothing matched or a ctz walk over the
+     * few mismatch bits otherwise.  Was a ~2 ns/byte branchy scalar
+     * loop (~24 ms/block at [131k, 100]). */
+    for (int64_t i = 0; i < n; i++) {
+        int64_t l = lens[i];
+        const uint8_t *mb = mask_bits + i * stride;
+        int64_t pi = i - 1 - (int64_t)pred_k[i];
+        const uint8_t *prev = out + pi * L;
+        uint8_t *row = out + i * L;
+        int64_t sh = shifts[i];
+        for (int64_t base = 0; base < l; base += 64) {
+            int64_t take = l - base < 64 ? l - base : 64;
+            uint64_t lanes = take == 64 ? ~0ULL : ((1ULL << take) - 1);
+            uint64_t m = 0;
+            int64_t mb_off = base >> 3;
+            int64_t avail = stride - mb_off;
+            memcpy(&m, mb + mb_off, avail >= 8 ? 8 : (size_t)avail);
+            m &= lanes;
+            uint64_t nm = lanes & ~m;
+            if (m) {
+                if (pi < 0)
+                    return -1;
+                int64_t j_lo = base + (int64_t)__builtin_ctzll(m);
+                int64_t j_hi = base + 63 - (int64_t)__builtin_clzll(m);
+                if (j_lo + sh < 0 || j_hi + sh >= L)
+                    return -1;
+                __m512i v = _mm512_maskz_loadu_epi8(
+                    (__mmask64)m, prev + base + sh);
+                _mm512_mask_storeu_epi8(row + base, (__mmask64)m, v);
+            }
+            if (nm) {
+                if (lit_off + (int64_t)__builtin_popcountll(nm) > n_lits)
+                    return -1;
+                if (nm == lanes) {
+                    memcpy(row + base, lits + lit_off, (size_t)take);
+                    lit_off += take;
+                } else {
+                    uint64_t t = nm;
+                    while (t) {
+                        int64_t b = (int64_t)__builtin_ctzll(t);
+                        t &= t - 1;
+                        row[base + b] = lits[lit_off++];
+                    }
+                }
+            }
+        }
+    }
+#else
     for (int64_t i = 0; i < n; i++) {
         int64_t l = lens[i];
         const uint8_t *mb = mask_bits + i * stride;
@@ -2860,5 +2936,6 @@ EXPORT int64_t reconstruct_delta_checked(
             }
         }
     }
+#endif
     return lit_off;
 }

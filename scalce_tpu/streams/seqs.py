@@ -38,6 +38,8 @@ except Exception:  # pragma: no cover
 
 def unpack2bit_np(words: np.ndarray, n: int) -> np.ndarray:
     """uint32 words -> first n 2-bit codes (big-endian in-word)."""
+    if _NATIVE and hasattr(_native, "unpack2bit"):
+        return _native.unpack2bit(np.ascontiguousarray(words))[:n]
     shifts = (2 * np.arange(15, -1, -1)).astype(np.uint32)
     codes = ((words[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)
     return codes[:n]
@@ -513,19 +515,21 @@ def _validate(a, n: int, B: int, L: int, n_lits: int,
         # compiler was available (packed-byte check, no O(n*L) unpack)
         if n:
             mb = a["mask_bits"]
-            byte_idx = np.arange(L // 8, dtype=np.int64)[None, :]
-            if mb[byte_idx >= (lens[:, None] + 7) // 8].any():
+            if _NATIVE and hasattr(_native, "mask_tail_check"):
+                bad = _native.mask_tail_check(mb, lens)
+            else:
+                byte_idx = np.arange(L // 8, dtype=np.int64)[None, :]
+                bad = bool(mb[byte_idx >= (lens[:, None] + 7) // 8].any())
+                rem = (lens % 8).astype(np.int64)
+                part = rem != 0
+                if not bad and part.any():
+                    rows = np.flatnonzero(part)
+                    tail = mb[rows, lens[rows] // 8]
+                    keep = ((0xFF << rem[rows]) & 0xFF).astype(np.uint8)
+                    bad = bool((tail & keep).any())
+            if bad:
                 raise ValueError("corrupt .scalcer block: mask past read "
                                  "length")
-            rem = (lens % 8).astype(np.int64)
-            part = rem != 0
-            if part.any():
-                rows = np.flatnonzero(part)
-                tail = mb[rows, lens[rows] // 8]
-                keep = ((0xFF << rem[rows]) & 0xFF).astype(np.uint8)
-                if (tail & keep).any():
-                    raise ValueError("corrupt .scalcer block: mask past "
-                                     "read length")
     lit_mode = int(a["lit_mode"][0]) if "lit_mode" in a else 0
     if lit_mode == 0:
         if a["lit_packed"].shape[0] < (n_lits + 15) // 16:
