@@ -184,6 +184,11 @@ def _bind() -> None:
     lib.mask_tail_check.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                     ctypes.c_int64]
     lib.mask_tail_check.restype = ctypes.c_int64
+    lib.join_fields.argtypes = [ctypes.POINTER(ctypes.c_void_p),
+                                ctypes.POINTER(ctypes.c_void_p),
+                                _u8p, ctypes.c_int64, _u8p,
+                                ctypes.c_int64, _i64p, _u8p]
+    lib.join_fields.restype = None
     lib.build_rcp44.argtypes = [_u32p, ctypes.c_int64,
                                 ndpointer(np.uint64, flags="C_CONTIGUOUS")]
     lib.build_rcp44.restype = None
@@ -588,6 +593,30 @@ def qual_hist_one(qual: np.ndarray, lengths: np.ndarray, L: int,
                        _perm_or_ident(perm, B), _qmap_or_ident(qmap),
                        B, L, order, counts)
     return counts.astype(np.int64)
+
+
+def join_fields(cols, seps: np.ndarray, n: int,
+                out_off: np.ndarray) -> np.ndarray:
+    """cols: list of (cat u8, offsets i64, is_const).  Returns the joined
+    record bytes sized out_off[-1]; callers validate offsets vs cats."""
+    nf = len(cols)
+    cats = (ctypes.c_void_p * nf)()
+    offs = (ctypes.c_void_p * nf)()
+    keep = []
+    is_const = np.zeros(nf, np.uint8)
+    for i, (cat, off, const) in enumerate(cols):
+        cat = np.ascontiguousarray(cat, dtype=np.uint8)
+        off = np.ascontiguousarray(off, dtype=np.int64)
+        keep.append((cat, off))
+        cats[i] = cat.ctypes.data
+        offs[i] = off.ctypes.data
+        is_const[i] = 1 if const else 0
+    out = np.empty(int(out_off[-1]), np.uint8)
+    _lib.join_fields(cats, offs, is_const, nf,
+                     np.ascontiguousarray(seps, dtype=np.uint8), n,
+                     np.ascontiguousarray(out_off, dtype=np.int64),
+                     out)
+    return out
 
 
 def mask_tail_check(mb: np.ndarray, lens: np.ndarray) -> bool:

@@ -1446,6 +1446,37 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
     return n_lits;
 }
 
+/* Join name fields record-major: out[r] = f0[r] sep0 f1[r] sep1 ...
+ * Const fields (is_const[i]) use their single stored value for every
+ * record.  Callers validate offsets against cat sizes and size `out`
+ * as out_off[n].  One pass replaces k+1 ragged scatters + cursor
+ * vector churn (~13 ms/block in numpy at 131k six-field names). */
+EXPORT void join_fields(const uint8_t *const *cats,
+                        const int64_t *const *offs,
+                        const uint8_t *is_const, int64_t nf,
+                        const uint8_t *seps, int64_t n,
+                        const int64_t *out_off, uint8_t *out)
+{
+    for (int64_t r = 0; r < n; r++) {
+        uint8_t *o = out + out_off[r];
+        for (int64_t i = 0; i < nf; i++) {
+            const int64_t *of = offs[i];
+            int64_t s, e;
+            if (is_const[i]) {
+                s = of[0];
+                e = of[1];
+            } else {
+                s = of[r];
+                e = of[r + 1];
+            }
+            memcpy(o, cats[i] + s, (size_t)(e - s));
+            o += e - s;
+            if (i + 1 < nf)
+                *o++ = seps[i];
+        }
+    }
+}
+
 /* Validation helper: any copy-mask bit at or past each row's length is
  * corruption (the checked reconstruction loop ignores those bits, so
  * acceptance must not depend on them).  Returns 1 on violation.
@@ -2128,9 +2159,15 @@ EXPORT int64_t rans_decode_lanes_v(const uint32_t *states,
     enum { G = 4, IL = 64 };
     uint32_t *lut = (uint32_t *)malloc((size_t)n_ctx * RANS_M * 4);
     uint32_t *f32 = (uint32_t *)malloc((size_t)n_ctx * Q_NSYMS * 8);
-    if (!lut || !f32) {
+    /* column-major staging strip [L][64]: decoded bytes land here with
+     * ONE 16-byte store per group-step (the old per-lane ctz store
+     * loop paid a mispredicting scalar store PER SYMBOL), then a
+     * cache-resident transpose writes the row-major qual grid */
+    uint8_t *stage = (uint8_t *)malloc((size_t)L * IL);
+    if (!lut || !f32 || !stage) {
         free(lut);
         free(f32);
+        free(stage);
         return -1;
     }
     uint32_t *c32 = f32 + n_ctx * Q_NSYMS;
@@ -2271,25 +2308,29 @@ EXPORT int64_t rans_decode_lanes_v(const uint32_t *states,
                                                       wp[h], vone);
                     }
                     x[h] = _mm512_mask_blend_epi32(valid, x[h], nx);
-                    /* store decoded bytes (s + 33) for valid lanes */
+                    /* stage decoded bytes (s + 33) column-major;
+                     * invalid lanes write garbage that the transpose
+                     * never reads (it stops at each lane's length) */
                     __m128i sb = _mm512_cvtepi32_epi8(
                         _mm512_add_epi32(s, voff));
-                    uint8_t sbuf[16];
-                    _mm_storeu_si128((__m128i *)sbuf, sb);
-                    unsigned m = valid;
-                    while (m) {
-                        int j = __builtin_ctz(m);
-                        m &= m - 1;
-                        rowp[16 * h + j][col] = sbuf[j];
-                    }
+                    _mm_storeu_si128(
+                        (__m128i *)(stage + col * IL + 16 * h), sb);
                     p2[h] = _mm512_mask_blend_epi32(valid, p2[h],
                                                     p1[h]);
                     p1[h] = _mm512_mask_blend_epi32(valid, p1[h], s);
                 }
             }
+            for (int j = 0; j < nl; j++) {
+                int64_t len = len_i[j];
+                uint8_t *row = rowp[j];
+                const uint8_t *sj = stage + j;
+                for (int64_t col = 0; col < len; col++)
+                    row[col] = sj[col * IL];
+            }
         }
     }
     free(lut);
+    free(stage);
     return 0;
 }
 #endif  /* __AVX512F__ && __AVX512DQ__ */

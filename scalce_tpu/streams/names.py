@@ -214,9 +214,46 @@ def decode(blob: bytes) -> Ragged:
     n = int(a["n"][0])
     if int(a["mode"][0]) == 0:
         lens = a["raw_lens"].astype(np.int64)
+        if int(lens.sum()) != a["raw_cat"].size or (lens < 0).any():
+            raise ValueError("corrupt name stream: raw lens mismatch")
         return Ragged(a["raw_cat"].copy(), lens_to_offsets(lens))
     seps = a["seps"]
     k = int(a["n_fields"][0])
+    try:
+        from scalce_tpu import native as _nat
+        nat_join = _nat.AVAILABLE and hasattr(_nat, "join_fields")
+    except Exception:  # pragma: no cover
+        nat_join = False
+    if nat_join and n > 0:
+        # (cat, offsets, is_const) triples; const fields are NOT tiled —
+        # the native join re-reads their single value per record
+        cols2 = []
+        rec_lens = np.full(n, max(k - 1, 0), np.int64)   # separators
+        for i in range(k):
+            if f"f{i}_num" in a:
+                vals = np.cumsum(_unzigzag(a[f"f{i}_num"]))
+                if vals.shape[0] != n:
+                    raise ValueError("corrupt name stream: column length")
+                strs = _render_ints(vals)
+                cols2.append((strs.cat, strs.offsets, False))
+                rec_lens += strs.lens
+            elif f"f{i}_const" in a:
+                c = a[f"f{i}_const"]
+                cols2.append((c, np.asarray([0, c.size], np.int64), True))
+                rec_lens += c.size
+            else:
+                lens = a[f"f{i}_lens"].astype(np.int64)
+                cat = a[f"f{i}_cat"]
+                if (lens.shape[0] != n or (lens < 0).any()
+                        or int(lens.sum()) != cat.size):
+                    raise ValueError("corrupt name stream: column length")
+                cols2.append((cat, lens_to_offsets(lens), False))
+                rec_lens += lens
+        if seps.size < max(k - 1, 0):
+            raise ValueError("corrupt name stream: separators short")
+        off = lens_to_offsets(rec_lens)
+        out = _nat.join_fields(cols2, seps, n, off)
+        return Ragged(out, off)
     cols: List[Ragged] = []
     for i in range(k):
         if f"f{i}_num" in a:
