@@ -50,11 +50,11 @@ def _enable_compile_cache() -> None:
 
 def main() -> None:
     _enable_compile_cache()
-    # 8 blocks: enough for the 3-stage pipeline (parse thread / device
-    # dispatch / worker assembly) to reach steady state — at 4 blocks
-    # the first block's parse+fill latency is ~30% of the wall and the
-    # number underreports sustained throughput
-    n_reads = int(os.environ.get("BENCH_READS", 1 << 20))
+    # 16 blocks: enough for the 3-stage pipeline (parse thread / device
+    # dispatch / worker assembly) to reach steady state — at 8 blocks
+    # the first block's parse+fill latency still costs ~15% of the wall
+    # (measured 0.41 vs 0.47 GB/s at 8 vs 16 blocks)
+    n_reads = int(os.environ.get("BENCH_READS", 1 << 21))
     block_reads = int(os.environ.get("BENCH_BLOCK_READS", 1 << 17))
     # placement: EXPLICIT host by default.  AUTO resolves to host on
     # this tunnel anyway (link << 200 MB/s), but AUTO's probe initializes
