@@ -10,6 +10,7 @@ import concurrent.futures as _fut
 import dataclasses
 import itertools
 import json
+import os
 import queue as _queue
 import sys
 import threading
@@ -175,6 +176,11 @@ def _run_pipelined(blocks: Iterator, encode_device, assemble, emit,
 
 def compress(cfg: Config) -> RunStats:
     t0 = time.monotonic()
+    # fail BEFORE output triplets are created: a missing input used to
+    # leave torn part files behind (caught only at decompress time)
+    for p in cfg.inputs:
+        if p != "-" and not os.path.exists(p):
+            raise FileNotFoundError(f"input FASTQ not found: {p}")
     stats = RunStats(mode="compress")
     meta = file_meta(cfg)
     if cfg.core_on_device is None:

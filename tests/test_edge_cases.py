@@ -354,3 +354,17 @@ def test_tiny_read_lengths_round_trip(tmp_path):
                   keep_order=True)
     driver.decompress(dcfg)
     assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_missing_input_fails_before_output(tmp_path):
+    """A missing input must raise BEFORE any output triplet is created
+    (a torn triplet used to be left behind, caught only at decode)."""
+    import pytest
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    out = tmp_path / "out"
+    cfg = Config(mode="compress", inputs=(str(tmp_path / "nope.fastq"),),
+                 output=str(out))
+    with pytest.raises(FileNotFoundError):
+        driver.compress(cfg)
+    assert not list(tmp_path.glob("out.*"))
