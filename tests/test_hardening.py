@@ -182,3 +182,61 @@ def test_corrupt_mask_rans_fields_raise():
     bad["mask_freq"] = freq[:-256]
     with pytest.raises(ValueError):
         seqs._decode_mask_rans(bad, nb)
+
+
+def test_corrupt_name_columns_rejected():
+    """Name payloads whose column lengths disagree with their cat sizes
+    must raise, not read out of bounds in the native join."""
+    import numpy as np
+    import pytest
+    from scalce_tpu import container
+    from scalce_tpu.io.fastq import Ragged, lens_to_offsets
+    from scalce_tpu.streams import names as names_stream
+
+    cat = np.frombuffer(b"ab.1cd.2ef.3", np.uint8).copy()
+    names = Ragged(cat, lens_to_offsets(np.asarray([4, 4, 4])))
+    blob = names_stream.encode(names, 3)
+    ok = names_stream.decode(blob)
+    assert bytes(ok.cat) == b"ab.1cd.2ef.3"
+
+    a = container.unpack_arrays(blob)
+    raw_col = [k for k in a if k.endswith("_cat")]
+    if raw_col:                       # shrink a raw column's cat
+        k = raw_col[0]
+        arrays = {key: v for key, v in a.items()}
+        arrays[k] = arrays[k][:-1]
+        bad = container.pack_arrays(arrays)
+        with pytest.raises(ValueError):
+            names_stream.decode(bad)
+    # mode-0 raw blob with mismatched lens
+    bad = container.pack_arrays({
+        "n": np.asarray([2], np.int64),
+        "mode": np.asarray([0], np.uint8),
+        "raw_cat": np.frombuffer(b"abc", np.uint8),
+        "raw_lens": np.asarray([2, 2], np.uint32),
+    })
+    with pytest.raises(ValueError):
+        names_stream.decode(bad)
+
+
+def test_native_permute_and_mask_helpers():
+    import numpy as np
+    from scalce_tpu import native
+    if not native.AVAILABLE:
+        import pytest
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 255, size=(257, 36)).astype(np.uint8)
+    perm = rng.permutation(257).astype(np.int64)
+    assert np.array_equal(native.permute_rows_u8(src, perm), src[perm])
+    # mask_tail_check: clean rows pass, a bit past len fails
+    mb = np.zeros((5, 4), np.uint8)
+    lens = np.asarray([32, 17, 8, 0, 25], np.int64)
+    mb[0, :] = 0xFF
+    mb[1, 2] = 0x01          # bit 16 < len 17: fine
+    assert not native.mask_tail_check(mb, lens)
+    mb[1, 2] = 0x02          # bit 17 >= len 17
+    assert native.mask_tail_check(mb, lens)
+    mb[1, 2] = 0x01
+    mb[3, 0] = 1             # len 0 row with any bit
+    assert native.mask_tail_check(mb, lens)
