@@ -1812,6 +1812,60 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
                        uint32_t *counts1, uint32_t *counts2)
 {
     int64_t i = 0;
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+    /* vector front end, dual-order index precompute, 4-row interleaved
+     * increments — same structure as qual_hist_one */
+    {
+        size_t svs = (size_t)(L + 34);
+        size_t ibs = (size_t)(L + 16);
+        uint8_t *svb = (uint8_t *)malloc(4 * svs);
+        int32_t *ibb = (int32_t *)malloc(8 * ibs * 4);
+        if (svb && ibb) {
+            for (; i + 4 <= B; i += 4) {
+                const int32_t *i1[4], *i2[4];
+                int64_t lim[4];
+                int64_t lim_min = L;
+                for (int r = 0; r < 4; r++) {
+                    int64_t len = lengths[i + r];
+                    lim[r] = len < L ? len : L;
+                    if (lim[r] < lim_min) lim_min = lim[r];
+                    uint8_t *sv = svb + (size_t)r * svs + 2;
+                    sv[-1] = 0;
+                    sv[-2] = 0;
+                    map_clamp_row(qual + perm[i + r] * L, lim[r], L,
+                                  qmap, sv);
+                    int32_t *a = ibb + (size_t)(2 * r) * ibs;
+                    int32_t *b = a + ibs;
+                    qual_idx_row(sv, lim[r], 1, a);
+                    qual_idx_row(sv, lim[r], 2, b);
+                    i1[r] = a;
+                    i2[r] = b;
+                }
+                int64_t col = 0;
+                for (; col < lim_min; col++) {
+                    counts1[i1[0][col]]++;
+                    counts2[i2[0][col]]++;
+                    counts1[i1[1][col]]++;
+                    counts2[i2[1][col]]++;
+                    counts1[i1[2][col]]++;
+                    counts2[i2[2][col]]++;
+                    counts1[i1[3][col]]++;
+                    counts2[i2[3][col]]++;
+                }
+                for (int r = 0; r < 4; r++) {
+                    for (int64_t c2 = col; c2 < lim[r]; c2++) {
+                        counts1[i1[r][c2]]++;
+                        counts2[i2[r][c2]]++;
+                    }
+                    counts1[0] += (uint32_t)(L - lim[r]);
+                    counts2[0] += (uint32_t)(L - lim[r]);
+                }
+            }
+        }
+        free(svb);
+        free(ibb);
+    }
+#endif
     /* 4-row interleave: quality data is run-heavy, so consecutive
      * increments from ONE row often hit the same counter cell and
      * serialize on store-to-load forwarding (~42 ms/block measured);
