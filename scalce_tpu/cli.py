@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-order", action="store_true",
                    help="decompress in original read order (scalce_tpu "
                         "extension; the reference cannot restore order)")
-    p.add_argument("--block-reads", type=int, default=1 << 17)
+    p.add_argument("--block-reads", type=int, default=1 << 18)
     p.add_argument("--max-read-len", type=int, default=128)
     p.add_argument("--core-k", type=int, default=12)
     p.add_argument("--dict-mode", choices=("hash", "lut", "lcp"),

@@ -83,10 +83,14 @@ class Config:
                                        # output (restart after crash)
 
     # --- TPU pipeline shape --------------------------------------------
-    block_reads: int = 1 << 17         # reads per device block (static
+    block_reads: int = 1 << 18         # reads per device block (static
                                        # shape); bigger blocks = denser
                                        # buckets = better delta matching
-                                       # (~+11% ratio going 32k -> 128k)
+                                       # (~+11% ratio 32k -> 128k, +4.3%
+                                       # 128k -> 256k at ~-3% encode
+                                       # speed on large inputs; the
+                                       # bench pins its own 128k blocks
+                                       # for pipeline granularity)
     max_read_len: int = 128            # padded read length (static shape)
     core_k: int = 12                   # core k-mer length (2k bits <= 31)
     dict_seed: int = 0x5CA1CE          # core-dictionary ranking seed
