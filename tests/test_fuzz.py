@@ -139,3 +139,46 @@ def test_fuzz_modes_and_placements(tmp_path, trial):
             assert out == payload
         else:
             assert seqs(out) == seqs(payload)
+
+
+def test_simd_vs_numpy_differential_odd_shapes(tmp_path):
+    """Differential fuzz of the SIMD native paths against the numpy
+    fallbacks on odd static shapes (partial mask strides, tiny L,
+    ragged lengths): encoded bytes and decoded records must agree."""
+    import numpy as np
+    from scalce_tpu.config import Config
+    from scalce_tpu.io import fastq
+    from scalce_tpu.pipeline.encode import BlockEncoder
+    from scalce_tpu.pipeline.decode import BlockDecoder
+    from scalce_tpu.pipeline.encode import file_meta
+    import scalce_tpu.streams.seqs as seqs_mod
+    import scalce_tpu.streams.qualities as qual_mod
+    from scalce_tpu.utils.synth import synth_fastq
+
+    rng = np.random.default_rng(99)
+    for L, n_reads, seed in [(16, 700, 1), (48, 1200, 2), (80, 900, 3),
+                             (128, 1500, 4)]:
+        max_len = max(L - 4, 1)
+        data = synth_fastq(n_reads, max_len, seed=seed, var_len=True,
+                           n_rate=0.02, genome_len=4096)
+        p = tmp_path / f"in{L}.fastq"
+        p.write_bytes(data)
+        cfg = Config(mode="compress", inputs=(str(p),), block_reads=1024,
+                     max_read_len=L, core_on_device=False)
+        blocks = list(fastq.iter_blocks(str(p), cfg.block_reads, L))
+        enc = BlockEncoder(cfg)
+        payloads = [enc.encode_block(b).payloads for b in blocks]
+        dec = BlockDecoder(file_meta(cfg))
+        native_out = [dec.decode_block(pl) for pl in payloads]
+        # numpy fallbacks for the r-stream parse + quality decode
+        nat_s, nat_q = seqs_mod._NATIVE, qual_mod._NATIVE_Q
+        seqs_mod._NATIVE, qual_mod._NATIVE_Q = False, False
+        try:
+            np_out = [dec.decode_block(pl) for pl in payloads]
+        finally:
+            seqs_mod._NATIVE, qual_mod._NATIVE_Q = nat_s, nat_q
+        for a, b in zip(native_out, np_out):
+            assert np.array_equal(a.seq, b.seq)
+            assert np.array_equal(a.qual, b.qual)
+            assert np.array_equal(a.lengths, b.lengths)
+            assert bytes(a.names.cat) == bytes(b.names.cat)
