@@ -1,0 +1,83 @@
+"""Revalidate placement byte-identity on the REAL TPU backend.
+
+CLAUDE.md (round-2 close): the axon service was down for most of the
+continuation session, so device placements were only revalidated on the
+CPU backend.  This script runs the three placements on whatever backend
+jax resolves (run WITHOUT JAX_PLATFORMS=cpu to hit the real chip) and
+asserts the payload bytes are identical:
+
+  host       --core-placement host      (zero device traffic)
+  dev-core   --core-placement device    (stage A on device)
+  dev-qual   --qual-device              (quality rANS on device)
+
+Full 131k-read block scale, 2 blocks, var-len + N + RC — the same
+stress shape the CPU-backend revalidation used.
+
+Usage:  python scripts/validate_placement_tpu.py [reads [block_reads]]
+"""
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scalce_tpu import cli
+from scalce_tpu.utils.synth import synth_fastq
+
+
+def _run(tag, argv):
+    t0 = time.time()
+    rc = cli.main(argv)
+    dt = time.time() - t0
+    assert rc == 0, f"{tag}: rc={rc}"
+    print(f"[{tag}] ok in {dt:.1f}s", flush=True)
+
+
+def main():
+    import pathlib
+    import tempfile
+
+    reads = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
+    br = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+    import jax
+    print("backend devices:", jax.devices(), flush=True)
+
+    with tempfile.TemporaryDirectory() as td:
+        d = pathlib.Path(td)
+        inp = d / "in.fastq"
+        inp.write_bytes(synth_fastq(reads, 100, seed=7, var_len=True,
+                                    n_rate=0.004, rc_rate=0.5))
+        print(f"input: {reads} reads, {inp.stat().st_size/1e6:.1f} MB",
+              flush=True)
+        base = ["--block-reads", str(br), str(inp)]
+        _run("host", ["--core-placement", "host", "-o", str(d / "h")]
+             + base)
+        _run("dev-core", ["--core-placement", "device", "-o",
+                          str(d / "c")] + base)
+        # the device quality path compiles per order, so auto-order is a
+        # host-only feature (config validates); pin order 1 on BOTH
+        # sides of the quality-placement comparison.
+        _run("host-q1", ["--core-placement", "host", "--qual-order", "1",
+                         "-o", str(d / "h1")] + base)
+        _run("dev-qual", ["--qual-device", "--qual-order", "1",
+                          "--core-placement", "device",
+                          "-o", str(d / "q1")] + base)
+        sums = {}
+        for tag in ("h", "c", "h1", "q1"):
+            blobs = sorted(d.glob(f"{tag}.*"))
+            assert blobs, f"no output for {tag}"
+            h = hashlib.sha256()
+            for b in blobs:
+                h.update(b.read_bytes())
+            sums[tag] = h.hexdigest()
+            print(tag, sums[tag], flush=True)
+        assert sums["h"] == sums["c"], f"CORE PLACEMENT MISMATCH: {sums}"
+        assert sums["h1"] == sums["q1"], \
+            f"QUALITY PLACEMENT MISMATCH: {sums}"
+        print("PLACEMENT IDENTITY OK on", jax.default_backend(),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
