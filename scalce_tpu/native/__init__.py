@@ -456,7 +456,13 @@ def analyze_names(cat: np.ndarray, offsets: np.ndarray, n: int,
                   sep_lut: np.ndarray):
     """One-pass structured-name analysis (see host_ops.c).  Returns
     ``(sep_bytes, field_lens [n, k+1], vals [k+1, n], flags [k+1])``
-    or None when the records do not share one separator pattern."""
+    or None when the records do not share one separator pattern.
+
+    CONTRACT: ``vals[f]`` is defined ONLY where ``flags[f] & 1`` (field
+    still numeric).  The C side stops writing a field's vals the moment
+    its numeric flag dies, leaving the rest of that row uninitialized —
+    callers must gate every vals read on the flag (streams/names.py
+    does)."""
     sep_bytes = np.empty(_MAX_NAME_FIELDS, np.uint8)
     # worst-case k discovered from record 0 inside C; allocate for max
     field_lens = np.empty(n * (_MAX_NAME_FIELDS + 1), np.uint32)

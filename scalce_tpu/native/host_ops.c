@@ -1330,6 +1330,8 @@ EXPORT void gather_orient(const uint8_t *codes, const int64_t *perm,
             const uint8_t *nxt = codes + perm[i + PD] * L;
             for (int64_t c = 0; c < L; c += 64)
                 __builtin_prefetch(nxt + c, 0, 1);
+            /* unaligned rows with L % 64 != 0 straddle one more line */
+            __builtin_prefetch(nxt + L - 1, 0, 1);
         }
         const uint8_t *src = codes + perm[i] * L;
         uint8_t *dst = out + i * L;
@@ -1546,6 +1548,8 @@ EXPORT void permute_rows_u8(const uint8_t *src, const int64_t *inv,
             uint8_t *nxt = dst + inv[r + PD] * L;
             for (int64_t c = 0; c < L; c += 64)
                 __builtin_prefetch(nxt + c, 1, 1);
+            /* unaligned rows with L % 64 != 0 straddle one more line */
+            __builtin_prefetch(nxt + L - 1, 1, 1);
         }
         memcpy(dst + inv[r] * L, src + r * L, (size_t)L);
     }

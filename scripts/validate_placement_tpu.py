@@ -60,8 +60,11 @@ def main():
         # sides of the quality-placement comparison.
         _run("host-q1", ["--core-placement", "host", "--qual-order", "1",
                          "-o", str(d / "h1")] + base)
+        # core placement stays HOST here so a q1 != h1 mismatch isolates
+        # the quality codec placement (ADVICE r2: with core also on
+        # device, a core regression would masquerade as a quality one).
         _run("dev-qual", ["--qual-device", "--qual-order", "1",
-                          "--core-placement", "device",
+                          "--core-placement", "host",
                           "-o", str(d / "q1")] + base)
         sums = {}
         for tag in ("h", "c", "h1", "q1"):
