@@ -663,19 +663,40 @@ class BlockEncoder:
     # to run on a host worker thread (the reference's -T concurrency,
     # SURVEY.md §2 "Threading", moved to where the host time actually is)
 
-    def encode_device(self, block: ReadBlock):
-        cfg = self.cfg
+    def upload(self, block: ReadBlock):
+        """H2D uploads for one block, runnable on a background thread.
+
+        The driver's upload prefetcher calls this one block AHEAD of
+        dispatch so the tunnel transfer (~100 ms/block at ~33 MB/s for
+        the packed seq + lengths + exceptions) overlaps the previous
+        block's device compute instead of serializing in front of it
+        (VERDICT r2 #1: double-buffer H2D the way D2H already uses
+        ``copy_to_host_async``).  Safe because device buffers are
+        immutable and jit dispatch order stays on the main thread."""
+        if self.host_core:
+            return None
         B, L = block.seq.shape
+        pre = {
+            "seq": jnp.asarray(_host_pack(block.seq)),
+            "len": jnp.asarray(block.lengths.astype(np.uint16)),
+            "exc": jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
+                                        B * L)),
+        }
+        if self.cfg.qual_on_device:
+            pre["qual"] = jnp.asarray(block.qual)
+        return pre
+
+    def encode_device(self, block: ReadBlock, pre=None):
+        cfg = self.cfg
         if self.host_core:
             return ("hc",)     # whole pipeline host-side; see assemble
+        if pre is None:
+            pre = self.upload(block)
         uni = block_is_uniform(block)
         if self.host_delta:
             buf, perm = _device_stage_a_hd(
-                jnp.asarray(_host_pack(block.seq)),
-                jnp.asarray(block.lengths.astype(np.uint16)),
-                jnp.int32(block.n_reads),
-                jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
-                                     B * L)),
+                pre["seq"], pre["len"], jnp.int32(block.n_reads),
+                pre["exc"],
                 self.rank_lut, cfg.core_k, cfg.dict_seed, uniform=uni)
             try:
                 buf.copy_to_host_async()   # overlap D2H with later work
@@ -684,20 +705,15 @@ class BlockEncoder:
             return ("hd", buf, perm, None, None, None)
         if not cfg.qual_on_device:
             perm, codes_s, len_s, ck_s, cp_s, rc_s = _device_stage_a_nq(
-                jnp.asarray(_host_pack(block.seq)),
-                jnp.asarray(block.lengths.astype(np.uint16)),
-                jnp.int32(block.n_reads),
-                jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
-                                     B * L)),
+                pre["seq"], pre["len"], jnp.int32(block.n_reads),
+                pre["exc"],
                 self.rank_lut, cfg.core_k, cfg.dict_seed, uniform=uni)
             delta = _device_stage_b_nq(codes_s, len_s, ck_s, cp_s, rc_s,
                                        jnp.int32(block.n_reads))
             return perm, delta, len_s, None, None, None
         perm, codes_s, qual_s, len_s, ck_s, cp_s, rc_s = _device_stage_a(
-            jnp.asarray(_host_pack(block.seq)), jnp.asarray(block.qual),
-            jnp.asarray(block.lengths.astype(np.uint16)),
-                jnp.int32(block.n_reads),
-            jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32), B * L)),
+            pre["seq"], pre["qual"], pre["len"],
+            jnp.int32(block.n_reads), pre["exc"],
             self.rank_lut, cfg.core_k, cfg.dict_seed, uniform=uni)
         delta, sym, ctx, counts = _device_stage_b(
             codes_s, qual_s, len_s, ck_s, cp_s, rc_s,
@@ -794,19 +810,19 @@ class BlockEncoder:
     def encode_block(self, block: ReadBlock) -> EncodedBlock:
         return self.assemble(block, self.encode_device(block))
 
-    def encode_device_pair(self, b1: ReadBlock, b2: ReadBlock):
+    def encode_device_pair(self, b1: ReadBlock, b2: ReadBlock,
+                           pre1=None, pre2=None):
         cfg = self.cfg
         if self.host_core:
             return ("hc",), ("hc",)
-        out1 = self.encode_device(b1)
-        B, L = b2.seq.shape
+        out1 = self.encode_device(b1, pre=pre1)
+        if pre2 is None:
+            pre2 = self.upload(b2)
         uni2 = block_is_uniform(b2)
         if self.host_delta:
             perm = out1[2]
             buf2 = _device_stage_a2_hd(
-                jnp.asarray(_host_pack(b2.seq)),
-                jnp.asarray(b2.lengths.astype(np.uint16)),
-                jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
+                pre2["seq"], pre2["len"], pre2["exc"],
                 perm.astype(jnp.int32), self.rank_lut,
                 cfg.core_k, cfg.dict_seed, uniform=uni2)
             try:
@@ -817,18 +833,14 @@ class BlockEncoder:
         perm = out1[0]
         if not cfg.qual_on_device:
             codes_s, len2, ck_s, cp_s, rc_s = _device_stage_a2_nq(
-                jnp.asarray(_host_pack(b2.seq)),
-                jnp.asarray(b2.lengths.astype(np.uint16)),
-                jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
+                pre2["seq"], pre2["len"], pre2["exc"],
                 perm.astype(jnp.int32), self.rank_lut,
                 cfg.core_k, cfg.dict_seed, uniform=uni2)
             delta2 = _device_stage_b_nq(codes_s, len2, ck_s, cp_s, rc_s,
                                         jnp.int32(b2.n_reads))
             return out1, (delta2, len2, None, None, None)
         codes_s, qual_s, len2, ck_s, cp_s, rc_s = _device_stage_a2(
-            jnp.asarray(_host_pack(b2.seq)), jnp.asarray(b2.qual),
-            jnp.asarray(b2.lengths.astype(np.uint16)),
-            jnp.asarray(_pad_exc(b2.exc_pos.astype(np.int32), B * L)),
+            pre2["seq"], pre2["qual"], pre2["len"], pre2["exc"],
             perm.astype(jnp.int32), self.rank_lut,
             cfg.core_k, cfg.dict_seed, uniform=uni2)
         delta2, sym2, ctx2, counts2 = _device_stage_b(

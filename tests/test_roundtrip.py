@@ -382,3 +382,24 @@ def test_core_host_cli_end_to_end(tmp_path):
                    str(tmp_path / "o.00.scalcen")])
     assert rc == 0
     assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_driver_upload_prefetch_placement_identity(tmp_path):
+    """Device placement THROUGH THE DRIVER (upload-prefetch pipeline,
+    multiple blocks in flight) must emit bytes identical to the host
+    placement — pins the H2D double-buffering added in round 3."""
+    import glob
+    from scalce_tpu.pipeline import driver
+    payload = synth_fastq(3000, 100, seed=77, var_len=True, n_rate=0.01,
+                          rc_rate=0.3)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    outs = {}
+    for tag, place in (("dev", True), ("host", False)):
+        driver.compress(Config(mode="compress", inputs=(str(inp),),
+                               output=str(tmp_path / tag),
+                               block_reads=512, core_on_device=place))
+        outs[tag] = b"".join(
+            open(p, "rb").read()
+            for p in sorted(glob.glob(str(tmp_path / f"{tag}.*"))))
+    assert outs["dev"] == outs["host"]
