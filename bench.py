@@ -126,6 +126,54 @@ def main() -> None:
     wall = min(walls)
     log(f"encode walls: {[round(w, 3) for w in walls]}")
 
+    # device-placement leg (VERDICT r2 #1: the round artifact must pin
+    # a TPU number, not just the host placement).  Smaller read count —
+    # the point is a tracked number, not a full-size run; the remote
+    # compile service makes the warm-up minutes-cold, so it gets its
+    # own budget and an off switch.
+    dev_gbps = 0.0
+    dev_walls = []
+    if placement == "host" and os.environ.get("BENCH_DEVICE", "1") != "0":
+        dev_budget = float(os.environ.get("BENCH_DEVICE_BUDGET", 1500))
+        # 8 blocks: the 3-stage pipeline needs >= 8 blocks in flight to
+        # reach steady state (same reason as the host leg's 16)
+        dev_reads = int(os.environ.get("BENCH_DEVICE_READS",
+                                       8 * block_reads))
+        dev_path = os.path.join(tmp, "dev.fastq")
+        if dev_reads == n_reads:
+            dev_payload = payload
+        else:
+            dev_payload = synth_fastq(dev_reads, 100, seed=42,
+                                      genome_len=1_000_000, n_rate=0.001)
+        with open(dev_path, "wb") as f:
+            f.write(dev_payload)
+
+        def run_dev():
+            cfg = Config(mode="compress", inputs=(dev_path,),
+                         output=os.path.join(tmp, "devout"),
+                         block_reads=block_reads, core_on_device=True)
+            t0 = time.monotonic()
+            driver.compress(cfg)
+            return time.monotonic() - t0
+
+        try:
+            log("device-placement warm-up (remote compile; minutes cold)")
+            t_dev0 = time.monotonic()
+            run_dev()
+            log(f"device warm-up took {time.monotonic() - t_dev0:.0f}s")
+            for i in range(2):
+                if time.monotonic() - t_dev0 > dev_budget:
+                    log("device leg over budget - stopping")
+                    break
+                log(f"timed device encode {i + 1}/2")
+                dev_walls.append(run_dev())
+            if dev_walls:
+                dev_gbps = len(dev_payload) / min(dev_walls) / 1e9
+                log(f"device walls: {[round(w, 3) for w in dev_walls]} "
+                    f"-> {dev_gbps:.4f} GB/s")
+        except Exception as e:      # no device / dead tunnel: host
+            log(f"device leg unavailable: {e}")     # number still stands
+
     budget = float(os.environ.get("BENCH_TIME_BUDGET", 480))
     dec_wall = 0.0
     if time.monotonic() - t_start < budget:
@@ -158,6 +206,18 @@ def main() -> None:
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / ref_gbps, 2),
+        # run-to-run spread on this shared VM is real signal (VERDICT
+        # r2 weak #6): all walls, not just the best
+        "encode_walls_s": [round(w, 3) for w in walls],
+        "decode_gbps": round(input_bytes / dec_wall / 1e9, 4)
+        if dec_wall else None,
+        "ratio": round(stats.input_bytes / stats.output_bytes, 3),
+        # the TPU-placement number (VERDICT r2 #1); null if the leg was
+        # skipped/unavailable
+        "device_encode_gbps": round(dev_gbps, 4) if dev_gbps else None,
+        "device_encode_walls_s": [round(w, 3) for w in dev_walls],
+        "device_vs_baseline": round(dev_gbps / ref_gbps, 2)
+        if dev_gbps else None,
     }
     print(json.dumps(result))
     # secondary detail on stderr for humans
