@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "accelerator (best with locally-attached TPUs); "
                         "default is the host path — both emit identical "
                         "bytes")
+    p.add_argument("--delta-device", action="store_true",
+                   help="place the sequence predecessor-delta on the "
+                        "accelerator: encode-side match, and on "
+                        "decompress the pointer-doubling chain "
+                        "reconstruction; default host — identical "
+                        "bytes either way")
     p.add_argument("--core-placement", choices=("auto", "device", "host"),
                    default="auto",
                    help="where the core matcher + bucket sort runs: "
@@ -116,6 +122,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         dict_mode=args.dict_mode,
         qual_context_order=args.qual_order,
         qual_on_device=args.qual_device,
+        delta_on_device=args.delta_device,
         core_on_device={"auto": None, "device": True,
                         "host": False}[args.core_placement],
         stats_json=args.stats_json,

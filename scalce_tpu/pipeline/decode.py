@@ -40,12 +40,16 @@ DECODE_GROUP = 4
 
 class BlockDecoder:
     def __init__(self, meta: Dict, keep_order: bool = False,
-                 qual_on_device: bool = False):
+                 qual_on_device: bool = False,
+                 delta_on_device: bool = False):
         self.meta = meta
         self.keep_order = keep_order
         #: quality-decode placement — a per-run choice, independent of
         #: how the file was produced (the payload format is identical)
         self.qual_on_device = qual_on_device
+        #: sequence-delta decode placement: pointer-doubling chain
+        #: collapse on device (ops.delta_decode) vs the serial host walk
+        self.delta_on_device = delta_on_device
         self._name_counter = 1          # template-mode running index
 
     # -- pipeline-friendly split (driver threads the host halves):
@@ -56,7 +60,8 @@ class BlockDecoder:
         """Host payload parse: seq reconstruct + quality stream fields."""
         B = int(self.meta["block_reads"])
         L = int(self.meta["max_read_len"])
-        parsed = seqs.parse(payloads["r"], B, L)
+        parsed = seqs.parse(payloads["r"], B, L,
+                            delta_device=self.delta_on_device)
         enc_q = qualities.parse(payloads["q"])
         return parsed, enc_q
 

@@ -536,7 +536,8 @@ def decompress(cfg: Config) -> RunStats:
     if meta.get("paired"):
         return _decompress_paired(cfg, stats, reader, meta, t0)
     dec = BlockDecoder(meta, keep_order=cfg.keep_order,
-                   qual_on_device=cfg.qual_on_device)
+                       qual_on_device=cfg.qual_on_device,
+                       delta_on_device=cfg.delta_on_device)
     if cfg.output == "-":
         out_path = None
         out_cm = _stdout_cm()
@@ -576,9 +577,11 @@ def _decompress_paired(cfg: Config, stats: RunStats,
         container.part_paths(prefix, 0, 1)["r"])
     r2 = container.TripletReader(container.part_paths(prefix, 0, 2)["r"])
     d1 = BlockDecoder(meta, keep_order=cfg.keep_order,
-                      qual_on_device=cfg.qual_on_device)
+                      qual_on_device=cfg.qual_on_device,
+                      delta_on_device=cfg.delta_on_device)
     d2 = BlockDecoder(meta, keep_order=cfg.keep_order,
-                      qual_on_device=cfg.qual_on_device)
+                      qual_on_device=cfg.qual_on_device,
+                      delta_on_device=cfg.delta_on_device)
     out1 = open(f"{cfg.output}_1.fastq", "wb")
     out2 = open(f"{cfg.output}_2.fastq", "wb")
     try:

@@ -395,11 +395,17 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         level=level, backend=backend)
 
 
-def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
-                                                np.ndarray, np.ndarray,
-                                                np.ndarray, np.ndarray]:
+def parse(blob: bytes, B: int, L: int, delta_device: bool = False
+          ) -> Tuple[np.ndarray, np.ndarray, int,
+                     np.ndarray, np.ndarray,
+                     np.ndarray, np.ndarray]:
     """Payload -> (codes u8 [B, L] reconstructed (canonical orientation),
-    lengths i32 [B], n_reads, exc_pos, exc_byte, perm, rc bool [B])."""
+    lengths i32 [B], n_reads, exc_pos, exc_byte, perm, rc bool [B]).
+
+    ``delta_device=True`` runs the chain reconstruction as pointer
+    doubling on the default JAX device (``ops.delta_decode``) instead
+    of the serial host loop — byte-identical, opt-in decode placement
+    for hardware where device gathers beat the host walk."""
     a = container.unpack_arrays(blob)
     n = int(a["n_reads"][0])
     n_lits = int(a["n_lits"][0])
@@ -425,8 +431,9 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
                              "missing")
     # native path validates copy bounds INSIDE the reconstruction loop
     # (reconstruct_delta_checked) — the whole-matrix numpy pre-checks
-    # are only needed for the unchecked numpy fallback
-    _validate(a, n, B, L, n_lits, deep=not _NATIVE)
+    # are only needed for the unchecked paths (numpy fallback, and the
+    # device pointer-doubling whose XLA gathers clamp instead of fault)
+    _validate(a, n, B, L, n_lits, deep=delta_device or not _NATIVE)
     if int(a["lit_mode"][0]) if "lit_mode" in a else 0:
         lits = _decode_lits_rans(a, n_lits)
     else:
@@ -434,9 +441,16 @@ def parse(blob: bytes, B: int, L: int) -> Tuple[np.ndarray, np.ndarray, int,
     lengths = np.zeros(B, np.int32)
     lengths[:n] = a["lengths"].astype(np.int32)
     codes = np.zeros((B, L), np.uint8)
-    _reconstruct(a["mask_bits"], a["shifts"].astype(np.int16),
-                 a["pred_k"].astype(np.uint8), lits,
-                 lengths[:n].astype(np.int64), L, codes)
+    if delta_device:
+        from scalce_tpu.ops import delta_decode
+        delta_decode.reconstruct_device(
+            a["mask_bits"], a["shifts"].astype(np.int32),
+            a["pred_k"].astype(np.int32), lits,
+            lengths[:n], B, L, codes)
+    else:
+        _reconstruct(a["mask_bits"], a["shifts"].astype(np.int16),
+                     a["pred_k"].astype(np.uint8), lits,
+                     lengths[:n].astype(np.int64), L, codes)
     rc = np.zeros(B, bool)
     rc[:n] = np.unpackbits(a["rc_bits"], bitorder="little")[:n].astype(bool)
     return codes, lengths, n, a["exc_pos"].astype(np.int64), \

@@ -7,7 +7,7 @@ import gzip
 import numpy as np
 import pytest
 
-from scalce_tpu import cli
+from scalce_tpu import cli, container
 from scalce_tpu.config import Config
 from scalce_tpu.pipeline import driver
 from scalce_tpu.utils.synth import synth_fastq
@@ -371,7 +371,7 @@ def test_core_placement_never_changes_bytes(tmp_path):
 def test_core_host_cli_end_to_end(tmp_path):
     """--core-host runs the full pipeline with zero device traffic and
     round-trips byte-exactly under --keep-order."""
-    from scalce_tpu import cli
+    from scalce_tpu import cli, container
     payload = synth_fastq(1500, 90, seed=43, n_rate=0.005)
     inp = tmp_path / "in.fastq"
     inp.write_bytes(payload)
@@ -403,3 +403,51 @@ def test_driver_upload_prefetch_placement_identity(tmp_path):
             open(p, "rb").read()
             for p in sorted(glob.glob(str(tmp_path / f"{tag}.*"))))
     assert outs["dev"] == outs["host"]
+
+
+def test_delta_device_decode_identity(tmp_path):
+    """Pointer-doubling device reconstruction (--delta-device decode)
+    must emit FASTQ byte-identical to the serial host walk (VERDICT r2
+    #2).  Deep chains: low-complexity genome makes most rows copy."""
+    from scalce_tpu.pipeline import driver
+    payload = synth_fastq(4096, 100, seed=99, var_len=True, n_rate=0.01,
+                          rc_rate=0.4, genome_len=4000)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    driver.compress(Config(mode="compress", inputs=(str(inp),),
+                           output=str(tmp_path / "o"), block_reads=1024,
+                           core_on_device=False))
+    outs = {}
+    for tag, dev in (("host", False), ("dev", True)):
+        driver.decompress(Config(
+            mode="decompress", inputs=(str(tmp_path / "o.00.scalcen"),),
+            output=str(tmp_path / tag), keep_order=True,
+            delta_on_device=dev))
+        outs[tag] = (tmp_path / f"{tag}.fastq").read_bytes()
+    assert outs["dev"] == outs["host"] == payload
+
+
+def test_delta_device_rejects_corrupt_chain(tmp_path):
+    """The device path's gathers clamp instead of faulting, so the deep
+    payload validation must still reject an out-of-bounds copy chain."""
+    import pytest
+    from scalce_tpu.streams import seqs as seqs_mod
+    from scalce_tpu.pipeline import driver
+    payload = synth_fastq(256, 64, seed=5)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    driver.compress(Config(mode="compress", inputs=(str(inp),),
+                           output=str(tmp_path / "o"), block_reads=256,
+                           core_on_device=False))
+    reader = container.TripletReader(str(tmp_path / "o.00.scalcen"))
+    (bid, payloads), = list(reader.iter_blocks())
+    a = container.unpack_arrays(payloads["r"])
+    B = int(reader.meta["block_reads"])
+    L = int(reader.meta["max_read_len"])
+    # corrupt: a shift that sends a masked copy out of the row
+    bad = dict(a)
+    bad["shifts"] = a["shifts"].copy()
+    bad["shifts"][:] = L - 1
+    blob = container.pack_arrays(bad)
+    with pytest.raises(ValueError):
+        seqs_mod.parse(blob, B, L, delta_device=True)
