@@ -169,6 +169,32 @@ _decode_batch_pass = jax.jit(
     static_argnums=(4, 5, 6, 7))
 
 
+def _pallas_decode_ok(order: int, T: int, L: int, N: int) -> bool:
+    """Static gate for the Mosaic decode kernel (bit-identical scan
+    fallback off-TPU / for non-tileable shapes)."""
+    try:
+        from scalce_tpu.ops import rans_decode_pallas as rdp
+        return rdp.eligible(order, T, L, N, jax.default_backend())
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(jax.jit, static_argnames=("T", "B", "L"))
+def _qual_from_syms(syms: jnp.ndarray, lengths: jnp.ndarray,
+                    T: int, B: int, L: int) -> jnp.ndarray:
+    """[T, N] decoded symbols -> uint8 [B, L] grid (padding zeroed)."""
+    grid = syms.T.reshape(B, L)
+    col = jnp.arange(L, dtype=jnp.int32)
+    valid = col[None, :] < lengths[:, None]
+    return jnp.where(valid, grid + U32(QUAL_OFFSET), U32(0)
+                     ).astype(jnp.uint8)
+
+
+_qual_from_syms_batch = jax.jit(
+    jax.vmap(_qual_from_syms.__wrapped__, in_axes=(0, 0, None, None, None)),
+    static_argnums=(2, 3, 4))
+
+
 def decode_batch_dispatch(encs, lengths_list):
     """Host prep + async device dispatch of a group quality decode.
 
@@ -190,18 +216,32 @@ def decode_batch_dispatch(encs, lengths_list):
     wmax = max((int(e.counts.max()) if len(e.counts) else 0) for e in encs)
     while W < wmax:
         W <<= 1
+    use_pallas = _pallas_decode_ok(e0.order, e0.T, e0.L, N)
     words = np.zeros((D, N, W), np.uint16)
-    luts = np.empty((D, n_contexts(e0.order) * rans.M_TOTAL), np.uint32)
+    luts = None if use_pallas else np.empty(
+        (D, n_contexts(e0.order) * rans.M_TOTAL), np.uint32)
+    freqs = np.empty((D,) + e0.freq.shape, e0.freq.dtype) \
+        if use_pallas else None
     states = np.empty((D, N), np.uint32)
     lengths = np.empty((D, e0.B), np.int32)
     for d, e in enumerate(encs):
         ragged_scatter(words[d].reshape(-1),
                        np.arange(N, dtype=np.int64) * W, e.words,
                        e.counts.astype(np.int64))
-        cum = entropy.freq_to_cum(e.freq)
-        luts[d] = entropy.build_decode_lut(e.freq, cum)
+        if use_pallas:
+            freqs[d] = e.freq
+        else:
+            cum = entropy.freq_to_cum(e.freq)
+            luts[d] = entropy.build_decode_lut(e.freq, cum)
         states[d] = e.states
         lengths[d] = lengths_list[d]
+    if use_pallas:
+        from scalce_tpu.ops import rans_decode_pallas as rdp
+        syms = rdp.decode_scan_pallas(
+            jnp.asarray(states), jnp.asarray(words), jnp.asarray(freqs),
+            jnp.asarray(lengths), e0.order, e0.T, e0.L)
+        return _qual_from_syms_batch(syms, jnp.asarray(lengths),
+                                     e0.T, e0.B, e0.L)
     return _decode_batch_pass(jnp.asarray(states), jnp.asarray(words),
                               jnp.asarray(luts), jnp.asarray(lengths),
                               e0.order, e0.T, e0.B, e0.L)
@@ -310,6 +350,15 @@ def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     counts64 = enc.counts.astype(np.int64)
     ragged_scatter(words_padded.reshape(-1),
                    np.arange(N, dtype=np.int64) * W, enc.words, counts64)
+    if _pallas_decode_ok(enc.order, enc.T, enc.L, N):
+        from scalce_tpu.ops import rans_decode_pallas as rdp
+        syms = rdp.decode_scan_pallas(
+            jnp.asarray(enc.states)[None], jnp.asarray(words_padded)[None],
+            jnp.asarray(enc.freq)[None],
+            jnp.asarray(np.asarray(lengths, np.int32))[None],
+            enc.order, enc.T, enc.L)[0]
+        return np.asarray(_qual_from_syms(syms, jnp.asarray(
+            np.asarray(lengths, np.int32)), enc.T, enc.B, enc.L))
     cum = entropy.freq_to_cum(enc.freq)
     lut = entropy.build_decode_lut(enc.freq, cum)
     qual = _decode_pass(jnp.asarray(enc.states), jnp.asarray(words_padded),

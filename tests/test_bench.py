@@ -15,6 +15,8 @@ def test_bench_emits_one_json_line():
         "BENCH_READS": "4096",
         "BENCH_BLOCK_READS": "1024",
         "BENCH_TIME_BUDGET": "600",
+        "BENCH_DEVICE": "0",       # no TPU in CI; the device leg is
+                                   # exercised by the driver's real run
     })
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -24,7 +26,13 @@ def test_bench_emits_one_json_line():
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, f"expected ONE json line, got: {lines}"
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # the documented core keys plus the round-3 extensions (device leg
+    # + wall spreads; VERDICT r2 #1 / weak #6)
+    assert {"metric", "value", "unit", "vs_baseline",
+            "encode_walls_s", "device_encode_gbps",
+            "ratio"} <= set(rec)
     assert rec["metric"] == "encode_throughput"
     assert rec["unit"] == "GB/s"
     assert rec["value"] > 0
+    assert rec["device_encode_gbps"] is None      # BENCH_DEVICE=0
+    assert len(rec["encode_walls_s"]) >= 1

@@ -610,3 +610,46 @@ def test_encode_host_fused_perm_map_identity():
     finally:
         qualities._NATIVE_Q = nat
     assert key(ref) == key(fused)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_pallas_decode_matches_xla_scan(order):
+    """The Mosaic decode kernel (one-hot-matmul row select + compare
+    searchsorted, VERDICT r2 #3) must be bit-identical to the XLA scan
+    path through the full quality codec (interpret mode on CPU)."""
+    from scalce_tpu.ops import rans_decode_pallas as rdp
+    from scalce_tpu.streams import qualities as Q
+    if not rdp.PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(11)
+    B, L = 64, 32
+    # serially-correlated quals so order-1/2 contexts are exercised,
+    # plus var-len padding rows
+    base = np.clip(np.cumsum(rng.integers(-2, 3, size=(B, L)), axis=1)
+                   + 38, 2, 80).astype(np.uint8) + 33
+    lengths = rng.integers(8, L + 1, size=B).astype(np.int32)
+    col = np.arange(L)[None, :]
+    qual = np.where(col < lengths[:, None], base, 0).astype(np.uint8)
+    enc = Q.encode(qual, lengths, order=order, T_target=4 * L)
+    N = enc.states.shape[0]
+    # reference: XLA scan decode
+    ref = Q.decode_host(enc, lengths)
+    # pallas (interpret)
+    W = max(128, int(enc.counts.max()) + 1)
+    from scalce_tpu.io.fastq import ragged_scatter
+    words_padded = np.zeros((N, W), dtype=np.uint16)
+    ragged_scatter(words_padded.reshape(-1),
+                   np.arange(N, dtype=np.int64) * W, enc.words,
+                   enc.counts.astype(np.int64))
+    old_nt = rdp._NT
+    rdp._NT = 16
+    try:
+        syms = rdp.decode_scan_pallas(
+            jnp.asarray(enc.states)[None], jnp.asarray(words_padded)[None],
+            jnp.asarray(enc.freq)[None], jnp.asarray(lengths)[None],
+            order, enc.T, enc.L, interpret=True)[0]
+    finally:
+        rdp._NT = old_nt
+    got = np.asarray(Q._qual_from_syms(syms, jnp.asarray(lengths),
+                                       enc.T, B, L))
+    np.testing.assert_array_equal(got, ref)
