@@ -71,9 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "explicit 4^k rank table (low-complexity cores "
                         "demoted), or LCP-landmark ranking (paper-like "
                         "cores; see EXPERIMENTS.md for the A/B)")
-    p.add_argument("--qual-order", type=int, choices=(0, 1, 2), default=0,
+    p.add_argument("--qual-order", type=int, choices=(0, 1, 2, 3),
+                   default=0,
                    help="quality context order; 0 (default) auto-selects "
-                        "1 or 2 per block by trial table cost")
+                        "1, 2 or 3 per block by trial table cost "
+                        "(3 = fine position buckets x full prev symbol)")
     p.add_argument("--qual-device", action="store_true",
                    help="place the quality entropy codec on the "
                         "accelerator (best with locally-attached TPUs); "

@@ -104,9 +104,10 @@ class Config:
     qual_T_target: int = 1024          # rANS lane span target (symbols per
                                        # lane; lanes = B*L/T); larger T =
                                        # less state overhead, longer scan
-    qual_context_order: int = 0        # 0 = auto-select 1/2 per block by
-                                       # trial table cost (host path);
-                                       # 1 or 2 fixes the order
+    qual_context_order: int = 0        # 0 = auto-select 1/2/3 per block
+                                       # by trial table cost (host path);
+                                       # 1/2/3 fixes the order (3 = fine
+                                       # pos buckets x full prev symbol)
     qual_on_device: bool = False       # place the quality entropy codec
                                        # on the accelerator (best with
                                        # locally-attached TPUs) or the
@@ -205,8 +206,9 @@ class Config:
                 self.qual_T_target & (self.qual_T_target - 1):
             raise ValueError("qual_T_target must be a power of two in "
                              "[64, 32768] (word counts are 16-bit)")
-        if self.qual_context_order not in (0, 1, 2):
-            raise ValueError("qual_context_order must be 0 (auto), 1 or 2")
+        if self.qual_context_order not in (0, 1, 2, 3):
+            raise ValueError("qual_context_order must be 0 (auto), 1, 2 "
+                             "or 3")
         if (self.qual_context_order == 0 and self.qual_on_device
                 and self.mode == "compress"):
             # decompress reads each block's order from the container;

@@ -171,9 +171,9 @@ def _bind() -> None:
     lib.bitunpack_u32.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
                                   _u32p]
     lib.bitunpack_u32.restype = None
-    lib.qual_hist2.argtypes = [_u8p, _i64p, _i64p, _u8p, ctypes.c_int64,
-                               ctypes.c_int64, _u32p, _u32p]
-    lib.qual_hist2.restype = None
+    lib.qual_hist3.argtypes = [_u8p, _i64p, _i64p, _u8p, ctypes.c_int64,
+                               ctypes.c_int64, _u32p, _u32p, _u32p]
+    lib.qual_hist3.restype = None
     lib.qual_hist_one.argtypes = [_u8p, _i64p, _i64p, _u8p,
                                   ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, _u32p]
@@ -571,19 +571,22 @@ def _qmap_or_ident(qmap) -> np.ndarray:
     return np.ascontiguousarray(qmap, dtype=np.uint8)
 
 
-def qual_hist2(qual: np.ndarray, lengths: np.ndarray, L: int,
+def qual_hist3(qual: np.ndarray, lengths: np.ndarray, L: int,
                perm=None, qmap=None):
-    """One pass over the quality grid -> (counts_order1, counts_order2)."""
+    """One pass over the quality grid -> (counts_order1, counts_order2,
+    counts_order3) for the order auto-selection trial."""
     B = len(lengths)
     # u32 counters: half the cache footprint of the hot scatter adds
     # (a block holds < 2^32 symbols by config); widened on return
     counts1 = np.zeros(761 * 94, np.uint32)     # n_contexts(1) * N_SYMS
     counts2 = np.zeros(1401 * 94, np.uint32)    # n_contexts(2) * N_SYMS
-    _lib.qual_hist2(np.ascontiguousarray(qual).reshape(-1),
+    counts3 = np.zeros(3041 * 94, np.uint32)    # n_contexts(3) * N_SYMS
+    _lib.qual_hist3(np.ascontiguousarray(qual).reshape(-1),
                     np.ascontiguousarray(lengths.astype(np.int64)),
                     _perm_or_ident(perm, B), _qmap_or_ident(qmap),
-                    B, L, counts1, counts2)
-    return counts1.astype(np.int64), counts2.astype(np.int64)
+                    B, L, counts1, counts2, counts3)
+    return (counts1.astype(np.int64), counts2.astype(np.int64),
+            counts3.astype(np.int64))
 
 
 def qual_hist_one(qual: np.ndarray, lengths: np.ndarray, L: int,

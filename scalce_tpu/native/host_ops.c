@@ -244,12 +244,26 @@ EXPORT void render_fastq2(const uint8_t *codes,      /* [n*L] 2-bit */
 #define Q_OFFSET 33
 #define Q_NSYMS 94
 #define Q_POS_BUCKETS 8
+#define Q_POS_BUCKETS32 32     /* order-3 fine position buckets */
 #define Q_PREV_LEVELS 24       /* order-2 prev1 quantization (>> 2) */
-#define Q_PREV1_FULL 94        /* order-1 full prev1 */
+#define Q_PREV1_FULL 94        /* order-1/3 full prev1 */
 #define Q_PREV2_LEVELS 7
 #define RANS_PROB_BITS 12
 #define RANS_M (1u << RANS_PROB_BITS)
 #define RANS_LOW (1u << 16)
+
+/* position bucket: orders 1/2 use 8 coarse buckets (col/16); order 3
+ * trades a bigger table for 32 fine buckets (col/4, capped) —
+ * EXPERIMENTS.md §2's pos-adaptive-width row */
+static inline uint32_t q_pb(int64_t col, int order)
+{
+    if (order == 3) {
+        uint32_t pb = (uint32_t)(col >> 2);
+        return pb > Q_POS_BUCKETS32 - 1 ? Q_POS_BUCKETS32 - 1 : pb;
+    }
+    uint32_t pb = (uint32_t)(col >> 4);
+    return pb > Q_POS_BUCKETS - 1 ? Q_POS_BUCKETS - 1 : pb;
+}
 
 static inline uint32_t q_ctx(uint32_t prev1, uint32_t prev2, uint32_t pb,
                              int c0, int c1, int valid, int order)
@@ -295,8 +309,7 @@ EXPORT void qual_sym_ctx_hist(const uint8_t *qual, const int64_t *lengths,
             if (v < 0) v = 0;
             if (v > Q_NSYMS - 1) v = Q_NSYMS - 1;
             uint32_t s = valid ? (uint32_t)v : 0u;
-            uint32_t pb = (uint32_t)(col >> 4);
-            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            uint32_t pb = q_pb(col, (int)order);
             uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
                                valid, (int)order);
             srow[col] = (uint8_t)s;
@@ -377,8 +390,7 @@ EXPORT void rans_decode_lanes(const uint32_t *states,
                 qual[read * L + col] = 0u;
                 continue;
             }
-            uint32_t pb = (uint32_t)(col >> 4);
-            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            uint32_t pb = q_pb(col, (int)order);
             uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1,
                                1, (int)order);
             uint32_t slot = x & (RANS_M - 1);
@@ -869,8 +881,7 @@ EXPORT void rans_decode_lanes2(const uint32_t *states,
         for (int64_t t = 0; t < T; t++) {
             int64_t r_off = t / L;
             int64_t col = t % L;
-            uint32_t pb = (uint32_t)(col >> 4);
-            if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+            uint32_t pb = q_pb(col, (int)order);
             for (int j = 0; j < nl; j++) {
                 int64_t read = (n0 + j) * k + r_off;
                 if (col >= lengths[read]) { /* padding: exact no-op */
@@ -1562,14 +1573,17 @@ EXPORT void permute_rows_u8(const uint8_t *src, const int64_t *inv,
  * counts1 [n_ctx(1)*94], counts2 [n_ctx(2)*94] (caller zeroes both). */
 static inline void qual_hist2_cell(uint32_t s, uint32_t prev1,
                                    uint32_t prev2, int64_t col,
-                                   uint32_t *counts1, uint32_t *counts2)
+                                   uint32_t *counts1, uint32_t *counts2,
+                                   uint32_t *counts3)
 {
-    uint32_t pb = (uint32_t)(col >> 4);
-    if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+    uint32_t pb = q_pb(col, 1);
     uint32_t c1 = q_ctx(prev1, prev2, pb, col == 0, col == 1, 1, 1);
     uint32_t c2 = q_ctx(prev1, prev2, pb, col == 0, col == 1, 1, 2);
+    uint32_t c3 = q_ctx(prev1, prev2, q_pb(col, 3), col == 0, col == 1,
+                        1, 3);
     counts1[(int64_t)c1 * Q_NSYMS + s]++;
     counts2[(int64_t)c2 * Q_NSYMS + s]++;
+    counts3[(int64_t)c3 * Q_NSYMS + s]++;
 }
 
 static inline uint32_t clamp_sym(uint8_t q)
@@ -1650,7 +1664,21 @@ static void qual_idx_row(const uint8_t *sv, int64_t lim, int order,
         uint32_t pb = (uint32_t)(j >> 4);
         if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
         __m512i ctx;
-        if (order == 2) {
+        if (order == 3) {
+            /* order-3 buckets are col/4: pb VARIES inside the 16-col
+             * chunk (4 buckets) — vector pb, capped at 31 */
+            const __m512i off = _mm512_set_epi32(
+                3, 3, 3, 3, 2, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0);
+            __m512i pbv = _mm512_add_epi32(
+                _mm512_set1_epi32((int)(j >> 2)), off);
+            pbv = _mm512_min_epi32(
+                pbv, _mm512_set1_epi32(Q_POS_BUCKETS32 - 1));
+            __m512i pq = _mm512_min_epi32(
+                p1, _mm512_set1_epi32(Q_PREV1_FULL - 1));
+            ctx = _mm512_add_epi32(
+                pq, _mm512_mullo_epi32(
+                    pbv, _mm512_set1_epi32(Q_PREV1_FULL + 1)));
+        } else if (order == 2) {
             __m512i p2 = _mm512_cvtepu8_epi32(
                 _mm_loadu_si128((const __m128i *)(sv + j - 2)));
             __m512i pq = _mm512_min_epi32(
@@ -1694,8 +1722,7 @@ static inline void qual_hist1_cell(uint32_t s, uint32_t prev1,
                                    uint32_t prev2, int64_t col, int order,
                                    uint32_t *counts)
 {
-    uint32_t pb = (uint32_t)(col >> 4);
-    if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+    uint32_t pb = q_pb(col, order);
     uint32_t c = q_ctx(prev1, prev2, pb, col == 0, col == 1, 1, order);
     counts[(int64_t)c * Q_NSYMS + s]++;
 }
@@ -1817,12 +1844,13 @@ EXPORT void qual_hist_one(const uint8_t *qual, const int64_t *lengths,
 static void qual_hist2_row(const uint8_t *qrow, const uint8_t *qmap,
                            int64_t from, int64_t to,
                            uint32_t *prev1, uint32_t *prev2,
-                           uint32_t *counts1, uint32_t *counts2)
+                           uint32_t *counts1, uint32_t *counts2,
+                           uint32_t *counts3)
 {
     uint32_t p1 = *prev1, p2 = *prev2;
     for (int64_t col = from; col < to; col++) {
         uint32_t s = clamp_sym_m(qrow[col], qmap);
-        qual_hist2_cell(s, p1, p2, col, counts1, counts2);
+        qual_hist2_cell(s, p1, p2, col, counts1, counts2, counts3);
         p2 = p1;
         p1 = s;
     }
@@ -1830,10 +1858,11 @@ static void qual_hist2_row(const uint8_t *qrow, const uint8_t *qmap,
     *prev2 = p2;
 }
 
-EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
+EXPORT void qual_hist3(const uint8_t *qual, const int64_t *lengths,
                        const int64_t *perm, const uint8_t *qmap,
                        int64_t B, int64_t L,
-                       uint32_t *counts1, uint32_t *counts2)
+                       uint32_t *counts1, uint32_t *counts2,
+                       uint32_t *counts3)
 {
     int64_t i = 0;
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
@@ -1843,10 +1872,10 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
         size_t svs = (size_t)(L + 34);
         size_t ibs = (size_t)(L + 16);
         uint8_t *svb = (uint8_t *)malloc(4 * svs);
-        int32_t *ibb = (int32_t *)malloc(8 * ibs * 4);
+        int32_t *ibb = (int32_t *)malloc(12 * ibs * 4);
         if (svb && ibb) {
             for (; i + 4 <= B; i += 4) {
-                const int32_t *i1[4], *i2[4];
+                const int32_t *i1[4], *i2[4], *i3[4];
                 int64_t lim[4];
                 int64_t lim_min = L;
                 for (int r = 0; r < 4; r++) {
@@ -1858,31 +1887,40 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
                     sv[-2] = 0;
                     map_clamp_row(qual + perm[i + r] * L, lim[r], L,
                                   qmap, sv);
-                    int32_t *a = ibb + (size_t)(2 * r) * ibs;
+                    int32_t *a = ibb + (size_t)(3 * r) * ibs;
                     int32_t *b = a + ibs;
+                    int32_t *c = b + ibs;
                     qual_idx_row(sv, lim[r], 1, a);
                     qual_idx_row(sv, lim[r], 2, b);
+                    qual_idx_row(sv, lim[r], 3, c);
                     i1[r] = a;
                     i2[r] = b;
+                    i3[r] = c;
                 }
                 int64_t col = 0;
                 for (; col < lim_min; col++) {
                     counts1[i1[0][col]]++;
                     counts2[i2[0][col]]++;
+                    counts3[i3[0][col]]++;
                     counts1[i1[1][col]]++;
                     counts2[i2[1][col]]++;
+                    counts3[i3[1][col]]++;
                     counts1[i1[2][col]]++;
                     counts2[i2[2][col]]++;
+                    counts3[i3[2][col]]++;
                     counts1[i1[3][col]]++;
                     counts2[i2[3][col]]++;
+                    counts3[i3[3][col]]++;
                 }
                 for (int r = 0; r < 4; r++) {
                     for (int64_t c2 = col; c2 < lim[r]; c2++) {
                         counts1[i1[r][c2]]++;
                         counts2[i2[r][c2]]++;
+                        counts3[i3[r][c2]]++;
                     }
                     counts1[0] += (uint32_t)(L - lim[r]);
                     counts2[0] += (uint32_t)(L - lim[r]);
+                    counts3[0] += (uint32_t)(L - lim[r]);
                 }
             }
         }
@@ -1910,10 +1948,14 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
             uint32_t s1 = clamp_sym_m(q[1][col], qmap);
             uint32_t s2 = clamp_sym_m(q[2][col], qmap);
             uint32_t s3 = clamp_sym_m(q[3][col], qmap);
-            qual_hist2_cell(s0, p1[0], p2[0], col, counts1, counts2);
-            qual_hist2_cell(s1, p1[1], p2[1], col, counts1, counts2);
-            qual_hist2_cell(s2, p1[2], p2[2], col, counts1, counts2);
-            qual_hist2_cell(s3, p1[3], p2[3], col, counts1, counts2);
+            qual_hist2_cell(s0, p1[0], p2[0], col, counts1, counts2,
+                            counts3);
+            qual_hist2_cell(s1, p1[1], p2[1], col, counts1, counts2,
+                            counts3);
+            qual_hist2_cell(s2, p1[2], p2[2], col, counts1, counts2,
+                            counts3);
+            qual_hist2_cell(s3, p1[3], p2[3], col, counts1, counts2,
+                            counts3);
             p2[0] = p1[0]; p1[0] = s0;
             p2[1] = p1[1]; p1[1] = s1;
             p2[2] = p1[2]; p1[2] = s2;
@@ -1922,9 +1964,10 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
         for (int r = 0; r < 4; r++) {
             if (lim[r] > lim_min)
                 qual_hist2_row(q[r], qmap, lim_min, lim[r], &p1[r],
-                               &p2[r], counts1, counts2);
+                               &p2[r], counts1, counts2, counts3);
             counts1[0] += (uint32_t)(L - lim[r]);
             counts2[0] += (uint32_t)(L - lim[r]);
+            counts3[0] += (uint32_t)(L - lim[r]);
         }
     }
     for (; i < B; i++) {
@@ -1932,11 +1975,12 @@ EXPORT void qual_hist2(const uint8_t *qual, const int64_t *lengths,
         int64_t lim = len < L ? len : L;
         uint32_t prev1 = 0, prev2 = 0;
         qual_hist2_row(qual + perm[i] * L, qmap, 0, lim, &prev1, &prev2,
-                       counts1, counts2);
+                       counts1, counts2, counts3);
         /* padding cells all land in (ctx 0, sym 0) — add arithmetically
          * instead of walking them (identical counts -> identical tables) */
         counts1[0] += (uint32_t)(L - lim);
         counts2[0] += (uint32_t)(L - lim);
+        counts3[0] += (uint32_t)(L - lim);
     }
 }
 
@@ -2030,8 +2074,7 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
                     sj[col] = 0;
             }
             for (int64_t col = L - 1; col >= 0; col--) {
-                uint32_t pb = (uint32_t)(col >> 4);
-                if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+                uint32_t pb = q_pb(col, (int)order);
                 for (int j = 0; j < nl; j++) {
                     const uint8_t *sj = srow + j * L;
                     if (col >= len_j[j])
@@ -2104,9 +2147,11 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
     int64_t k = T / L;
     int64_t off = 0;
     enum { G = 4, IL = 64 };        /* interleaved 16-lane groups */
-    int64_t n_ctx = 1 + Q_POS_BUCKETS *
-        (order == 2 ? (Q_PREV_LEVELS + 1) * Q_PREV2_LEVELS
-                    : (Q_PREV1_FULL + 1));
+    int64_t n_ctx =
+        order == 2 ? 1 + Q_POS_BUCKETS * (Q_PREV_LEVELS + 1)
+                         * Q_PREV2_LEVELS
+        : order == 3 ? 1 + Q_POS_BUCKETS32 * (Q_PREV1_FULL + 1)
+                     : 1 + Q_POS_BUCKETS * (Q_PREV1_FULL + 1);
     int64_t n_ent = n_ctx * Q_NSYMS;
     /* u32 emission buffer: the renorm words are written by a masked
      * scatter (4-byte granularity), narrowed to u16 at drain time */
@@ -2224,8 +2269,7 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                 lenv[h] = _mm512_loadu_si512(len_i + 16 * h);
             for (int64_t col = (lmax ? lmax : 0) - 1; col >= 0; col--) {
                 const __m512i colv = _mm512_set1_epi32((int)col);
-                uint32_t pb = (uint32_t)(col >> 4);
-                if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+                uint32_t pb = q_pb(col, (int)order);
                 __mmask16 valid[G];
                 int any = 0;
                 for (int h = 0; h < G; h++) {
@@ -2467,8 +2511,7 @@ EXPORT int64_t rans_decode_lanes_v(const uint32_t *states,
                 lenv[h] = _mm512_loadu_si512(len_i + 16 * h);
             for (int64_t col = 0; col < lmax; col++) {
                 const __m512i colv = _mm512_set1_epi32((int)col);
-                uint32_t pb = (uint32_t)(col >> 4);
-                if (pb > Q_POS_BUCKETS - 1) pb = Q_POS_BUCKETS - 1;
+                uint32_t pb = q_pb(col, (int)order);
                 for (int h = 0; h < G; h++) {
                     __mmask16 valid = _mm512_cmp_epi32_mask(
                         colv, lenv[h], _MM_CMPINT_LT);

@@ -64,6 +64,7 @@ _NT = 1024
 # the kernel bakes the model in because the scan's ctx_fn closure
 # cannot cross into Mosaic)
 _POS_BUCKETS = 8
+_POS_BUCKETS32 = 32              # order-3 fine buckets (col/4)
 _PREV1_FULL = 94
 _PREV_LEVELS = 24
 _PREV2_LEVELS = 7
@@ -72,9 +73,13 @@ _NSYMS = 94
 
 def _rows_per_bucket(order: int) -> int:
     """Contexts per position bucket (the slab height R)."""
-    if order == 1:
-        return _PREV1_FULL + 1                      # 95
-    return (_PREV_LEVELS + 1) * _PREV2_LEVELS       # 175
+    if order == 2:
+        return (_PREV_LEVELS + 1) * _PREV2_LEVELS   # 175
+    return _PREV1_FULL + 1                          # 95 (orders 1, 3)
+
+
+def _n_buckets(order: int) -> int:
+    return _POS_BUCKETS32 if order == 3 else _POS_BUCKETS
 
 
 def _round_up(x: int, m: int) -> int:
@@ -108,7 +113,10 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
         prev1 = st_ref[2:3, :].astype(jnp.int32)
         prev2 = st_ref[3:4, :].astype(jnp.int32)
         col = t - (t // L) * L                      # scalar
-        pb = jnp.minimum(col // 16, _POS_BUCKETS - 1)
+        if order == 3:
+            pb = jnp.minimum(col // 4, _POS_BUCKETS32 - 1)
+        else:
+            pb = jnp.minimum(col // 16, _POS_BUCKETS - 1)
         c0 = col == 0
         c1 = col == 1
         rd = t // L
@@ -120,7 +128,7 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
         # per-lane slab column (previous-symbol part of the context).
         # prev1/prev2 are i32: Mosaic has no unsigned min, and symbols
         # are < 94 so the signed view is order-preserving.
-        if order == 1:
+        if order != 2:
             pidx = jnp.where(c0, _PREV1_FULL,
                              jnp.minimum(prev1, _PREV1_FULL - 1))
         else:
@@ -185,14 +193,15 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
     D, N = states.shape
     k = T // L
     R = _rows_per_bucket(order)
+    PB = _n_buckets(order)
     Rpad = _round_up(R, 128)
-    C = 1 + _POS_BUCKETS * R
+    C = 1 + PB * R
     # slabT[d, pb, c, p] = cum_{c+1} for ctx (1 + pb*R + p); row 93 is
     # the total (4096); pad rows/cols hold the sentinel
     cum = jnp.cumsum(freq.astype(jnp.int32), axis=2)        # [D, C, 94]
     body = cum[:, 1:, :]                                    # drop ctx 0
-    body = body.reshape(D, _POS_BUCKETS, R, _NSYMS)
-    tbl = jnp.full((D, _POS_BUCKETS, 128, Rpad), float(_PAD_SENTINEL),
+    body = body.reshape(D, PB, R, _NSYMS)
+    tbl = jnp.full((D, PB, 128, Rpad), float(_PAD_SENTINEL),
                    jnp.float32)
     tbl = tbl.at[:, :, :_NSYMS, :R].set(
         body.transpose(0, 1, 3, 2).astype(jnp.float32))
@@ -220,7 +229,7 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, Wp, NT), lambda d, n: (d, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _POS_BUCKETS, 128, Rpad),
+            pl.BlockSpec((None, PB, 128, Rpad),
                          lambda d, n: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, k, NT), lambda d, n: (d, 0, n),

@@ -10,8 +10,13 @@ Context model (shared bit-exactly by encode and decode):
   PAD (ctx 0)      padding positions past a read's length — frequency
                    mass collapses to symbol 0, so padding costs 0 bits
                    and 0 extra branches on device.
-  order-1          ctx = 1 + pos_bucket(8) * 25 + prev_quant(24 + start)
-  order-2          adds a 7-level quantization of the symbol two back.
+  order-1          ctx = 1 + pos_bucket(8)*95 + prev1_full(94 + start)
+  order-2          8 pos buckets x 25-level prev1 quant x 7-level prev2
+                   quant (richer history, smaller table than o3).
+  order-3          ctx = 1 + pos_bucket32(col/4)*95 + prev1_full — the
+                   position-adaptive-width model (EXPERIMENTS.md §2);
+                   4x the table, wins on position-structured platforms.
+  order 0 (config) per-block auto-trial across all three.
 
 Symbols are ``quality_byte - 33`` (FASTQ range '!'..'~', 94 values).
 
@@ -50,11 +55,17 @@ _PREV1_FULL = 94     # order-1: UNQUANTIZED prev symbol (+ start sentinel).
 _PREV_LEVELS = 24    # order-2 prev_sym >> 2, clipped (full prev1 x prev2
                      # would need an 87MB decode LUT for <0.2% gain)
 _PREV2_LEVELS = 7    # prev2_sym >> 4 (6 levels) + start sentinel
+_POS_BUCKETS32 = 32  # order 3: fine position buckets (col/4, capped) x
+                     # full prev1 — EXPERIMENTS.md §2's position-adaptive
+                     # width row; wins on position-structured platforms,
+                     # costs a 4x table (the auto-trial weighs that)
 
 
 def n_contexts(order: int) -> int:
     if order == 1:
         return 1 + _POS_BUCKETS * (_PREV1_FULL + 1)
+    if order == 3:
+        return 1 + _POS_BUCKETS32 * (_PREV1_FULL + 1)
     return 1 + _POS_BUCKETS * (_PREV_LEVELS + 1) * _PREV2_LEVELS
 
 
@@ -68,7 +79,9 @@ def pick_T(B: int, L: int, target: int = 1024) -> int:
     return k * L
 
 
-def _pos_bucket(col: jnp.ndarray) -> jnp.ndarray:
+def _pos_bucket(col: jnp.ndarray, order: int = 1) -> jnp.ndarray:
+    if order == 3:
+        return jnp.minimum(col // 4, _POS_BUCKETS32 - 1).astype(U32)
     return jnp.minimum(col // 16, _POS_BUCKETS - 1).astype(U32)
 
 
@@ -103,7 +116,7 @@ def sym_ctx_hist(qual: jnp.ndarray, lengths: jnp.ndarray, order: int
     sym = jnp.where(valid, sym, 0).astype(U32)
     prev1 = jnp.pad(sym[:, :-1], ((0, 0), (1, 0)))
     prev2 = jnp.pad(sym[:, :-2], ((0, 0), (2, 0)))
-    ctx = _ctx_from(prev1, prev2, _pos_bucket(col.astype(U32)),
+    ctx = _ctx_from(prev1, prev2, _pos_bucket(col.astype(U32), order),
                     col == 0, col == 1, valid, order)
     counts = rans.context_histogram(sym.reshape(-1), ctx.reshape(-1),
                                     n_contexts(order), N_SYMS)
@@ -145,7 +158,7 @@ def _decode_pass(states: jnp.ndarray, words_padded: jnp.ndarray,
     lane_reads = jnp.arange(N, dtype=jnp.int32)[None, :] * k + read_of_t[:, None]
     valid = col[:, None] < lengths[lane_reads]                  # [T, N]
     aux = {
-        "pb": _pos_bucket(col.astype(U32)),
+        "pb": _pos_bucket(col.astype(U32), order),
         "c0": col == 0,
         "c1": col == 1,
         "valid": valid,
@@ -388,6 +401,12 @@ except Exception:  # pragma: no cover
     _NATIVE_Q = False
 
 
+def _pos_bucket_np(col: np.ndarray, order: int) -> np.ndarray:
+    if order == 3:
+        return np.minimum(col // 4, _POS_BUCKETS32 - 1).astype(np.uint32)
+    return np.minimum(col // 16, _POS_BUCKETS - 1).astype(np.uint32)
+
+
 def _ctx_from_np(prev1, prev2, pb, c0, c1, valid, order: int) -> np.ndarray:
     """NumPy mirror of :func:`_ctx_from` (integer ops only)."""
     if order == 2:
@@ -416,7 +435,7 @@ def _sym_ctx_np(qual: np.ndarray, lengths: np.ndarray, order: int):
     prev1[:, 1:] = sym[:, :-1]
     prev2 = np.zeros_like(sym)
     prev2[:, 2:] = sym[:, :-2]
-    pb = np.minimum(col // 16, _POS_BUCKETS - 1).astype(np.uint32)
+    pb = _pos_bucket_np(col, order)
     ctx = _ctx_from_np(prev1, prev2, pb, col == 0, col == 1, valid, order)
     return sym, ctx, valid
 
@@ -431,7 +450,7 @@ def encode_host(qual: np.ndarray, lengths: np.ndarray, order: int = 1,
     ``lengths`` are always the SORTED-frame lengths).
 
     Bit-identical to :func:`encode` / the fused device passes.
-    ``order=0`` auto-selects the cheaper of order 1/2 per block by
+    ``order=0`` auto-selects the cheapest of orders 1/2/3 per block by
     table-aware trial cost on the histograms (the adaptivity the
     reference's AC gets for free, recovered at negligible host cost).
     """
@@ -530,28 +549,30 @@ def _auto_order(qual: np.ndarray, lengths: np.ndarray, L: int,
                 perm: Optional[np.ndarray] = None,
                 qual_map: Optional[np.ndarray] = None) -> int:
     """Per-block order auto-selection (order=0): table-aware trial cost
-    for order 1 and 2 on a deterministic row sample (the first sample
-    rows of the SORTED frame, whether materialized or via ``perm``);
-    ties favor the smaller model."""
+    for orders 1, 2 and 3 on a deterministic row sample (the first
+    sample rows of the SORTED frame, whether materialized or via
+    ``perm``); ties favor the smaller-numbered (smaller-table) model."""
     B = lengths.shape[0]
     ns = min(B, _AUTO_SAMPLE_ROWS)
     ls = lengths[:ns]
-    if _NATIVE_Q and hasattr(_native, "qual_hist2"):
-        counts1, counts2 = _native.qual_hist2(
+    if _NATIVE_Q and hasattr(_native, "qual_hist3"):
+        counts = _native.qual_hist3(
             qual, ls, L, None if perm is None else perm[:ns], qual_map)
     else:
         qs = qual[:ns] if perm is None else qual[perm[:ns]]
         if qual_map is not None:
             qs = qual_map[qs]
-        sym, ctx1, _ = _sym_ctx_np(qs, ls, 1)
-        idx1 = ctx1.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
-        counts1 = np.bincount(idx1, minlength=n_contexts(1) * N_SYMS)
-        _, ctx2, _ = _sym_ctx_np(qs, ls, 2)
-        idx2 = ctx2.reshape(-1).astype(np.int64) * N_SYMS + sym.reshape(-1)
-        counts2 = np.bincount(idx2, minlength=n_contexts(2) * N_SYMS)
+        counts = []
+        for o in (1, 2, 3):
+            sym, ctx, _ = _sym_ctx_np(qs, ls, o)
+            idx = ctx.reshape(-1).astype(np.int64) * N_SYMS \
+                + sym.reshape(-1)
+            counts.append(np.bincount(idx,
+                                      minlength=n_contexts(o) * N_SYMS))
     scale = B / ns
-    return 2 if _trial_cost(counts2, 2, scale) < \
-        _trial_cost(counts1, 1, scale) else 1
+    costs = {o: _trial_cost(c, o, scale)
+             for o, c in zip((1, 2, 3), counts)}
+    return min((1, 2, 3), key=lambda o: (costs[o], o))
 
 
 def _host_rans_encode(idx: np.ndarray, freq: np.ndarray, cum: np.ndarray,
@@ -622,7 +643,8 @@ def decode_host(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     for t in range(T):
         colv = int(col_t[t])
         validt = colv < lane_len[t]
-        pb = np.uint32(min(colv // 16, _POS_BUCKETS - 1))
+        pb = np.uint32(min(colv // 4, _POS_BUCKETS32 - 1)) if order == 3 \
+            else np.uint32(min(colv // 16, _POS_BUCKETS - 1))
         ctx = _ctx_from_np(prev1, prev2, pb, colv == 0, colv == 1,
                            validt, order)
         slot = x & np.uint32(4095)
@@ -681,7 +703,7 @@ def _validate_enc(enc: EncodedQuals) -> None:
     walks freq/cum/state/word buffers by these dims, so every size here
     must be proven before the C call (mirrors seqs._validate)."""
     B, L, T, order = enc.B, enc.L, enc.T, enc.order
-    if order not in (1, 2):
+    if order not in (1, 2, 3):
         raise ValueError("corrupt quality stream: bad order")
     if not (0 <= B <= 1 << 26 and 1 <= L <= 1 << 20 and T >= 1):
         raise ValueError("corrupt quality stream: bad dims")

@@ -347,9 +347,9 @@ def test_grid_direct_encoder_matches_grid_path():
     lengths = rng.integers(1, L + 1, size=B).astype(np.int64)
     col = np.arange(L)[None, :]
     qual = np.where(col < lengths[:, None], qual, 0).astype(np.uint8)
-    c1, c2 = native.qual_hist2(qual, lengths, L)
+    c1, c2, c3 = native.qual_hist3(qual, lengths, L)
     T = qualities.pick_T(B, L)
-    for order, counts in ((1, c1), (2, c2)):
+    for order, counts in ((1, c1), (2, c2), (3, c3)):
         C = qualities.n_contexts(order)
         sym, ctx, counts_ref = native.qual_sym_ctx_hist(qual, lengths, L,
                                                         order, C)
@@ -476,15 +476,15 @@ def test_avx512_qual_decoder_matches_scalar():
             assert np.array_equal(qual_v.reshape(B, L), q)
 
 
-def test_native_qual_hist2_matches_numpy():
-    """qual_hist2 (fused dual-order histogram) must reproduce the
+def test_native_qual_hist3_matches_numpy():
+    """qual_hist3 (fused triple-order histogram) must reproduce the
     numpy sym/ctx histogram exactly — it decides order auto-selection
     and the coder tables, i.e. output bytes."""
     import numpy as np
     from scalce_tpu import native
     from scalce_tpu.streams import qualities
 
-    if not (native.AVAILABLE and hasattr(native, "qual_hist2")):
+    if not (native.AVAILABLE and hasattr(native, "qual_hist3")):
         import pytest
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(31)
@@ -493,8 +493,8 @@ def test_native_qual_hist2_matches_numpy():
         lens = rng.integers(0, L + 1, size=B).astype(np.int64)
         col = np.arange(L)[None, :]
         q = np.where(col < lens[:, None], q, 0).astype(np.uint8)
-        c1, c2 = native.qual_hist2(q, lens, L)
-        for order, got in ((1, c1), (2, c2)):
+        c1, c2, c3 = native.qual_hist3(q, lens, L)
+        for order, got in ((1, c1), (2, c2), (3, c3)):
             ref = np.zeros(qualities.n_contexts(order) * 94, np.int64)
             sym, ctx, _ = qualities._sym_ctx_np(q, lens.astype(np.int32),
                                                 order)
@@ -612,7 +612,7 @@ def test_encode_host_fused_perm_map_identity():
     assert key(ref) == key(fused)
 
 
-@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("order", [1, 2, 3])
 def test_pallas_decode_matches_xla_scan(order):
     """The Mosaic decode kernel (one-hot-matmul row select + compare
     searchsorted, VERDICT r2 #3) must be bit-identical to the XLA scan
@@ -653,3 +653,51 @@ def test_pallas_decode_matches_xla_scan(order):
     got = np.asarray(Q._qual_from_syms(syms, jnp.asarray(lengths),
                                        enc.T, B, L))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_order3_cross_path_identity_and_roundtrip():
+    """Order 3 (pos32 x full prev1) must round-trip and be bit-identical
+    across the native, numpy, and device (XLA scan) coders — same
+    contract the other orders carry."""
+    rng = np.random.default_rng(17)
+    B, L = 512, 64
+    # strong fine-position structure: mean jumps every 4 columns
+    means = (rng.integers(5, 70, size=(1, (L + 3) // 4))
+             .repeat(4, axis=1)[:, :L])
+    q = np.clip(means + rng.integers(-2, 3, size=(B, L)), 2, 80) + 33
+    lengths = rng.integers(8, L + 1, size=B).astype(np.int32)
+    col = np.arange(L)[None, :]
+    qual = np.where(col < lengths[:, None], q, 0).astype(np.uint8)
+
+    enc_h = qualities.encode_host(qual, lengths, order=3)
+    assert enc_h.order == 3
+    assert enc_h.freq.shape[0] == qualities.n_contexts(3) == 3041
+    # device (XLA) encode must agree on every stored field
+    enc_d = qualities.encode(qual, lengths, order=3)
+    np.testing.assert_array_equal(enc_h.freq, enc_d.freq)
+    np.testing.assert_array_equal(enc_h.states, enc_d.states)
+    np.testing.assert_array_equal(enc_h.words, enc_d.words)
+    # round-trip both decode paths
+    np.testing.assert_array_equal(qualities.decode_host(enc_h, lengths),
+                                  qual)
+    np.testing.assert_array_equal(qualities.decode(enc_h, lengths), qual)
+
+
+def test_auto_order_picks_3_on_fine_position_structure():
+    """Auto order selection must pick the pos32 model exactly when fine
+    position resolution pays for its 4x table — qualities that are a
+    pure function of col/4 with full-range variation."""
+    rng = np.random.default_rng(23)
+    B, L = 8192, 64
+    means = (rng.integers(2, 90, size=(1, L // 4)).repeat(4, axis=1))
+    q = np.clip(means + rng.integers(-1, 2, size=(B, L)), 0, 93) + 33
+    lengths = np.full(B, L, np.int32)
+    enc = qualities.encode_host(q.astype(np.uint8), lengths, order=0)
+    assert enc.order == 3
+    np.testing.assert_array_equal(
+        qualities.decode_host(enc, lengths), q.astype(np.uint8))
+    # and smooth AR(1) data must NOT pay the 4x table
+    walk = np.clip(np.cumsum(rng.integers(-2, 3, size=(B, L)), axis=1)
+                   + 38, 2, 80).astype(np.uint8) + 33
+    enc2 = qualities.encode_host(walk, lengths, order=0)
+    assert enc2.order in (1, 2)
