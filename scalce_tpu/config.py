@@ -195,10 +195,23 @@ class Config:
         if self.max_read_len % 16:
             raise ValueError("max_read_len must be a multiple of 16 "
                              "(2-bit packing granularity)")
+        if self.max_read_len > 1 << 20:
+            raise ValueError("max_read_len must be <= 2^20")
         if self.max_read_len > 32752:
-            raise ValueError("max_read_len must be <= 32752 (stream "
-                             "fields are 16-bit; longer reads need a "
-                             "format bump)")
+            # LONG-READ MODE (v5 container): no core matching / reorder
+            # / predecessor delta — fixed-shift read overlap is a
+            # short-read property, and the delta stream fields are
+            # 15/16-bit.  Bases ride the order-2 literal rANS;
+            # qualities the standard coder with T = L.  Host pipeline
+            # only (the device stages pack 15-bit lengths).
+            if self.core_on_device is True or self.qual_on_device \
+                    or self.delta_on_device:
+                raise ValueError("max_read_len > 32752 (long-read mode) "
+                                 "runs the host pipeline: device "
+                                 "placements are unavailable")
+            if self.data_parallel:
+                raise ValueError("max_read_len > 32752 (long-read mode) "
+                                 "does not support --data-parallel")
         if self.block_reads * self.max_read_len >= 1 << 31:
             raise ValueError("block_reads * max_read_len must be < 2^31 "
                              "(flat base positions are int32 on device)")

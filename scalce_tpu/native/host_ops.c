@@ -333,7 +333,10 @@ EXPORT int64_t rans_encode_lanes(const uint8_t *sym, const uint16_t *ctx,
                                  int64_t *wcounts, uint16_t *words_cat)
 {
     int64_t off = 0;
-    uint16_t tmp[32768];               /* T <= 32768 by config */
+    /* heap: long-read mode runs T = L > 32768 (one alloc per block) */
+    uint16_t *tmp = (uint16_t *)malloc((size_t)T * 2);
+    if (!tmp)
+        return -1;
     for (int64_t n = 0; n < N; n++) {
         const uint8_t *s = sym + n * T;
         const uint16_t *c = ctx + n * T;
@@ -356,6 +359,7 @@ EXPORT int64_t rans_encode_lanes(const uint8_t *sym, const uint16_t *ctx,
             words_cat[off + j] = tmp[cnt - 1 - j];
         off += cnt;
     }
+    free(tmp);
     return off;
 }
 
@@ -2045,7 +2049,13 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
     int64_t k = T / L;
     int64_t off = 0;
     enum { IL = 4 };
-    uint16_t tmp[IL][32768];           /* T <= 32768 by config */
+    /* heap: long-read mode runs T = L > 32768 (one alloc per block) */
+    uint16_t *tmpb = (uint16_t *)malloc((size_t)IL * T * 2);
+    uint16_t *tmp[IL];
+    if (!tmpb)
+        return -1;
+    for (int i = 0; i < IL; i++)
+        tmp[i] = tmpb + (size_t)i * T;
     int64_t cnt[IL];
     uint32_t x[IL];
     /* per-(lane,row) clamped-symbol scratch: srow[j][col] = valid ?
@@ -2053,8 +2063,10 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
      * for s, prev1 and prev2, computed ONCE per cell instead of 3x */
     uint8_t *srow = (uint8_t *)malloc((size_t)(IL * L));
     int64_t len_j[IL];
-    if (!srow)
+    if (!srow) {
+        free(tmpb);
         return -1;
+    }
     for (int64_t n0 = 0; n0 < N; n0 += IL) {
         int nl = (int)(N - n0 < IL ? N - n0 : IL);
         for (int j = 0; j < nl; j++) {
@@ -2109,6 +2121,7 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
         }
     }
     free(srow);
+    free(tmpb);
     return off;
 }
 

@@ -183,10 +183,11 @@ def compress(cfg: Config) -> RunStats:
             raise FileNotFoundError(f"input FASTQ not found: {p}")
     stats = RunStats(mode="compress")
     meta = file_meta(cfg)
-    if cfg.core_on_device is None:
+    if cfg.core_on_device is None and cfg.max_read_len <= 32752:
         # AUTO placement needs the link probe; start it NOW so its
         # deadline overlaps the preamble / first parse instead of
-        # serializing in front of the first block
+        # serializing in front of the first block.  (Long-read mode is
+        # host-only and must never touch the device.)
         from scalce_tpu.pipeline.encode import start_link_probe
         start_link_probe()
 
@@ -220,7 +221,7 @@ def compress(cfg: Config) -> RunStats:
 
     if cfg.data_parallel:
         _run_sharded(cfg, _prefetch(owned), qual_map, emit, stats.stage_s)
-    elif enc.host_core:
+    elif enc.host_core or enc.long_mode:
         _run_pipelined(_prefetch(owned), enc.encode_device, enc.assemble,
                        emit, cfg.threads, stats.stage_s)
     else:
@@ -352,7 +353,7 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
     if cfg.data_parallel:
         _run_sharded(cfg, _prefetch(owned), qual_map, emit, stats.stage_s,
                      paired=True)
-    elif enc.host_core:
+    elif enc.host_core or enc.long_mode:
         _run_pipelined(_prefetch(owned),
                        lambda p: enc.encode_device_pair(*p),
                        lambda p, d: enc.assemble_pair(p[0], p[1], d),

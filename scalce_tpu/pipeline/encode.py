@@ -608,6 +608,10 @@ class BlockEncoder:
         self.qual_map_np = np.asarray(qual_map)
         self._qual_map_dev = None
         self._rank_lut_dev = None
+        #: long-read mode (config gates placements): no core matching /
+        #: reorder / delta — identity order, all bases through the
+        #: order-2 literal rANS (see config.py for why)
+        self.long_mode = cfg.max_read_len > 32752
         # host-delta placement: only meaningful with host-placed
         # qualities (the device-quality graph already holds the sorted
         # block) and a working native library
@@ -622,7 +626,12 @@ class BlockEncoder:
         # native matcher itself means the block should never travel.
         eligible = (self.host_delta and cfg.dict_mode == "hash"
                     and not cfg.data_parallel and host_core_available())
-        if cfg.core_on_device is None:
+        if self.long_mode:
+            # long-read path never touches the device — do NOT start
+            # the link probe (a probe thread still mid-transfer at
+            # interpreter exit aborts the PJRT teardown)
+            want_host = False
+        elif cfg.core_on_device is None:
             want_host = (eligible
                          and device_link_mbps()
                          < _LINK_AUTO_THRESHOLD_MBPS)
@@ -673,7 +682,7 @@ class BlockEncoder:
         (VERDICT r2 #1: double-buffer H2D the way D2H already uses
         ``copy_to_host_async``).  Safe because device buffers are
         immutable and jit dispatch order stays on the main thread."""
-        if self.host_core:
+        if self.host_core or self.long_mode:
             return None
         B, L = block.seq.shape
         pre = {
@@ -688,6 +697,8 @@ class BlockEncoder:
 
     def encode_device(self, block: ReadBlock, pre=None):
         cfg = self.cfg
+        if self.long_mode:
+            return ("long",)   # host-only long-read path; see assemble
         if self.host_core:
             return ("hc",)     # whole pipeline host-side; see assemble
         if pre is None:
@@ -722,6 +733,8 @@ class BlockEncoder:
         return perm, delta, len_s, sym, ctx, counts
 
     def assemble(self, block: ReadBlock, devout) -> EncodedBlock:
+        if isinstance(devout[0], str) and devout[0] == "long":
+            return self._assemble_long(block)
         if isinstance(devout[0], str) and devout[0] == "hc":
             return self._assemble_hc(block)
         if isinstance(devout[0], str):     # "hd" marker
@@ -807,12 +820,41 @@ class BlockEncoder:
         return self._assemble(block, perm_np, delta_np, len_s, None,
                               None, None)
 
+    def _assemble_long(self, block: ReadBlock) -> EncodedBlock:
+        """Long-read mode (L > 32752; container v5): identity order, no
+        core matching or predecessor delta — fixed-shift read overlap is
+        a short-read property (and the delta fields are 15/16-bit) — so
+        every valid base rides the order-2 literal rANS and qualities
+        the standard context coder with T = L.  Round-trips through the
+        UNCHANGED decoder: all-zero masks make the reconstruction a
+        plain literal fill."""
+        from scalce_tpu.io.fastq import ragged_gather
+        B, L = block.seq.shape
+        n = block.n_reads
+        len_n = block.lengths[:n].astype(np.int64)
+        lits = ragged_gather(block.seq.reshape(-1),
+                             np.arange(n, dtype=np.int64) * L, len_n)
+        len_s = np.zeros(B, np.int32)
+        len_s[:n] = len_n
+        delta_np = {
+            "mask_bits": np.zeros((n, L // 8), np.uint8),
+            "shifts": np.zeros(n, np.int16),
+            "pred_k": np.zeros(n, np.uint8),
+            "rc_bits": np.zeros((B + 7) // 8, np.uint8),
+            "lits": lits, "n_lits": len(lits),
+        }
+        perm_np = np.arange(B, dtype=np.int64)
+        return self._assemble(block, perm_np, delta_np, len_s, None,
+                              None, None)
+
     def encode_block(self, block: ReadBlock) -> EncodedBlock:
         return self.assemble(block, self.encode_device(block))
 
     def encode_device_pair(self, b1: ReadBlock, b2: ReadBlock,
                            pre1=None, pre2=None):
         cfg = self.cfg
+        if self.long_mode:
+            return ("long",), ("long",)
         if self.host_core:
             return ("hc",), ("hc",)
         out1 = self.encode_device(b1, pre=pre1)
@@ -852,6 +894,9 @@ class BlockEncoder:
     def assemble_pair(self, b1: ReadBlock, b2: ReadBlock, devout
                       ) -> Tuple[EncodedBlock, EncodedBlock]:
         out1, out2 = devout
+        if isinstance(out1[0], str) and out1[0] == "long":
+            # identity order on both mates keeps pairs line-synchronized
+            return self._assemble_long(b1), self._assemble_long(b2)
         if isinstance(out1[0], str) and out1[0] == "hc":
             from scalce_tpu import native
             n = b1.n_reads

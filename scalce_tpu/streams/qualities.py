@@ -675,7 +675,10 @@ def payload(enc: EncodedQuals, level: int = 6, backend: str = "gz") -> bytes:
         "dims": np.asarray([enc.B, enc.L, enc.T, enc.order], np.int64),
         "freq": enc.freq.astype(np.uint16),
         "states": enc.states,
-        "counts": enc.counts.astype(np.uint16),
+        # per-lane word counts are bounded by T: u16 except long-read
+        # mode's T = L > 65535 (container v5)
+        "counts": enc.counts.astype(np.uint16 if enc.T <= 65535
+                                    else np.uint32),
         "words": enc.words,
     }, deflate=("freq", "counts"), level=level, backend=backend)
 

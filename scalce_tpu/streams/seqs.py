@@ -331,7 +331,10 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         "n_lits": np.asarray([n_lits], np.int64),
         "pred_k": np.ascontiguousarray(delta["pred_k"][:n_reads]),
         "rc_bits": delta["rc_bits"][: (n_reads + 7) // 8],
-        "lengths": lengths[:n_reads].astype(np.uint16),
+        # u16 covers every short-read L; long-read mode (L > 65535,
+        # container v5) stores u32 — pack_arrays dtypes self-describe
+        "lengths": lengths[:n_reads].astype(
+            np.uint16 if mb.shape[1] * 8 <= 65535 else np.uint32),
         "exc_pos": exc_pos.astype(np.uint64),
         "exc_byte": exc_byte.astype(np.uint8),
         # permutation: fixed ceil(log2(n))-bit pack — a near-random

@@ -254,7 +254,8 @@ def test_format_doc_constants():
     assert container.MAGIC == b"SCLCTPU1"
     assert container.END_MAGIC == b"1UPTCLCS"
     assert container.VERSION == 4
-    assert container._READABLE_VERSIONS == (4,)
+    assert container.VERSION_LONG == 5
+    assert container._READABLE_VERSIONS == (4, 5)
     assert (container._CODEC_NONE, container._CODEC_ZLIB,
             container._CODEC_BZ2, container._CODEC_ZSTD) == (0, 1, 2, 3)
     assert container._CODEC_OF_BACKEND == {"no": 0, "gz": 1, "bz": 2,
@@ -269,4 +270,4 @@ def test_format_doc_constants():
     assert f"version {container.VERSION}" in doc
     assert re.search(r"version=4", doc)
     assert "0=raw, 1=zlib, 2=bzip2, 3=zstd" in doc
-    assert "_READABLE_VERSIONS = (4,)" in doc
+    assert "_READABLE_VERSIONS = (4, 5)" in doc
