@@ -126,54 +126,6 @@ def main() -> None:
     wall = min(walls)
     log(f"encode walls: {[round(w, 3) for w in walls]}")
 
-    # device-placement leg (VERDICT r2 #1: the round artifact must pin
-    # a TPU number, not just the host placement).  Smaller read count —
-    # the point is a tracked number, not a full-size run; the remote
-    # compile service makes the warm-up minutes-cold, so it gets its
-    # own budget and an off switch.
-    dev_gbps = 0.0
-    dev_walls = []
-    if placement == "host" and os.environ.get("BENCH_DEVICE", "1") != "0":
-        dev_budget = float(os.environ.get("BENCH_DEVICE_BUDGET", 1500))
-        # 8 blocks: the 3-stage pipeline needs >= 8 blocks in flight to
-        # reach steady state (same reason as the host leg's 16)
-        dev_reads = int(os.environ.get("BENCH_DEVICE_READS",
-                                       8 * block_reads))
-        dev_path = os.path.join(tmp, "dev.fastq")
-        if dev_reads == n_reads:
-            dev_payload = payload
-        else:
-            dev_payload = synth_fastq(dev_reads, 100, seed=42,
-                                      genome_len=1_000_000, n_rate=0.001)
-        with open(dev_path, "wb") as f:
-            f.write(dev_payload)
-
-        def run_dev():
-            cfg = Config(mode="compress", inputs=(dev_path,),
-                         output=os.path.join(tmp, "devout"),
-                         block_reads=block_reads, core_on_device=True)
-            t0 = time.monotonic()
-            driver.compress(cfg)
-            return time.monotonic() - t0
-
-        try:
-            log("device-placement warm-up (remote compile; minutes cold)")
-            t_dev0 = time.monotonic()
-            run_dev()
-            log(f"device warm-up took {time.monotonic() - t_dev0:.0f}s")
-            for i in range(2):
-                if time.monotonic() - t_dev0 > dev_budget:
-                    log("device leg over budget - stopping")
-                    break
-                log(f"timed device encode {i + 1}/2")
-                dev_walls.append(run_dev())
-            if dev_walls:
-                dev_gbps = len(dev_payload) / min(dev_walls) / 1e9
-                log(f"device walls: {[round(w, 3) for w in dev_walls]} "
-                    f"-> {dev_gbps:.4f} GB/s")
-        except Exception as e:      # no device / dead tunnel: host
-            log(f"device leg unavailable: {e}")     # number still stands
-
     budget = float(os.environ.get("BENCH_TIME_BUDGET", 480))
     dec_wall = 0.0
     if time.monotonic() - t_start < budget:
@@ -194,6 +146,64 @@ def main() -> None:
         log(f"decode walls: {[round(w, 3) for w in dec_walls]}")
     else:
         log("over time budget - skipping decode timing")
+
+    # device-placement leg (VERDICT r2 #1: the round artifact must pin
+    # a TPU number, not just the host placement).  Runs AFTER the host
+    # timing legs and in a SUBPROCESS: initializing the axon backend
+    # in-process spawns connection threads that compete for the 4 host
+    # cores during timed windows (observed 31-64s decode walls vs 2.5s
+    # clean — the exact contamination CLAUDE.md's bench contract
+    # forbids).  Own budget; off switch BENCH_DEVICE=0.
+    dev_gbps = 0.0
+    dev_walls = []
+    if placement == "host" and os.environ.get("BENCH_DEVICE", "1") != "0":
+        import subprocess
+        dev_budget = float(os.environ.get("BENCH_DEVICE_BUDGET", 1500))
+        # 8 blocks: the 3-stage pipeline needs >= 8 blocks in flight to
+        # reach steady state (same reason as the host leg's 16)
+        dev_reads = int(os.environ.get("BENCH_DEVICE_READS",
+                                       8 * block_reads))
+        dev_path = os.path.join(tmp, "dev.fastq")
+        if dev_reads == n_reads:
+            dev_payload = payload
+        else:
+            dev_payload = synth_fastq(dev_reads, 100, seed=42,
+                                      genome_len=1_000_000, n_rate=0.001)
+        with open(dev_path, "wb") as f:
+            f.write(dev_payload)
+        child = f"""
+import json, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from scalce_tpu.config import Config
+from scalce_tpu.pipeline import driver
+walls = []
+t_all = time.monotonic()
+for i in range(3):
+    cfg = Config(mode="compress", inputs=({dev_path!r},),
+                 output={os.path.join(tmp, "devout")!r},
+                 block_reads={block_reads}, core_on_device=True)
+    t0 = time.monotonic()
+    driver.compress(cfg)
+    walls.append(time.monotonic() - t0)
+    if time.monotonic() - t_all > {dev_budget}:
+        break
+print(json.dumps(walls[1:] or walls))
+"""
+        try:
+            log("device-placement leg (subprocess; remote compile can "
+                "be minutes cold)")
+            r = subprocess.run([sys.executable, "-c", child],
+                               capture_output=True, text=True,
+                               timeout=dev_budget + 300)
+            if r.returncode == 0:
+                dev_walls = json.loads(r.stdout.strip().splitlines()[-1])
+                dev_gbps = len(dev_payload) / min(dev_walls) / 1e9
+                log(f"device walls: {[round(w, 3) for w in dev_walls]} "
+                    f"-> {dev_gbps:.4f} GB/s")
+            else:
+                log(f"device leg failed: {r.stderr[-500:]}")
+        except Exception as e:      # no device / dead tunnel: the host
+            log(f"device leg unavailable: {e}")     # number still stands
     log("done")
 
     log("measuring gzip-class reference proxy")

@@ -40,12 +40,12 @@ MAGIC = b"SCLCTPU1"
 END_MAGIC = b"1UPTCLCS"
 #: bumped on any change to payload SEMANTICS, not just framing (v2:
 #: qualities stored in original orientation for rc reads; v3: zstd
-#: array codec added — v2 files remain readable)
-VERSION = 4            # v4: order-1 quality contexts use full prev1
-#: long-read mode (max_read_len > 32752): wide (u32) length/count
-#: fields, no delta/reorder — stamped v5 so a strictly-v4 reader
-#: rejects instead of guessing
-VERSION_LONG = 5
+#: array codec added; v4: order-1 quality contexts use full prev1;
+#: v5: order-3 quality contexts may appear (auto-trial), and long-read
+#: mode (max_read_len > 32752) stores wide u32 length/count fields —
+#: a strictly-v4 reader must reject these instead of misreporting a
+#: valid file as corrupt)
+VERSION = 5
 _READABLE_VERSIONS = (4, 5)  # v<=3 used a different quality context
                              # map — decoding them with this code would
                              # silently corrupt, so reject them
@@ -152,10 +152,8 @@ class StreamWriter:
         self.path = path
         self._f = open(path, "wb")
         meta_json = json.dumps(meta, sort_keys=True).encode()
-        ver = VERSION_LONG if meta.get("max_read_len", 0) > 32752 \
-            else VERSION
         self._f.write(MAGIC)
-        self._f.write(struct.pack("<H", ver))
+        self._f.write(struct.pack("<H", VERSION))
         self._f.write(kind.encode())
         self._f.write(b"\0")
         self._f.write(struct.pack("<I", len(meta_json)))

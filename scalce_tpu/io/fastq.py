@@ -264,10 +264,18 @@ class _ReadAheadReader:
                     return
         except BaseException as e:
             self._err.append(e)
-            try:
-                self._q.put(b"", timeout=0.2)
-            except Exception:
-                pass
+            # the sentinel put must RETRY like the data puts: with the
+            # bounded queue full (the steady state under encode
+            # backpressure) a single timed put would drop the sentinel
+            # and leave the consumer blocked in q.get() forever —
+            # a corrupt .gz would HANG the CLI instead of raising
+            import queue as _q
+            while not self._stop.is_set():
+                try:
+                    self._q.put(b"", timeout=0.2)
+                    break
+                except _q.Full:
+                    continue
 
     def readinto(self, b) -> int:
         mv = memoryview(b)

@@ -405,6 +405,8 @@ def rans_encode_lanes(sym: np.ndarray, ctx: np.ndarray, freq: np.ndarray,
                                    np.ascontiguousarray(
                                        cum.reshape(-1).astype(np.uint32)),
                                    N, T, n_syms, states, wcounts, words_cat)
+    if total < 0:      # heap scratch alloc failed (long-read T)
+        raise MemoryError("rans_encode_lanes scratch allocation failed")
     return states, wcounts, words_cat[:total].copy()
 
 

@@ -244,11 +244,30 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
     return syms
 
 
-def eligible(order: int, T: int, L: int, N: int, backend: str) -> bool:
-    """Static shape/backend gate; the scan fallback is bit-identical."""
+#: VMEM budget for the eligibility estimate: ~16 MB/core on v5e, minus
+#: headroom for Mosaic's own staging
+_VMEM_BUDGET = 12 << 20
+
+
+def eligible(order: int, T: int, L: int, N: int, backend: str,
+             W: int = 0) -> bool:
+    """Static shape/backend gate; the scan fallback is bit-identical.
+
+    Bounds the kernel's VMEM footprint too — a legal-but-large config
+    (e.g. qual_T_target=8192) must fall back to the scan, not die in
+    the Mosaic compiler at runtime."""
     if not PALLAS_OK or backend != "tpu":
         return False
     if T % 8 or T // L < 1 or T % L:
         return False
     NT = min(_NT, N)
-    return N % NT == 0 and NT >= 128
+    if N % NT or NT < 128:
+        return False
+    R = _rows_per_bucket(order)
+    Rpad = _round_up(R, 128)
+    k = T // L
+    Wp = max(128, W)
+    # double-buffered in/out tiles + table + scratch, all i32/f32
+    vmem = 2 * 4 * (T * NT + Wp * NT + _n_buckets(order) * 128 * Rpad
+                    + k * NT) + 4 * 8 * NT
+    return vmem <= _VMEM_BUDGET

@@ -182,12 +182,13 @@ _decode_batch_pass = jax.jit(
     static_argnums=(4, 5, 6, 7))
 
 
-def _pallas_decode_ok(order: int, T: int, L: int, N: int) -> bool:
+def _pallas_decode_ok(order: int, T: int, L: int, N: int,
+                      W: int = 0) -> bool:
     """Static gate for the Mosaic decode kernel (bit-identical scan
-    fallback off-TPU / for non-tileable shapes)."""
+    fallback off-TPU / for non-tileable or VMEM-oversized shapes)."""
     try:
         from scalce_tpu.ops import rans_decode_pallas as rdp
-        return rdp.eligible(order, T, L, N, jax.default_backend())
+        return rdp.eligible(order, T, L, N, jax.default_backend(), W=W)
     except Exception:  # pragma: no cover
         return False
 
@@ -229,7 +230,7 @@ def decode_batch_dispatch(encs, lengths_list):
     wmax = max((int(e.counts.max()) if len(e.counts) else 0) for e in encs)
     while W < wmax:
         W <<= 1
-    use_pallas = _pallas_decode_ok(e0.order, e0.T, e0.L, N)
+    use_pallas = _pallas_decode_ok(e0.order, e0.T, e0.L, N, W=W)
     words = np.zeros((D, N, W), np.uint16)
     luts = None if use_pallas else np.empty(
         (D, n_contexts(e0.order) * rans.M_TOTAL), np.uint32)
@@ -363,7 +364,7 @@ def decode(enc: EncodedQuals, lengths: np.ndarray) -> np.ndarray:
     counts64 = enc.counts.astype(np.int64)
     ragged_scatter(words_padded.reshape(-1),
                    np.arange(N, dtype=np.int64) * W, enc.words, counts64)
-    if _pallas_decode_ok(enc.order, enc.T, enc.L, N):
+    if _pallas_decode_ok(enc.order, enc.T, enc.L, N, W=W):
         from scalce_tpu.ops import rans_decode_pallas as rdp
         syms = rdp.decode_scan_pallas(
             jnp.asarray(enc.states)[None], jnp.asarray(words_padded)[None],

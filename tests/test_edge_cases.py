@@ -404,7 +404,7 @@ def test_long_read_mode_roundtrip_100kbp(tmp_path):
     with open(tmp_path / "o.00.scalcer", "rb") as f:
         f.seek(8)
         (ver,) = struct.unpack("<H", f.read(2))
-    assert ver == container.VERSION_LONG == 5
+    assert ver == container.VERSION == 5
     driver.decompress(Config(mode="decompress",
                              inputs=(str(tmp_path / "o.00.scalcen"),),
                              output=str(tmp_path / "d"), keep_order=True))
