@@ -159,6 +159,13 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 
+@partial(jax.jit, static_argnames=("B",))
+def _uniform_lengths(n_reads, l0, B: int) -> jnp.ndarray:
+    """u16 lengths vector for a uniform block from two scalars."""
+    return jnp.where(jnp.arange(B, dtype=jnp.int32) < n_reads,
+                     jnp.asarray(l0, jnp.uint16), jnp.uint16(0))
+
+
 def block_is_uniform(block: ReadBlock) -> bool:
     """Host-side check: every REAL read in the block has the same length
     (padding rows are excluded — their length is 0).  Gates the static
@@ -685,9 +692,18 @@ class BlockEncoder:
         if self.host_core or self.long_mode:
             return None
         B, L = block.seq.shape
+        if block_is_uniform(block):
+            # uniform block: synthesize lengths ON DEVICE from two
+            # scalars — the device path is link-bound (EXPERIMENTS.md
+            # §7) and this drops the u16 lengths upload entirely
+            len_dev = _uniform_lengths(block.n_reads,
+                                       int(block.lengths[0])
+                                       if block.n_reads else 0, B)
+        else:
+            len_dev = jnp.asarray(block.lengths.astype(np.uint16))
         pre = {
             "seq": jnp.asarray(_host_pack(block.seq)),
-            "len": jnp.asarray(block.lengths.astype(np.uint16)),
+            "len": len_dev,
             "exc": jnp.asarray(_pad_exc(block.exc_pos.astype(np.int32),
                                         B * L)),
         }

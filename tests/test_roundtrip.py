@@ -451,3 +451,37 @@ def test_delta_device_rejects_corrupt_chain(tmp_path):
     blob = container.pack_arrays(bad)
     with pytest.raises(ValueError):
         seqs_mod.parse(blob, B, L, delta_device=True)
+
+
+def test_driver_placement_identity_uniform_compact_wire(tmp_path):
+    """Uniform-length blocks take the compact hd wire format (u16 word
+    + 24-bit perm, device lengths synthesized from scalars) — bytes
+    must still match the host placement exactly."""
+    import glob
+    from scalce_tpu.pipeline import driver
+    payload = synth_fastq(3000, 100, seed=88, n_rate=0.01, rc_rate=0.3)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    outs = {}
+    for tag, place in (("dev", True), ("host", False)):
+        driver.compress(Config(mode="compress", inputs=(str(inp),),
+                               output=str(tmp_path / tag),
+                               block_reads=512, core_on_device=place))
+        outs[tag] = b"".join(
+            open(p, "rb").read()
+            for p in sorted(glob.glob(str(tmp_path / f"{tag}.*"))))
+    assert outs["dev"] == outs["host"]
+    # paired: both mates uniform exercises the mate-2 (u32) wire next
+    # to the mate-1 compact wire
+    p1 = tmp_path / "m1.fastq"
+    p2 = tmp_path / "m2.fastq"
+    p1.write_bytes(synth_fastq(1024, 100, seed=90, mate=1))
+    p2.write_bytes(synth_fastq(1024, 100, seed=90, mate=2))
+    for tag, place in (("pdev", True), ("phost", False)):
+        driver.compress(Config(mode="compress", inputs=(str(p1), str(p2)),
+                               paired=True, output=str(tmp_path / tag),
+                               block_reads=512, core_on_device=place))
+        outs[tag] = b"".join(
+            open(p, "rb").read()
+            for p in sorted(glob.glob(str(tmp_path / f"{tag}.*"))))
+    assert outs["pdev"] == outs["phost"]
