@@ -266,6 +266,17 @@ class ShardedEncoder:
             self._stage_cache[key] = self._mk_stage2(uniform)
         return self._stage_cache[key]
 
+    def upload_group(self, blocks):
+        """H2D uploads for one full group, runnable one group AHEAD of
+        dispatch on a background thread (same overlap the single-device
+        driver gets from BlockEncoder.upload — the stacked seq image is
+        the dominant transfer on narrow links).  Returns None for tail
+        groups (they take the per-block fallback path)."""
+        if len(blocks) != self.D:
+            return None
+        return self._stack_blocks(blocks,
+                                  with_qual=self.cfg.qual_on_device)
+
     def _stack_blocks(self, blocks, with_qual: bool):
         B, L = blocks[0].seq.shape
         seq = np.stack([b.seq for b in blocks])
@@ -285,13 +296,14 @@ class ShardedEncoder:
     # the driver runs dispatches on its main thread and assembles on the
     # worker pool, so the DP path pipelines like the single-device one
 
-    def encode_device(self, blocks):
+    def encode_device(self, blocks, pre=None):
         """Async device dispatch for a full group of D blocks."""
         from scalce_tpu.pipeline.encode import block_is_uniform
         assert len(blocks) == self.D
         uni = all(block_is_uniform(b) for b in blocks)
         if not self.cfg.qual_on_device:
-            stacked = self._stack_blocks(blocks, with_qual=False)
+            stacked = pre if pre is not None else \
+                self._stack_blocks(blocks, with_qual=False)
             if self._host_delta:
                 bufs, perms = self._stage1(uni)(*stacked,
                                                 self._fallback.rank_lut)
@@ -304,7 +316,8 @@ class ShardedEncoder:
                                                    self._fallback.rank_lut)
             return (perm, delta, len_s, None, None, None,
                     None, None, None, None)
-        stacked = self._stack_blocks(blocks, with_qual=True)
+        stacked = pre if pre is not None else \
+            self._stack_blocks(blocks, with_qual=True)
         perm, delta, len_s, sym, ctx, counts = self._stage1(uni)(
             *stacked, self._qual_map, self._fallback.rank_lut)
         freqs, states, words, wcounts = self._qenc(sym, ctx, counts)
@@ -353,14 +366,15 @@ class ShardedEncoder:
     # -- paired-end: mate 1 defines each block's permutation; the
     # mate-2 stage follows it (BASELINE.json configs 2+4 jointly)
 
-    def encode_device_pair(self, pairs):
+    def encode_device_pair(self, pairs, pre1=None, pre2=None):
         from scalce_tpu.pipeline.encode import block_is_uniform
         b1s = [p[0] for p in pairs]
         b2s = [p[1] for p in pairs]
-        out1 = self.encode_device(b1s)
+        out1 = self.encode_device(b1s, pre=pre1)
         uni2 = all(block_is_uniform(b) for b in b2s)
         if not self.cfg.qual_on_device:
-            stacked2 = self._stack_blocks(b2s, with_qual=False)
+            stacked2 = pre2 if pre2 is not None else \
+                self._stack_blocks(b2s, with_qual=False)
             if self._host_delta:
                 perms = out1[2]
                 bufs2 = self._stage2(uni2)(*stacked2,
@@ -378,7 +392,8 @@ class ShardedEncoder:
             return out1, (perm, delta2, len2, None, None, None,
                           None, None, None, None)
         perm = out1[0]
-        stacked2 = self._stack_blocks(b2s, with_qual=True)
+        stacked2 = pre2 if pre2 is not None else \
+            self._stack_blocks(b2s, with_qual=True)
         delta2, len2, sym2, ctx2, counts2 = self._stage2(uni2)(
             *stacked2, perm.astype(jnp.int32), self._qual_map,
             self._fallback.rank_lut)

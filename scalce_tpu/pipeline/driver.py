@@ -266,23 +266,32 @@ def _run_sharded(cfg: Config, blocks: Iterator, qual_map, emit,
         if group:
             yield group
 
+    # group-upload prefetch: the next group's stacked H2D stays in
+    # flight while the current group computes (same overlap the
+    # single-device path gets from BlockEncoder.upload)
     if paired:
-        enc_dev = (lambda g: senc.encode_device_pair(g)
-                   if len(g) == senc.D else None)
-        asm = (lambda g, d: senc.assemble_pair(g, d) if d is not None
-               else [senc._fallback.encode_block_pair(*p) for p in g])
+        uploaded = ((g, senc.upload_group([p[0] for p in g]),
+                     senc.upload_group([p[1] for p in g]))
+                    for g in groups())
+        enc_dev = (lambda it: senc.encode_device_pair(it[0], pre1=it[1],
+                                                      pre2=it[2])
+                   if len(it[0]) == senc.D else None)
+        asm = (lambda it, d: senc.assemble_pair(it[0], d)
+               if d is not None
+               else [senc._fallback.encode_block_pair(*p) for p in it[0]])
     else:
-        enc_dev = (lambda g: senc.encode_device(g)
-                   if len(g) == senc.D else None)
-        asm = (lambda g, d: senc.assemble(g, d) if d is not None
-               else [senc._fallback.encode_block(b) for b in g])
+        uploaded = ((g, senc.upload_group(g)) for g in groups())
+        enc_dev = (lambda it: senc.encode_device(it[0], pre=it[1])
+                   if len(it[0]) == senc.D else None)
+        asm = (lambda it, d: senc.assemble(it[0], d) if d is not None
+               else [senc._fallback.encode_block(b) for b in it[0]])
 
     def emit_group(ebs):
         for eb in ebs:
             emit(eb)
 
-    _run_pipelined(groups(), enc_dev, asm, emit_group, cfg.threads,
-                   stage_s)
+    _run_pipelined(_prefetch(uploaded, depth=2), enc_dev, asm, emit_group,
+                   cfg.threads, stage_s)
 
 
 def _host_output(cfg: Config):
