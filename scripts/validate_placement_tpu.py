@@ -60,11 +60,14 @@ def main():
         # sides of the quality-placement comparison.
         _run("host-q1", ["--core-placement", "host", "--qual-order", "1",
                          "-o", str(d / "h1")] + base)
-        # core placement stays HOST here so a q1 != h1 mismatch isolates
-        # the quality codec placement (ADVICE r2: with core also on
-        # device, a core regression would masquerade as a quality one).
+        # ADVICE r2 asked for host core here to isolate the quality
+        # placement, but config forbids host-core + device-qual (the
+        # host-core path requires host-placed qualities/delta), so the
+        # isolation comes from ORDERING instead: the h==c assertion
+        # below runs first, so a q1 mismatch with c validated means the
+        # quality codec placement — not the core — regressed.
         _run("dev-qual", ["--qual-device", "--qual-order", "1",
-                          "--core-placement", "host",
+                          "--core-placement", "device",
                           "-o", str(d / "q1")] + base)
         sums = {}
         for tag in ("h", "c", "h1", "q1"):
