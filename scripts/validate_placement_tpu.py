@@ -81,8 +81,26 @@ def main():
         assert sums["h"] == sums["c"], f"CORE PLACEMENT MISMATCH: {sums}"
         assert sums["h1"] == sums["q1"], \
             f"QUALITY PLACEMENT MISMATCH: {sums}"
-        print("PLACEMENT IDENTITY OK on", jax.default_backend(),
-              flush=True)
+        # decode placements (round 3): host walk vs pointer-doubling
+        # delta reconstruction vs the Mosaic quality decode kernel —
+        # all three must emit the same FASTQ from the same container
+        _run("dec-host", ["-d", "--keep-order",
+                          "-o", str(d / "dec_h"),
+                          str(d / "h.00.scalcen")])
+        _run("dec-delta-dev", ["-d", "--keep-order", "--delta-device",
+                               "-o", str(d / "dec_dd"),
+                               str(d / "h.00.scalcen")])
+        _run("dec-qual-dev", ["-d", "--keep-order", "--qual-device",
+                              "-o", str(d / "dec_qd"),
+                              str(d / "h.00.scalcen")])
+        ref = (d / "dec_h.fastq").read_bytes()
+        assert ref == inp.read_bytes(), "DECODE != INPUT under keep-order"
+        assert (d / "dec_dd.fastq").read_bytes() == ref, \
+            "DELTA-DEVICE DECODE MISMATCH"
+        assert (d / "dec_qd.fastq").read_bytes() == ref, \
+            "QUAL-DEVICE DECODE MISMATCH"
+        print("PLACEMENT IDENTITY OK (encode x4, decode x3) on",
+              jax.default_backend(), flush=True)
 
 
 if __name__ == "__main__":
