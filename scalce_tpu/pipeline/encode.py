@@ -684,21 +684,27 @@ class BlockEncoder:
 
         The driver's upload prefetcher calls this one block AHEAD of
         dispatch so the tunnel transfer (~100 ms/block at ~33 MB/s for
-        the packed seq + lengths + exceptions) overlaps the previous
-        block's device compute instead of serializing in front of it
-        (VERDICT r2 #1: double-buffer H2D the way D2H already uses
+        the packed seq + exceptions) overlaps the previous block's
+        device compute instead of serializing in front of it (VERDICT
+        r2 #1: double-buffer H2D the way D2H already uses
         ``copy_to_host_async``).  Safe because device buffers are
-        immutable and jit dispatch order stays on the main thread."""
+        immutable and the stage jits order themselves through data
+        dependencies on these uploads."""
         if self.host_core or self.long_mode:
             return None
         B, L = block.seq.shape
         if block_is_uniform(block):
             # uniform block: synthesize lengths ON DEVICE from two
             # scalars — the device path is link-bound (EXPERIMENTS.md
-            # §7) and this drops the u16 lengths upload entirely
+            # §7) and this drops the u16 lengths upload entirely.
+            # _uniform_lengths is one extra (tiny) remote-compile unit
+            # per process, traded for ~0.26 MB/block forever; note it
+            # also means this prefetch thread dispatches a jit, so
+            # device work is no longer dispatched solely from the main
+            # thread (harmless: jit results are immutable and stage
+            # order is fixed by data dependencies).
             len_dev = _uniform_lengths(block.n_reads,
-                                       int(block.lengths[0])
-                                       if block.n_reads else 0, B)
+                                       int(block.lengths[0]), B)
         else:
             len_dev = jnp.asarray(block.lengths.astype(np.uint16))
         pre = {

@@ -185,6 +185,30 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
     return out.tobytes()
 
 
+def bgzf_compress(payload: bytes, block: int = 60000) -> bytes:
+    """Minimal BGZF writer (bgzip-compatible): one gzip member per
+    <=block-byte slice, FEXTRA BC subfield = total member size - 1,
+    plus the 28-byte BGZF EOF marker.  Used by tests and the fuzz soak
+    to exercise the parallel member-inflate input path."""
+    import struct
+    import zlib as _z
+    out = bytearray()
+    for off in range(0, len(payload), block):
+        chunk = payload[off:off + block]
+        c = _z.compressobj(6, _z.DEFLATED, -15)
+        body = c.compress(chunk) + c.flush()
+        bsize = len(body) + 12 + 6 + 8     # hdr + xtra + crc/isize
+        out += b"\x1f\x8b\x08\x04" + b"\0" * 6
+        out += struct.pack("<H", 6) + b"BC" + struct.pack("<HH", 2,
+                                                          bsize - 1)
+        out += body
+        out += struct.pack("<II", _z.crc32(chunk),
+                           len(chunk) & 0xFFFFFFFF)
+    out += bytes.fromhex("1f8b08040000000000ff0600424302001b0003000000"
+                         "000000000000")
+    return bytes(out)
+
+
 def synth_pair(n_reads: int, read_len: int = 100, *, seed: int = 0,
                **kw) -> Tuple[bytes, bytes]:
     """A paired-end FASTQ pair with mate-consistent naming."""

@@ -1,10 +1,11 @@
 """Extended round-trip fuzz soak (not in CI — run by hand / end of
 round): like tests/test_fuzz.py but across a much wider config cross
 product, including the round-3 surfaces (order 3 + auto, delta-device
-decode, gz/BGZF inputs, long-read mode, keep-order both ways).
+decode, single-member gzip AND BGZF inputs, long-read mode,
+keep-order both ways).
 
 Usage: JAX_PLATFORMS=cpu python scripts/fuzz_soak.py [n_trials [seed0]]
-Prints one line per failure; exit code = number of failures.
+Prints one line per failure; exit code 1 if anything failed.
 """
 import gzip
 import os
@@ -18,7 +19,7 @@ import numpy as np
 
 from scalce_tpu.config import Config
 from scalce_tpu.pipeline import driver
-from scalce_tpu.utils.synth import synth_fastq, synth_pair
+from scalce_tpu.utils.synth import bgzf_compress, synth_fastq, synth_pair
 
 
 def one_trial(trial: int, td: pathlib.Path) -> None:
@@ -51,7 +52,9 @@ def one_trial(trial: int, td: pathlib.Path) -> None:
     dev_delta = bool(trial % 5 == 2) and not long_mode
 
     if paired:
-        a, b = synth_pair(n, read_len, seed=trial)
+        pkw = {k: v for k, v in kw.items()
+               if k not in ("seed", "name_style")}
+        a, b = synth_pair(n, read_len, seed=trial, **pkw)
         p1, p2 = td / "1.fq", td / "2.fq"
         p1.write_bytes(a)
         p2.write_bytes(b)
@@ -73,10 +76,13 @@ def one_trial(trial: int, td: pathlib.Path) -> None:
 
     payload = synth_fastq(n, read_len, **kw)
     inp = td / "in.fastq"
-    gz_mode = trial % 6 == 3
-    if gz_mode:
+    if trial % 6 == 3:                 # single-member gzip input
         inp = td / "in.fastq.gz"
         inp.write_bytes(gzip.compress(payload, 1))
+    elif trial % 6 == 5 and not long_mode:   # BGZF input
+        inp = td / "in.fastq.gz"
+        inp.write_bytes(bgzf_compress(
+            payload, block=int(rng.integers(2000, 65000))))
     else:
         inp.write_bytes(payload)
     driver.compress(Config(mode="compress", inputs=(str(inp),),
@@ -109,7 +115,7 @@ def main() -> int:
             print(f"[{trial + 1}/{n_trials}] ok so far: "
                   f"{trial + 1 - fails}", flush=True)
     print(f"done: {n_trials - fails}/{n_trials} passed", flush=True)
-    return fails
+    return 1 if fails else 0           # raw counts wrap mod 256
 
 
 if __name__ == "__main__":

@@ -453,10 +453,11 @@ def test_delta_device_rejects_corrupt_chain(tmp_path):
         seqs_mod.parse(blob, B, L, delta_device=True)
 
 
-def test_driver_placement_identity_uniform_compact_wire(tmp_path):
-    """Uniform-length blocks take the compact hd wire format (u16 word
-    + 24-bit perm, device lengths synthesized from scalars) — bytes
-    must still match the host placement exactly."""
+def test_driver_placement_identity_uniform_blocks(tmp_path):
+    """Uniform-length blocks synthesize their device lengths from two
+    scalars instead of uploading them — bytes must still match the
+    host placement exactly.  (The compact 5-byte hd wire this test
+    once pinned was reverted — EXPERIMENTS.md §7.)"""
     import glob
     from scalce_tpu.pipeline import driver
     payload = synth_fastq(3000, 100, seed=88, n_rate=0.01, rc_rate=0.3)
@@ -471,8 +472,8 @@ def test_driver_placement_identity_uniform_compact_wire(tmp_path):
             open(p, "rb").read()
             for p in sorted(glob.glob(str(tmp_path / f"{tag}.*"))))
     assert outs["dev"] == outs["host"]
-    # paired: both mates uniform exercises the mate-2 (u32) wire next
-    # to the mate-1 compact wire
+    # paired: both mates uniform exercises the mate-2 wire next to
+    # the mate-1 wire with synthesized lengths on both
     p1 = tmp_path / "m1.fastq"
     p2 = tmp_path / "m2.fastq"
     p1.write_bytes(synth_fastq(1024, 100, seed=90, mate=1))
