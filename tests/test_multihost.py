@@ -152,3 +152,25 @@ def test_three_host_lossy_output_byte_identical(tmp_path):
                               n_hosts=n_hosts, **base))
     assert _triplet_bytes(tmp_path, "one") == \
         _triplet_bytes(tmp_path, "multi")
+
+
+def test_multihost_plus_data_parallel_byte_identical(tmp_path):
+    """BASELINE.json config 5's shape in miniature: every host runs
+    --data-parallel over its local (virtual 8-device) mesh AND the
+    hosts split blocks by id; the merged output must still be
+    byte-identical to a plain single-host single-device run."""
+    payload = synth_fastq(9000, 100, seed=55, var_len=True, n_rate=0.002,
+                          rc_rate=0.4)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    base = dict(mode="compress", inputs=(str(inp),), block_reads=1 << 9)
+    driver.compress(Config(output=str(tmp_path / "one"), **base))
+    n_hosts = 2
+    for h in range(n_hosts):
+        driver.compress(Config(output=str(tmp_path / "dp"),
+                               n_hosts=n_hosts, host_id=h,
+                               data_parallel=True, **base))
+    driver.merge_hosts(Config(output=str(tmp_path / "dp"),
+                              n_hosts=n_hosts, **base))
+    assert _triplet_bytes(tmp_path, "one") == \
+        _triplet_bytes(tmp_path, "dp")
