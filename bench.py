@@ -178,7 +178,7 @@ from scalce_tpu.config import Config
 from scalce_tpu.pipeline import driver
 walls = []
 t_all = time.monotonic()
-for i in range(3):
+for i in range(4):    # 1 warm-up + 3 timed: the tunnel swings 2-4x
     cfg = Config(mode="compress", inputs=({dev_path!r},),
                  output={os.path.join(tmp, "devout")!r},
                  block_reads={block_reads}, core_on_device=True)
