@@ -238,19 +238,23 @@ def _encode_mask_rans(mb: np.ndarray, backend: str):
             words)
 
 
-def _decode_mask_rans(a: Dict[str, np.ndarray], nb: int) -> np.ndarray:
+def _decode_mask_rans(a: Dict[str, np.ndarray], nb: int,
+                      prefix: str = "mask") -> np.ndarray:
+    """Decode one order-1 byte-context rANS stream (``prefix`` selects
+    the field family: mask, shv, pkv — all share the mask coder's
+    engine and lane layout)."""
     from scalce_tpu.models import entropy
-    freq = a["mask_freq"].astype(np.uint32)
+    freq = a[f"{prefix}_freq"].astype(np.uint32)
     if freq.size != _MASK_CTX * 256:
-        raise ValueError("corrupt .scalcer block: bad mask freq table")
+        raise ValueError(f"corrupt .scalcer block: bad {prefix} freq table")
     N = (nb + _T_MASK - 1) // _T_MASK
-    states = a["mask_states"]
-    wcounts = a["mask_counts"].astype(np.int64)
-    words = a["mask_words"]
+    states = a[f"{prefix}_states"]
+    wcounts = a[f"{prefix}_counts"].astype(np.int64)
+    words = a[f"{prefix}_words"]
     if states.ndim != 1 or states.shape[0] != N or wcounts.shape[0] != N:
-        raise ValueError("corrupt .scalcer block: mask lane mismatch")
+        raise ValueError(f"corrupt .scalcer block: {prefix} lane mismatch")
     if int(wcounts.sum()) != words.shape[0] or (wcounts > _T_MASK).any():
-        raise ValueError("corrupt .scalcer block: mask word mismatch")
+        raise ValueError(f"corrupt .scalcer block: {prefix} word mismatch")
     cum = entropy.freq_to_cum(freq.reshape(_MASK_CTX, 256))
     if _NATIVE and hasattr(_native, "rans_decode_mask"):
         lut = _native.build_flat_lut(freq, cum, _MASK_CTX, 256)
@@ -320,6 +324,36 @@ def _pack2bit_np(codes: np.ndarray) -> np.ndarray:
     return (grouped << shifts).sum(axis=1, dtype=np.uint32)
 
 
+def _zigzag16(x: np.ndarray) -> np.ndarray:
+    xi = x.astype(np.int32)
+    return (((xi << 1) ^ (xi >> 15)) & 0xFFFF).astype(np.uint16)
+
+
+def _unzigzag16(z: np.ndarray) -> np.ndarray:
+    zi = z.astype(np.uint16).astype(np.int32)
+    return ((zi >> 1) ^ -(zi & 1)).astype(np.int16)
+
+
+def _try_side_rans(arrays: Dict[str, np.ndarray], prefix: str,
+                   stream: np.ndarray, backend: str) -> bool:
+    """Per-block trial of the order-1 byte rANS (the mask coder's
+    engine) for a small delta side-stream; on a win the four coder
+    fields replace the raw array (mode recorded in ``{prefix}_mode``).
+    The shifts/pred_k streams sit ~30% above their entropy under the
+    generic backend on coverage-bearing data (measured round 3)."""
+    enc = _encode_mask_rans(np.ascontiguousarray(stream), backend)
+    if enc is None:
+        arrays[f"{prefix}_mode"] = np.asarray([0], np.uint8)
+        return False
+    freq, states, wcounts, words = enc
+    arrays[f"{prefix}_mode"] = np.asarray([1], np.uint8)
+    arrays[f"{prefix}_freq"] = freq
+    arrays[f"{prefix}_states"] = states
+    arrays[f"{prefix}_counts"] = wcounts
+    arrays[f"{prefix}_words"] = words
+    return True
+
+
 def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             exc_pos: np.ndarray, exc_byte: np.ndarray,
             perm: np.ndarray, level: int = 6, backend: str = "gz") -> bytes:
@@ -368,6 +402,23 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             padded = np.zeros(((n_lits + 15) // 16) * 16, np.uint8)
             padded[:n_lits] = lits[:n_lits]
             arrays["lit_packed"] = _pack2bit_np(padded)
+    # delta side-streams: the same order-1 byte rANS, per-block trial
+    # (shifts as zig-zag lo-plane + hi-plane so the prev-byte context
+    # sees the information-bearing bytes as one run; ~30% under the
+    # generic backend on coverage-bearing data, measured round 3)
+    arrays.pop("shifts")
+    zz = _zigzag16(np.ascontiguousarray(delta["shifts"][:n_reads]))
+    sh_stream = np.concatenate([(zz & 0xFF).astype(np.uint8),
+                                (zz >> 8).astype(np.uint8)])
+    if not _try_side_rans(arrays, "shv", sh_stream, backend):
+        # even when rANS loses, the plane-split zig-zag image deflates
+        # ~25% smaller than the raw i16 (92.6 vs 122.2 KB/block
+        # measured) — store the planes, not the legacy array
+        arrays["shv_planes"] = sh_stream
+    pk = arrays.pop("pred_k")
+    if not _try_side_rans(arrays, "pkv",
+                          pk.astype(np.uint8, copy=False), backend):
+        arrays["pred_k"] = pk
     # copy-mask bytes: per-block trial of order-1 byte-context rANS vs
     # the generic backend (same pattern as the literal stream)
     menc = _encode_mask_rans(mb.reshape(-1), backend)
@@ -393,6 +444,9 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
     return container.pack_arrays(
         arrays, deflate={"mask_bits": 3, "mask_freq": 3,
                          "mask_counts": 3, "shifts": 3, "pred_k": 3,
+                         "shv_freq": 3, "shv_counts": 3,
+                         "shv_planes": 3,
+                         "pkv_freq": 3, "pkv_counts": 3,
                          "rc_bits": 3, "lengths": 3, "exc_pos": 3,
                          "exc_byte": 3, "perm_pk": 1},
         level=level, backend=backend)
@@ -420,6 +474,24 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
         if pk is None or pk.ndim != 1 or pk.shape[0] < (n * k + 7) // 8:
             raise ValueError("corrupt .scalcer block: permutation short")
         a["perm"] = _bitunpack_u32(pk, n, k)
+    if "shifts" not in a:                  # zig-zag plane shifts (shv)
+        if int(a["shv_mode"][0]) if "shv_mode" in a else 0:
+            sb = _decode_mask_rans(a, 2 * n, prefix="shv")
+        elif "shv_planes" in a:
+            sb = a["shv_planes"]
+            if sb.ndim != 1 or sb.shape[0] < 2 * n:
+                raise ValueError("corrupt .scalcer block: shifts planes "
+                                 "short")
+        else:
+            raise ValueError("corrupt .scalcer block: shifts missing")
+        zz = (sb[:n].astype(np.uint16)
+              | (sb[n:2 * n].astype(np.uint16) << 8))
+        a["shifts"] = _unzigzag16(zz)
+    if "pred_k" not in a:                  # rANS-coded pred_k (pkv)
+        if int(a["pkv_mode"][0]) if "pkv_mode" in a else 0:
+            a["pred_k"] = _decode_mask_rans(a, n, prefix="pkv")
+        else:
+            raise ValueError("corrupt .scalcer block: pred_k missing")
     if "mask_bits" not in a:               # rANS-coded masks (mode 1)
         if int(a["mask_mode"][0]) if "mask_mode" in a else 0:
             for fld in ("mask_freq", "mask_states", "mask_counts",

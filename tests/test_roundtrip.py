@@ -444,10 +444,12 @@ def test_delta_device_rejects_corrupt_chain(tmp_path):
     a = container.unpack_arrays(payloads["r"])
     B = int(reader.meta["block_reads"])
     L = int(reader.meta["max_read_len"])
+    n = int(a["n_reads"][0])
     # corrupt: a shift that sends a masked copy out of the row
-    bad = dict(a)
-    bad["shifts"] = a["shifts"].copy()
-    bad["shifts"][:] = L - 1
+    # (written as the LEGACY raw-i16 array, which parse still accepts)
+    bad = {k: v for k, v in a.items()
+           if not k.startswith("shv")}
+    bad["shifts"] = np.full(n, L - 1, np.int16)
     blob = container.pack_arrays(bad)
     with pytest.raises(ValueError):
         seqs_mod.parse(blob, B, L, delta_device=True)
