@@ -270,3 +270,42 @@ def test_format_doc_constants():
     assert re.search(r"version=5", doc)
     assert "0=raw, 1=zlib, 2=bzip2, 3=zstd" in doc
     assert "_READABLE_VERSIONS = (4, 5)" in doc
+
+
+def test_corrupt_side_stream_rans_fields_raise(tmp_path):
+    """shv/pkv-coded blocks must validate lane/table sizes before the
+    native byte-rANS decode walks them (same contract as the mask
+    fields)."""
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+    from scalce_tpu.utils.synth import synth_fastq
+
+    payload = synth_fastq(2048, 100, seed=31, genome_len=20_000)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    driver.compress(Config(mode="compress", inputs=(str(inp),),
+                           output=str(tmp_path / "o"), block_reads=2048,
+                           core_on_device=False))
+    reader = container.TripletReader(str(tmp_path / "o.00.scalcen"))
+    (bid, payloads), = list(reader.iter_blocks())
+    a = container.unpack_arrays(payloads["r"])
+    B = int(reader.meta["block_reads"])
+    L = int(reader.meta["max_read_len"])
+    seqs.parse(container.pack_arrays(a), B, L)      # sanity: clean parses
+    assert "pkv_mode" in a
+    if int(a["pkv_mode"][0]) == 1:
+        for fld, cut in (("pkv_states", -1), ("pkv_counts", -1)):
+            bad = dict(a)
+            bad[fld] = a[fld][:cut]
+            with pytest.raises(ValueError):
+                seqs.parse(container.pack_arrays(bad), B, L)
+        bad = dict(a)
+        bad["pkv_freq"] = a["pkv_freq"][:-10]
+        with pytest.raises(ValueError):
+            seqs.parse(container.pack_arrays(bad), B, L)
+    # shifts planes: short plane array must raise, not stride OOB
+    if "shv_planes" in a:
+        bad = dict(a)
+        bad["shv_planes"] = a["shv_planes"][: 2 * 2048 - 7]
+        with pytest.raises(ValueError):
+            seqs.parse(container.pack_arrays(bad), B, L)
