@@ -101,9 +101,14 @@ class Config:
                                        #          A/B: EXPERIMENTS.md)
 
     # --- entropy coder shape -------------------------------------------
-    qual_T_target: int = 1024          # rANS lane span target (symbols per
+    qual_T_target: int = 2048          # rANS lane span target (symbols per
                                        # lane; lanes = B*L/T); larger T =
-                                       # less state overhead, longer scan
+                                       # less per-lane state/count
+                                       # overhead (1024->2048 saves
+                                       # ~39KB/131k-block, +0.6% overall
+                                       # ratio, measured) but a longer
+                                       # serial scan on the device
+                                       # decode placement
     qual_context_order: int = 0        # 0 = auto-select 1/2/3 per block
                                        # by trial table cost (host path);
                                        # 1/2/3 fixes the order (3 = fine

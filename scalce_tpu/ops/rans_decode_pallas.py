@@ -217,9 +217,9 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
                                     (0, 0)))
     states3 = states.reshape(D, 1, N)
 
-    NT = min(_NT, N)
-    if N % NT:
-        raise ValueError("decode_scan_pallas needs NT-divisible lanes")
+    NT = pick_nt(order, T, L, N, words_padded.shape[2])
+    if NT == 0:
+        raise ValueError("decode_scan_pallas: no lane tile fits VMEM")
     kernel = partial(_kernel, T=T, L=L, R=R, Rpad=Rpad, order=order)
     syms = pl.pallas_call(
         kernel,
@@ -249,6 +249,33 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
 _VMEM_BUDGET = 12 << 20
 
 
+def _vmem_bytes(order: int, T: int, L: int, NT: int, W: int) -> int:
+    R = _rows_per_bucket(order)
+    Rpad = _round_up(R, 128)
+    k = T // L
+    Wp = max(128, W)
+    # double-buffered in/out tiles + table + scratch, all i32/f32
+    return 2 * 4 * (T * NT + Wp * NT + _n_buckets(order) * 128 * Rpad
+                    + k * NT) + 4 * 8 * NT
+
+
+def pick_nt(order: int, T: int, L: int, N: int, W: int = 0) -> int:
+    """Largest lane tile that divides N and fits the VMEM budget —
+    longer lane spans (bigger T) shrink the tile instead of losing the
+    kernel.  Returns 0 if nothing fits.
+
+    The 128 floor is a hardware lane-width efficiency bound; tests
+    that patch ``_NT`` below it (interpret mode) lower the floor too."""
+    nt = min(_NT, N)
+    floor = min(128, _NT)
+    while nt >= floor:
+        if (N % nt == 0
+                and _vmem_bytes(order, T, L, nt, W) <= _VMEM_BUDGET):
+            return nt
+        nt //= 2
+    return 0
+
+
 def eligible(order: int, T: int, L: int, N: int, backend: str,
              W: int = 0) -> bool:
     """Static shape/backend gate; the scan fallback is bit-identical.
@@ -260,14 +287,4 @@ def eligible(order: int, T: int, L: int, N: int, backend: str,
         return False
     if T % 8 or T // L < 1 or T % L:
         return False
-    NT = min(_NT, N)
-    if N % NT or NT < 128:
-        return False
-    R = _rows_per_bucket(order)
-    Rpad = _round_up(R, 128)
-    k = T // L
-    Wp = max(128, W)
-    # double-buffered in/out tiles + table + scratch, all i32/f32
-    vmem = 2 * 4 * (T * NT + Wp * NT + _n_buckets(order) * 128 * Rpad
-                    + k * NT) + 4 * 8 * NT
-    return vmem <= _VMEM_BUDGET
+    return pick_nt(order, T, L, N, W) > 0

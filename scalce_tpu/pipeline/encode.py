@@ -457,21 +457,50 @@ _PROBE_THREAD = None
 _PROBE_LOCK = _threading.Lock()
 
 
+#: the probe measures in a SUBPROCESS: an in-process probe thread still
+#: mid-device-op at interpreter exit aborts the PJRT teardown
+#: ("terminate called ... FATAL: exception not rethrown" — observed
+#: flipping CLI exit codes to 134 after successful runs whenever the
+#: axon service answered slower than the run took).  A child process
+#: owns its own PJRT client; if it hangs past the deadline we kill it
+#: and nothing in the parent ever touched the device.
+_PROBE_CHILD_SRC = """
+import sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+payload = np.zeros(4 << 20, np.uint8)
+dev = jnp.asarray(payload)           # incl. lazy device init
+jax.block_until_ready(dev)
+t0 = time.monotonic()
+dev = jnp.asarray(payload)
+jax.block_until_ready(dev)
+np.asarray(dev)
+dt = max(time.monotonic() - t0, 1e-6)
+print((2 * len(payload) / dt) / 1e6)
+"""
+
+
 def _probe() -> None:
-    import time
+    import subprocess
+    import sys
     global _LINK_MBPS
+    proc = None
     try:
-        payload = np.zeros(4 << 20, np.uint8)
-        dev = jnp.asarray(payload)      # incl. lazy device init
-        jax.block_until_ready(dev)
-        t0 = time.monotonic()
-        dev = jnp.asarray(payload)
-        jax.block_until_ready(dev)
-        np.asarray(dev)
-        dt = max(time.monotonic() - t0, 1e-6)
-        mbps = (2 * len(payload) / dt) / 1e6
-    except Exception:                   # no device at all -> host
+        proc = subprocess.Popen([sys.executable, "-c", _PROBE_CHILD_SRC],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, text=True)
+        # generous hard cap: the parent-side deadline
+        # (_PROBE_DEADLINE_S) governs placement; this only bounds how
+        # long the background child may keep refining the cached value
+        out, _ = proc.communicate(timeout=120)
+        mbps = float(out.strip().splitlines()[-1])
+    except Exception:                   # no device / dead child -> host
         mbps = 0.0
+        if proc is not None:
+            try:
+                proc.kill()
+            except Exception:
+                pass
     _LINK_MBPS = mbps                   # cache for later encoders
 
 
