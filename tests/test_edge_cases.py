@@ -420,3 +420,19 @@ def test_long_read_mode_rejects_device_placements():
     with pytest.raises(ValueError, match="long-read"):
         Config(mode="compress", inputs=("x",), max_read_len=65536,
                block_reads=256, data_parallel=True)
+
+
+def test_link_probe_subprocess_smoke():
+    """The AUTO-placement link probe (now a subprocess so a stuck
+    device op can never abort the parent's PJRT teardown) must resolve
+    to a cached float and never raise."""
+    from scalce_tpu.pipeline import encode as enc_mod
+    enc_mod._LINK_MBPS = None          # force a fresh probe
+    enc_mod._PROBE_THREAD = None
+    enc_mod.start_link_probe()
+    v = enc_mod.device_link_mbps()
+    assert isinstance(v, float) and v >= 0.0
+    # second call returns the cached value without a new probe
+    t = enc_mod._PROBE_THREAD
+    assert enc_mod.device_link_mbps() == enc_mod.device_link_mbps()
+    assert enc_mod._PROBE_THREAD is t
