@@ -41,11 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max compressed bytes per part (e.g. 500M)")
     p.add_argument("-n", "--name-lib", default=None, metavar="LIB",
                    help="discard names; regenerate as LIB.N")
-    p.add_argument("--backend", choices=("zstd", "gz", "bz", "no"),
+    p.add_argument("-c", "--backend", choices=("zstd", "gz", "bz", "no"),
                    default="zstd",
-                   help="generic byte backend for payload arrays (gz/bz "
-                        "mirror the reference's output modes; zstd is "
-                        "the fast default)")
+                   help="generic byte backend for payload arrays; -c is "
+                        "the reference's spelling of its gz/bz/no output "
+                        "modes [REF: scalce.c -c flag — UNVERIFIED; "
+                        "SURVEY.md §1], zstd is the fast default")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard blocks over all local devices")
     p.add_argument("--n-hosts", type=int, default=1,

@@ -519,6 +519,13 @@ def _open_maybe_gz(path: str) -> IO[bytes]:
         # single-member: inflate on a read-ahead thread so the line
         # scan and parse overlap with it
         return _ReadAheadReader(_GzChunkReader(f))  # type: ignore
+    if magic[:3] == b"BZh":
+        # bzip2 input, mirroring the reference's buffio read modes
+        # [REF: scalce buffio.c gz/bz open — UNVERIFIED; SURVEY.md §2 L0].
+        # BZ2File decompresses serially; the read-ahead thread overlaps
+        # it with the line scan the same way as single-member gzip.
+        import bz2
+        return _ReadAheadReader(bz2.BZ2File(f))  # type: ignore
     return f
 
 

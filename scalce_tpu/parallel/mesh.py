@@ -309,7 +309,7 @@ class ShardedEncoder:
                                                 self._fallback.rank_lut)
                 try:
                     bufs.copy_to_host_async()
-                except Exception:
+                except (AttributeError, NotImplementedError):
                     pass
                 return ("hd", bufs, perms)
             perm, delta, len_s = self._stage1(uni)(*stacked,
@@ -382,7 +382,7 @@ class ShardedEncoder:
                                            self._fallback.rank_lut)
                 try:
                     bufs2.copy_to_host_async()
-                except Exception:
+                except (AttributeError, NotImplementedError):
                     pass
                 return out1, ("hd2", bufs2, perms)
             perm = out1[0]

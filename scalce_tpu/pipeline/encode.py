@@ -762,7 +762,7 @@ class BlockEncoder:
                 self.rank_lut, cfg.core_k, cfg.dict_seed, uniform=uni)
             try:
                 buf.copy_to_host_async()   # overlap D2H with later work
-            except Exception:
+            except (AttributeError, NotImplementedError):
                 pass
             return ("hd", buf, perm, None, None, None)
         if not cfg.qual_on_device:
@@ -920,7 +920,7 @@ class BlockEncoder:
                 cfg.core_k, cfg.dict_seed, uniform=uni2)
             try:
                 buf2.copy_to_host_async()
-            except Exception:
+            except (AttributeError, NotImplementedError):
                 pass
             return out1, ("hd", buf2)
         perm = out1[0]

@@ -254,3 +254,16 @@ def test_readahead_inflate_error_raises_not_hangs(tmp_path):
             if not r.readinto(buf):
                 break
     r.close()
+
+
+def test_bz2_input_roundtrip(tmp_path):
+    """bzip2 FASTQ input auto-detected by the BZh magic, mirroring the
+    reference's buffio bz read mode [REF: scalce buffio.c — UNVERIFIED;
+    SURVEY.md §2 L0]."""
+    import bz2 as _bz
+    payload = synth_fastq(800, 100, seed=11)
+    p = tmp_path / "in.fastq.bz2"
+    p.write_bytes(_bz.compress(payload, 9))
+    blocks = list(fastq.iter_blocks(str(p), 256, 128))
+    assert sum(b.n_reads for b in blocks) == 800
+    assert _rebuild(blocks) == payload

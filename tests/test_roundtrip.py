@@ -488,3 +488,21 @@ def test_driver_placement_identity_uniform_blocks(tmp_path):
             open(p, "rb").read()
             for p in sorted(glob.glob(str(tmp_path / f"{tag}.*"))))
     assert outs["pdev"] == outs["phost"]
+
+def test_cli_c_flag_is_backend_alias(tmp_path):
+    """``-c gz`` spells the reference's output-mode flag [REF: scalce.c
+    -c — UNVERIFIED; SURVEY.md §1] and must behave exactly like
+    ``--backend gz``."""
+    args = cli.build_parser().parse_args(["in.fq", "-c", "gz"])
+    assert args.backend == "gz"
+    payload = synth_fastq(600, 80, seed=77)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    rc = cli.main([str(inp), "-o", str(tmp_path / "o"), "-c", "gz",
+                   "--block-reads", "512"])
+    assert rc == 0
+    rc = cli.main(["-d", str(tmp_path / "o.00.scalceq"), "-o",
+                   str(tmp_path / "d"), "--block-reads", "512"])
+    assert rc == 0
+    got = (tmp_path / "d.fastq").read_bytes()
+    assert sorted(_records(got)) == sorted(_records(payload))
