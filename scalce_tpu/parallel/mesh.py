@@ -25,7 +25,12 @@ from scalce_tpu.streams import qualities
 
 
 def local_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devs = jax.devices()
+    # LOCAL devices only: blocks are sharded per host (each host encodes
+    # its strided share), so the DP mesh must never include another
+    # process's non-addressable devices — jax.devices() would, in a
+    # jax.distributed job, and shard_map over it needs global arrays
+    # this pipeline deliberately never builds.
+    devs = jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("data",))

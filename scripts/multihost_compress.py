@@ -28,6 +28,10 @@ def main() -> int:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--block-reads", type=int, default=1 << 17)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard this host's blocks over its LOCAL devices "
+                        "(mesh.local_mesh) on top of the cross-host "
+                        "strided split — config 5's full topology")
     p.add_argument("-p", "--lossy", type=int, default=0,
                    help="lossy quality percentage (every host samples "
                         "the same input prefix, so the quantization map "
@@ -45,6 +49,7 @@ def main() -> int:
     cfg = Config(mode="compress", inputs=tuple(args.inputs),
                  output=args.output, paired=args.paired,
                  block_reads=args.block_reads, lossy_pct=args.lossy,
+                 data_parallel=args.data_parallel,
                  n_hosts=topo.n_hosts, host_id=topo.host_id)
     stats = driver.compress(cfg)
     print(f"[multihost] host {topo.host_id}: {stats.n_blocks} blocks, "
