@@ -222,6 +222,24 @@ def rans_decode(states: jnp.ndarray, words_padded: jnp.ndarray,
 
 def context_histogram(sym: jnp.ndarray, ctx: jnp.ndarray,
                       n_ctx: int, n_syms: int) -> jnp.ndarray:
-    """Device scatter-add histogram of (ctx, sym) pairs -> i32 [n_ctx*n_syms]."""
+    """Device histogram of (ctx, sym) pairs -> i32 [n_ctx*n_syms].
+
+    On TPU the scatter-add is replaced by the Mosaic one-hot-matmul
+    kernel (ops/hist_pallas.py, bit-identical, pinned by test) — the
+    scatter was the last stage of the device quality encode still
+    paying the slow remote XLA compiler per fresh graph."""
     idx = (ctx * U32(n_syms) + sym).astype(I32)
+    if _hist_pallas_eligible(sym.shape[0], n_ctx * n_syms):
+        from scalce_tpu.ops import hist_pallas
+        return hist_pallas.histogram_pallas(idx, n_ctx * n_syms)
     return jnp.zeros(n_ctx * n_syms, dtype=I32).at[idx].add(1)
+
+
+def _hist_pallas_eligible(S: int, n_cells: int) -> bool:
+    """Static (trace-time) gate, same contract as _pallas_eligible."""
+    try:
+        from scalce_tpu.ops import hist_pallas
+        import jax as _jax
+        return hist_pallas.eligible(S, n_cells, _jax.default_backend())
+    except Exception:  # pragma: no cover
+        return False

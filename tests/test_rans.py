@@ -701,3 +701,53 @@ def test_auto_order_picks_3_on_fine_position_structure():
                    + 38, 2, 80).astype(np.uint8) + 33
     enc2 = qualities.encode_host(walk, lengths, order=0)
     assert enc2.order in (1, 2)
+
+
+def test_pallas_histogram_matches_scatter_add():
+    """The Mosaic one-hot-matmul histogram (VERDICT r3 #2) must be
+    bit-identical to the XLA `.at[].add` fallback (interpret mode on
+    CPU; compiled on TPU), including through the quality context model
+    at every order."""
+    from scalce_tpu.ops import hist_pallas
+    if not hist_pallas.PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(3)
+    # raw kernel vs bincount across awkward sizes (non-tile-multiple S,
+    # cells not a multiple of the lane factor, cells < one lane row)
+    for S, n_cells in [(10_000, 71_534), (16_384, 285_854), (777, 94),
+                       (4096, 131_694), (1, 3)]:
+        idx = rng.integers(0, n_cells, S).astype(np.int32)
+        ref = np.bincount(idx, minlength=n_cells).astype(np.int32)
+        got = np.asarray(hist_pallas.histogram_pallas(
+            jnp.asarray(idx), n_cells, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+    # through sym_ctx_hist: force the gate on (interpret via monkeypatch)
+    B, L = 96, 64
+    lengths = rng.integers(40, L + 1, B).astype(np.int32)
+    col = np.arange(L)[None, :]
+    qual = np.where(col < lengths[:, None],
+                    rng.integers(33, 75, (B, L)), 0).astype(np.uint8)
+    for order in (1, 2, 3):
+        _, _, ref_counts = qualities.sym_ctx_hist(
+            jnp.asarray(qual), jnp.asarray(lengths), order)
+        n_cells = qualities.n_contexts(order) * qualities.N_SYMS
+        idx_np = None
+        sym, ctx, _ = qualities._sym_ctx_np(qual, lengths, order)
+        idx_np = (ctx.reshape(-1).astype(np.int64) * qualities.N_SYMS
+                  + sym.reshape(-1))
+        got = np.asarray(hist_pallas.histogram_pallas(
+            jnp.asarray(idx_np.astype(np.int32)), n_cells, interpret=True))
+        np.testing.assert_array_equal(got, np.asarray(ref_counts))
+
+
+def test_hist_pallas_eligibility_gate():
+    """Off-TPU and tiny inputs stay on the scatter-add path; realistic
+    quality-histogram shapes fit the VMEM budget."""
+    from scalce_tpu.ops import hist_pallas
+    if not hist_pallas.PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    assert not hist_pallas.eligible(1 << 20, 71_534, "cpu")
+    assert not hist_pallas.eligible(100, 71_534, "tpu")
+    for order in (1, 2, 3):
+        cells = qualities.n_contexts(order) * qualities.N_SYMS
+        assert hist_pallas.eligible(131072 * 100, cells, "tpu")
