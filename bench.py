@@ -204,6 +204,31 @@ print(json.dumps(walls[1:] or walls))
                 log(f"device leg failed: {r.stderr[-500:]}")
         except Exception as e:      # no device / dead tunnel: the host
             log(f"device leg unavailable: {e}")     # number still stands
+
+    # kernel-only device leg (VERDICT r3 #1): per-stage throughput with
+    # data RESIDENT on the chip — the falsifiable "fast on
+    # locally-attached hardware" numbers (scripts/bench_kernels.py).
+    # Subprocess for the same reason as the device leg; its own budget.
+    kernels = None
+    if os.environ.get("BENCH_KERNELS", "1") != "0":
+        import subprocess
+        kb = float(os.environ.get("BENCH_KERNELS_BUDGET", 900))
+        try:
+            log("kernel-only device leg (subprocess)")
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_kernels.py")],
+                capture_output=True, text=True,
+                env={**os.environ, "BENCH_KERNEL_BUDGET": str(kb)},
+                timeout=kb + 300)
+            if r.returncode == 0:
+                kernels = json.loads(r.stdout.strip().splitlines()[-1])
+                log(f"kernel stages: {kernels['stages']}")
+            else:
+                log(f"kernel leg failed: {r.stderr[-500:]}")
+        except Exception as e:
+            log(f"kernel leg unavailable: {e}")
     log("done")
 
     log("measuring gzip-class reference proxy")
@@ -228,6 +253,13 @@ print(json.dumps(walls[1:] or walls))
         "device_encode_walls_s": [round(w, 3) for w in dev_walls],
         "device_vs_baseline": round(dev_gbps / ref_gbps, 2)
         if dev_gbps else None,
+        # per-stage device-resident kernel throughput + roofline %
+        # (VERDICT r3 #1); null if the leg was skipped/unavailable
+        "device_kernels": (kernels or {}).get("stages") or None,
+        "device_kernel_roofline": ({
+            "hbm_gbps": kernels["hbm_roofline_gbps"],
+            "mxu_tflops": kernels["mxu_roofline_tflops"],
+        } if kernels else None),
     }
     print(json.dumps(result))
     # secondary detail on stderr for humans

@@ -1,0 +1,304 @@
+#!/usr/bin/env python
+"""Kernel-only device benchmark — per-stage throughput with data
+RESIDENT on the TPU (VERDICT r3 #1).
+
+Every end-to-end device number in BENCH_r0{1,2,3} measures the ~30 MB/s
+host<->device tunnel, not the kernels (EXPERIMENTS.md §7 roofline).
+This harness answers the other question — how fast is each device stage
+where the link is NOT the wall — by pre-uploading inputs once and
+timing pure device execution:
+
+  stage_a_hd    fused unpack -> canonical core match (Mosaic rank/argmin)
+                -> multi-key sort -> permute/pack  (the production
+                device-core stage-A graph, byte-for-byte)
+  rans_encode   Mosaic rANS encode scan (ops/rans_pallas.py)
+  rans_decode   Mosaic gather-free rANS decode (ops/rans_decode_pallas.py)
+  histogram     Mosaic one-hot-matmul (ctx,sym) histogram (ops/hist_pallas.py)
+  delta_decode  pointer-doubling delta reconstruction (ops/delta_decode.py)
+
+Timing methodology (this rig): ``block_until_ready()`` returns before
+remote execution finishes (CLAUDE.md), so each stage is timed as a
+chain of K DEPENDENT dispatches — a tiny digest of call i's output is
+XOR-salted (x ^ (d & 0): value-preserving, not foldable) into call
+i+1's input, forcing serial device execution — closed by ONE tiny D2H
+fetch; the fetch-only RTT (measured separately, best-of-8) is
+subtracted.  Per-stage time = (wall - rtt) / K.
+
+Throughput is reported two ways:
+  gbps_payload   FASTQ-equivalent bytes (B*L bases or quality symbols)
+                 per second — the SURVEY.md §7 "GB/s per chip" metric.
+  roofline_pct   modeled HBM traffic (or MXU FLOPs where the kernel is
+                 matmul-bound) / measured time, as % of the v5e
+                 ceiling.  Models documented per stage below; stage A
+                 uses a LOWER-BOUND traffic model (sort passes are
+                 XLA-internal), so its % is a floor.
+
+Runs standalone (prints one JSON line) or as bench.py's kernel leg.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# v5e ceilings (public spec: 819 GB/s HBM BW, 197 TFLOPS bf16)
+HBM_GBPS = 819.0
+MXU_TFLOPS = 197.0
+
+B = int(os.environ.get("BENCH_KERNEL_READS", 1 << 17))
+L = int(os.environ.get("BENCH_KERNEL_LEN", 100))
+K = int(os.environ.get("BENCH_KERNEL_ITERS", 8))
+ORDER = 1
+
+
+def log(msg):
+    print(f"[bench_kernels] {msg}", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from scalce_tpu.config import Config
+    from scalce_tpu.io import fastq
+    from scalce_tpu.models import entropy
+    from scalce_tpu.ops import delta_decode, hist_pallas, rans, rans_pallas
+    from scalce_tpu.ops import rans_decode_pallas as rdp
+    from scalce_tpu.pipeline import encode as enc_mod
+    from scalce_tpu.streams import qualities
+    from scalce_tpu.utils.synth import synth_fastq
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend={backend} B={B} L={L} K={K}")
+
+    # --- input data: one realistic block ---------------------------------
+    payload = synth_fastq(B, L, seed=42, genome_len=1_000_000, n_rate=0.001)
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="scalce_kbench_")
+    path = os.path.join(tmp, "in.fastq")
+    with open(path, "wb") as f:
+        f.write(payload)
+    cfg = Config(mode="compress", inputs=(path,), block_reads=B)
+    block = next(fastq.iter_blocks(path, cfg.block_reads, cfg.max_read_len))
+    Lg = block.qual.shape[1]       # padded grid width (config default 128)
+    S = B * Lg                     # grid symbols / bases per block
+
+    # quality grids + tables (host, bit-identical to device) for the
+    # rANS stages; the encode kernel consumes PRE-GATHERED [T, N] tables
+    sym, ctx, _ = qualities._sym_ctx_np(block.qual, block.lengths, ORDER)
+    idx_np = (ctx.reshape(-1).astype(np.int64) * qualities.N_SYMS
+              + sym.reshape(-1))
+    C = qualities.n_contexts(ORDER)
+    counts = np.bincount(idx_np, minlength=C * qualities.N_SYMS)
+    freq, cum = entropy.host_normalize(counts, C, qualities.N_SYMS)
+    T = qualities.pick_T(B, Lg, cfg.qual_T_target)
+    N = S // T
+    f_all_np = freq.reshape(-1)[idx_np].reshape(N, T).T.astype(np.uint32)
+    c_all_np = cum.reshape(-1)[idx_np].reshape(N, T).T.astype(np.uint32)
+
+    # real encoded stream for the decode kernel
+    enc_q = qualities.encode_host(block.qual, block.lengths, order=ORDER,
+                                  T_target=cfg.qual_T_target)
+    W = max(64, T // 8)
+    wmax = int(enc_q.counts.max())
+    while W < wmax:
+        W <<= 1
+    words_padded = np.zeros((N, W), np.uint16)
+    fastq.ragged_scatter(words_padded.reshape(-1),
+                         np.arange(N, dtype=np.int64) * W, enc_q.words,
+                         enc_q.counts.astype(np.int64))
+
+    # structurally-valid synthetic delta fields (timing is traffic-bound
+    # and data-independent: 17 rounds of p = p[p] over B*L cells)
+    rng = np.random.default_rng(0)
+    mask_bits = rng.integers(0, 256, (B, Lg // 8), dtype=np.uint8)
+    shifts = rng.integers(-8, 9, B).astype(np.int32)
+    pred_k = rng.integers(0, 4, B).astype(np.int32)
+    lits = rng.integers(0, 4, S, dtype=np.uint8)
+    lengths_i32 = block.lengths.astype(np.int32)
+
+    # --- uploads (once; excluded from timing) -----------------------------
+    log("uploading device-resident inputs")
+    dev = {
+        "seq": jnp.asarray(enc_mod._host_pack(block.seq)),
+        "len16": jnp.asarray(block.lengths.astype(np.uint16)),
+        "exc": jnp.asarray(enc_mod._pad_exc(
+            block.exc_pos.astype(np.int32), S)),
+        "rank_lut": jnp.zeros(1, jnp.uint32),
+        "f_all": jnp.asarray(f_all_np),
+        "c_all": jnp.asarray(c_all_np),
+        "idx": jnp.asarray(idx_np.astype(np.int32)),
+        "states": jnp.asarray(enc_q.states)[None],
+        "words": jnp.asarray(words_padded)[None],
+        "freq": jnp.asarray(enc_q.freq)[None],
+        "len32": jnp.asarray(lengths_i32),
+        "len32b": jnp.asarray(lengths_i32)[None],
+        "mask_bits": jnp.asarray(mask_bits),
+        "shifts": jnp.asarray(shifts),
+        "pred_k": jnp.asarray(pred_k),
+        "lits": jnp.asarray(lits),
+    }
+    for v in dev.values():
+        jax.block_until_ready(v)
+
+    import jax.numpy as _j
+
+    @jax.jit
+    def _salt_u32(x, d):
+        return x ^ (d & jnp.uint32(0))
+
+    @jax.jit
+    def _salt_u16(x, d):
+        return x ^ (d & jnp.uint32(0)).astype(jnp.uint16)
+
+    @jax.jit
+    def _dsum(x):
+        return jnp.sum(x.astype(jnp.uint32), dtype=jnp.uint32)
+
+    # --- fetch RTT baseline ----------------------------------------------
+    d0 = _dsum(dev["exc"].astype(jnp.uint32))
+    np.asarray(d0)
+    rtts = []
+    for _ in range(8):
+        t0 = time.monotonic()
+        np.asarray(_dsum(dev["exc"].astype(jnp.uint32)))
+        rtts.append(time.monotonic() - t0)
+    rtt = min(rtts)
+    log(f"digest fetch RTT: {rtt*1e3:.1f} ms (min of 8)")
+
+    # --- stage definitions -------------------------------------------------
+    # each returns (dispatch_fn(digest) -> digest, payload_bytes,
+    #               hbm_bytes_model, mxu_flops_model, note)
+    uni = enc_mod.block_is_uniform(block)
+
+    def run_stage_a(d):
+        seq = _salt_u32(dev["seq"], d)
+        buf, _perm = enc_mod._device_stage_a_hd(
+            seq, dev["len16"], jnp.int32(block.n_reads), dev["exc"],
+            dev["rank_lut"], cfg.core_k, cfg.dict_seed, uniform=uni)
+        return _dsum(buf)
+
+    # stage-A traffic LOWER BOUND: unpack reads S/4 + writes S i8-ish;
+    # canonical matcher reads the packed words twice (fwd+rc) ~S/2;
+    # 6-key multi-operand sort over B rows: XLA TPU sort is multi-pass —
+    # model >= 2 full key-set passes (read+write) = 2*2*24B; permute
+    # gathers ~16B.  Everything XLA-internal beyond this is uncounted.
+    stage_a_bytes = S // 4 + S + S // 2 + 2 * 2 * 24 * B + 16 * B
+
+    def run_rans_encode(d):
+        f = _salt_u32(dev["f_all"], d)
+        states, words, emits = rans_pallas.encode_scan_pallas(
+            f, dev["c_all"])
+        return _dsum(states)
+
+    # kernel reads f+c (2*4S), writes words+emits as u32 (2*4S)
+    rans_enc_bytes = 16 * S
+
+    def run_rans_decode(d):
+        st = _salt_u32(dev["states"], d)
+        syms = rdp.decode_scan_pallas(st, dev["words"], dev["freq"],
+                                      dev["len32b"], ORDER, T, Lg)
+        return _dsum(syms[0, 0])
+
+    # per step: one-hot [Rpad, NT] build + [128, Rpad]x[Rpad, NT] matmul
+    Rpad = 128                      # order-1 slab rows (95 -> 128)
+    rans_dec_flops = 2 * 128 * Rpad * S
+    rans_dec_bytes = 4 * S + 4 * N * W   # syms out + words in
+
+    def run_hist(d):
+        idx = (dev["idx"].astype(jnp.uint32) ^ (d & jnp.uint32(0))
+               ).astype(jnp.int32)
+        h = hist_pallas.histogram_pallas(idx, C * qualities.N_SYMS)
+        return _dsum(h)
+
+    Rh_pad = -(-(C * qualities.N_SYMS) // hist_pallas._LO)
+    Rh_pad = (Rh_pad + 7) // 8 * 8
+    hist_flops = 2 * S * Rh_pad * hist_pallas._LO
+    hist_bytes = 4 * S
+
+    steps = delta_decode._ceil_log2(B)
+
+    def run_delta(d):
+        mb = (dev["mask_bits"].astype(jnp.uint32) ^ (d & jnp.uint32(0))
+              ).astype(jnp.uint8)
+        codes = delta_decode._reconstruct_jit(
+            mb, dev["shifts"], dev["pred_k"], dev["lits"], dev["len32"],
+            Lg, steps)
+        return _dsum(codes[0])
+
+    # steps rounds of p = p[p]: read p (4S) + random gather (4S) +
+    # write (4S) per round, plus the final value gather
+    delta_bytes = steps * 12 * S + 8 * S
+
+    stages = {
+        "stage_a_hd": (run_stage_a, S, stage_a_bytes, 0,
+                       "traffic model is a lower bound (sort passes "
+                       "are XLA-internal)"),
+        "rans_encode": (run_rans_encode, S, rans_enc_bytes, 0, ""),
+        "rans_decode": (run_rans_decode, S, rans_dec_bytes,
+                        rans_dec_flops, "MXU-bound (one-hot row select)"),
+        "histogram": (run_hist, S, hist_bytes, hist_flops,
+                      "MXU-bound (one-hot counting)"),
+        "delta_decode": (run_delta, S, delta_bytes, 0,
+                         "random-gather bound"),
+    }
+
+    results = {}
+    budget = float(os.environ.get("BENCH_KERNEL_BUDGET", 2400))
+    t_all = time.monotonic()
+    for name, (fn, pay, bts, flops, note) in stages.items():
+        if time.monotonic() - t_all > budget:
+            log(f"{name}: skipped (over budget)")
+            continue
+        # pointer doubling is ~2.8 s/block on TPU (random gathers at
+        # ~15 ns/element x 17 rounds) — 2 iters bound the leg's wall
+        iters = 2 if name == "delta_decode" else K
+        try:
+            log(f"{name}: warm-up (compile)")
+            t0 = time.monotonic()
+            d = fn(d0)
+            np.asarray(d)              # force compile + first run
+            log(f"{name}: compile+first {time.monotonic()-t0:.1f}s")
+            t0 = time.monotonic()
+            for _ in range(iters):
+                d = fn(d)
+            np.asarray(d)              # one forcing fetch for the chain
+            wall = time.monotonic() - t0
+            per = max((wall - rtt) / iters, 1e-9)
+            entry = {
+                "ms": round(per * 1e3, 2),
+                "gbps_payload": round(pay / per / 1e9, 3),
+            }
+            # roofline: whichever ceiling the stage is closer to
+            pct_hbm = (bts / per / 1e9) / HBM_GBPS * 100
+            entry["hbm_pct"] = round(pct_hbm, 1)
+            if flops:
+                pct_mxu = (flops / per / 1e12) / MXU_TFLOPS * 100
+                entry["mxu_pct"] = round(pct_mxu, 1)
+            if note:
+                entry["note"] = note
+            results[name] = entry
+            log(f"{name}: {entry}")
+        except Exception as e:
+            log(f"{name}: failed: {e!r}")
+            results[name] = {"error": str(e)[:200]}
+
+    out = {
+        "metric": "device_kernel_throughput",
+        "reads": B, "read_len": L, "iters": K,
+        "rtt_ms": round(rtt * 1e3, 1),
+        "on_tpu": on_tpu,
+        "hbm_roofline_gbps": HBM_GBPS,
+        "mxu_roofline_tflops": MXU_TFLOPS,
+        "stages": results,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
