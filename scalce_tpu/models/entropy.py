@@ -67,7 +67,24 @@ def host_normalize(counts: np.ndarray, n_ctx: int, n_syms: int
     construction: every arithmetic step is the same IEEE f32 / int32
     operation in the same order, so the host quality codec path emits
     exactly the bytes the device path would (pinned by test).
+
+    Dispatches to the one-pass C mirror when available (same ops, same
+    order — bit-identity pinned by test): numpy's ~10 array passes cost
+    ~5 ms/block across the order auto-trial's three tables.
     """
+    try:
+        from scalce_tpu import native as _native
+        if _native.AVAILABLE and hasattr(_native, "host_normalize_tbl"):
+            return _native.host_normalize_tbl(np.asarray(counts),
+                                              n_ctx, n_syms)
+    except Exception:  # pragma: no cover - fall through to numpy
+        pass
+    return host_normalize_np(counts, n_ctx, n_syms)
+
+
+def host_normalize_np(counts: np.ndarray, n_ctx: int, n_syms: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """The NumPy reference body (tests pin the C mirror against this)."""
     ci = np.asarray(counts).reshape(n_ctx, n_syms).astype(np.int32)
     nz = ci > 0
     nnz = nz.sum(axis=1).astype(np.int32)

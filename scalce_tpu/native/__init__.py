@@ -274,6 +274,10 @@ def _bind() -> None:
     lib.build_flat_lut.argtypes = [_u32p, _u32p, ctypes.c_int64,
                                    ctypes.c_int64, _u32p]
     lib.build_flat_lut.restype = None
+    lib.host_normalize_tbl.argtypes = [
+        ndpointer(np.int32, flags="C_CONTIGUOUS"), ctypes.c_int64,
+        ctypes.c_int64, _u32p, _u32p]
+    lib.host_normalize_tbl.restype = None
     lib.rans_decode_lits.argtypes = [_u32p, _u16p, _i64p, _u32p,
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int64, _u8p]
@@ -728,6 +732,19 @@ def rans_encode_mask(b: np.ndarray, nb: int, N: int, T: int,
     if total < 0:
         raise MemoryError("rans_encode_mask scratch allocation failed")
     return states, wcounts, words_cat[:total].copy()
+
+
+def host_normalize_tbl(counts: np.ndarray, n_ctx: int, n_syms: int):
+    """C mirror of entropy.host_normalize — bit-identical (same IEEE
+    f32/i32 ops in the same order; pinned by test), one pass instead of
+    numpy's ~10 (the order auto-trial normalizes three tables per
+    block)."""
+    freq = np.empty(n_ctx * n_syms, np.uint32)
+    cum = np.empty(n_ctx * n_syms, np.uint32)
+    _lib.host_normalize_tbl(
+        np.ascontiguousarray(counts.reshape(-1).astype(np.int32)),
+        n_ctx, n_syms, freq, cum)
+    return freq.reshape(n_ctx, n_syms), cum.reshape(n_ctx, n_syms)
 
 
 def build_flat_lut(freq: np.ndarray, cum: np.ndarray, n_ctx: int,

@@ -3276,3 +3276,61 @@ EXPORT int64_t reconstruct_delta_checked(
 #endif
     return lit_off;
 }
+
+/* rANS table normalization — bit-identical C mirror of
+ * entropy.host_normalize (which itself mirrors device_normalize).
+ * Every arithmetic step is the same IEEE f32 / i32 operation in the
+ * same order: scale is one f32 divide; the per-cell scaled count is
+ * ((float)c * scale) * bias with f32 intermediates (two multiplies —
+ * no add, so -ffp-contract cannot fuse anything); floor of a
+ * nonnegative f32 is the float->int truncation.  The numpy version
+ * costs ~5 ms/block across the order auto-trial's three tables
+ * (multi-pass over [C, S] arrays); this single pass is ~0.3 ms. */
+EXPORT void host_normalize_tbl(const int32_t *counts, int64_t C, int64_t S,
+                               uint32_t *freq, uint32_t *cum)
+{
+    const float bias = 1.0f - 1e-5f;     /* np.float32(1.0 - 1e-5) */
+    for (int64_t c = 0; c < C; c++) {
+        const int32_t *ci = counts + c * S;
+        uint32_t *f = freq + c * S;
+        uint32_t *cm = cum + c * S;
+        int32_t nnz = 0;
+        int64_t total = 0;
+        int32_t mx = INT32_MIN;
+        /* three reductions (all auto-vectorizable: the tracked-index
+         * argmax form serializes the loop) */
+        for (int64_t j = 0; j < S; j++) {
+            int32_t v = ci[j];
+            nnz += v > 0;
+            total += v;
+            mx = v > mx ? v : mx;
+        }
+        int64_t top = 0;       /* np.argmax: first occurrence wins */
+        while (ci[top] != mx)
+            top++;
+        if (nnz == 0) {
+            memset(f, 0, (size_t)S * 4);
+            f[0] = 4096;
+        } else {
+            /* counts fit i32 by contract (block cells < 2^31) */
+            float scale = (float)(4096 - nnz) / (float)(int32_t)total;
+            int32_t sum = 0;
+            for (int64_t j = 0; j < S; j++) {
+                int32_t v = ci[j];
+                /* bitwise-branchless (the ternary form defeated GCC's
+                 * if-conversion, leaving the loop scalar): v = 0
+                 * scales to 0 so the truncation is safe either way */
+                int32_t t = 1 + (int32_t)(((float)v * scale) * bias);
+                int32_t fe = (-(int32_t)(v > 0)) & t;
+                f[j] = (uint32_t)fe;
+                sum += fe;
+            }
+            f[top] = (uint32_t)((int32_t)f[top] + (4096 - sum));
+        }
+        uint32_t acc = 0;
+        for (int64_t j = 0; j < S; j++) {
+            cm[j] = acc;
+            acc += f[j];
+        }
+    }
+}

@@ -178,7 +178,8 @@ def _mask_ctx_grid(flat: np.ndarray, nb: int, N: int) -> np.ndarray:
         np.int64).reshape(-1)
 
 
-def _encode_mask_rans(mb: np.ndarray, backend: str):
+def _encode_mask_rans(mb: np.ndarray, backend: str,
+                      sample_cap: int = 1 << 18):
     """Order-1 byte-context rANS over the copy-mask bytes.  The masks
     are runs of 0xFF with sparse mismatch patterns; the conditional
     model beats zstd-3 by ~35% on the bench blocks (0.28 vs 0.44 MB).
@@ -211,11 +212,15 @@ def _encode_mask_rans(mb: np.ndarray, backend: str):
     import zlib
     table = len(zlib.compress(fr.astype("<u2").tobytes(), 1))
     est = bits / 8.0 + N * 6 + table
-    # backend comparator from a 256KB prefix SAMPLE, extrapolated —
+    # backend comparator from a prefix SAMPLE, extrapolated —
     # compressing the full 2MB mask just to decide cost ~9 ms/block.
-    # Still a pure function of (content, config); near-tie blocks may
-    # flip mode, which only trades a handful of bytes either way.
-    sample = mb[: 1 << 18]
+    # The cap is per-stream: the big mask stream wins by ~35% so a 64KB
+    # sample decides it safely (3 ms cheaper); the small side streams
+    # (shifts/pred_k, <= 262KB) sit near their ties and extrapolating
+    # them from a short prefix flipped a mode (+11KB/block measured) —
+    # they pass a cap covering the whole stream, making their
+    # comparator exact.  Still a pure function of (content, config).
+    sample = mb[:sample_cap]
     scale = nb / sample.shape[0]
     alt = min(int(len(compress_bytes(sample.tobytes(), backend, 3))
                   * scale), nb)
@@ -421,7 +426,7 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
         arrays["pred_k"] = pk
     # copy-mask bytes: per-block trial of order-1 byte-context rANS vs
     # the generic backend (same pattern as the literal stream)
-    menc = _encode_mask_rans(mb.reshape(-1), backend)
+    menc = _encode_mask_rans(mb.reshape(-1), backend, sample_cap=1 << 16)
     if menc is not None:
         mfreq, mstates, mwcounts, mwords = menc
         arrays["mask_mode"] = np.asarray([1], np.uint8)

@@ -36,6 +36,14 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
     qual_model:
       "illumina" — position-dependent mean with noise (pre-binning
                    platforms; near worst case for the quality coder)
+      "hiseq"    — cycle-correlated pre-binning profile: per-CYCLE
+                   systematic anomalies (a handful of columns are
+                   consistently worse across ALL reads — chemistry /
+                   phasing-reset artifacts), position-dependent
+                   variance, end-of-read degradation, AR(1) residual.
+                   The column-specific structure is what fine position
+                   contexts (order 3, col/4 buckets) capture and the
+                   coarse col/16 buckets smear (VERDICT r3 #4).
       "binned"   — RTA3-style 4-level binning (modern Illumina)
       "uniform"  — uniform random over the full range (incompressible)
       "const"    — constant 'I'
@@ -102,6 +110,32 @@ def synth_fastq(n_reads: int, read_len: int = 100, *, seed: int = 0,
             bcol = np.arange(L)[None, :]
             hit = (bcol >= bstart[:, None]) & (bcol < (bstart + blen)[:, None])
             q[rows] = np.where(hit, q[rows] - 25.0, q[rows])
+        q = np.clip(q, 2, 40)
+        qual = (q.astype(np.int64) + 33).astype(np.uint8)
+    elif qual_model == "hiseq":
+        # cycle-correlated profile: the information the order-3 model's
+        # fine (col/4) position buckets can use lives in COLUMN
+        # structure shared by every read of the run
+        frac = np.arange(L) / max(L - 1, 1)
+        pos_mean = 37.0 - 9.0 * frac ** 2
+        # per-cycle systematic anomalies: ~L/12 columns consistently
+        # depressed (phasing resets / chemistry refills); fixed per seed
+        n_anom = max(1, L // 12)
+        anom_cols = rng.choice(L, size=n_anom, replace=False)
+        anom_depth = rng.uniform(4.0, 10.0, size=n_anom)
+        pos_mean = pos_mean.copy()
+        pos_mean[anom_cols] -= anom_depth
+        # position-dependent variance: clean early cycles, noisy late
+        pos_sd = 1.2 + 2.8 * frac
+        read_off = rng.normal(0, 1.5, size=(n_reads, 1))
+        rho = 0.8
+        innov = rng.normal(0, 1.0, size=(L, n_reads))
+        e = np.empty((L, n_reads))
+        e[0] = innov[0]
+        for j in range(1, L):
+            np.multiply(e[j - 1], rho, out=e[j])
+            e[j] += innov[j] * np.sqrt(1 - rho * rho)
+        q = pos_mean[None, :] + read_off + e.T * pos_sd[None, :]
         q = np.clip(q, 2, 40)
         qual = (q.astype(np.int64) + 33).astype(np.uint8)
     elif qual_model == "binned":
