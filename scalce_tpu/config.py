@@ -203,12 +203,15 @@ class Config:
         if self.max_read_len > 1 << 20:
             raise ValueError("max_read_len must be <= 2^20")
         if self.max_read_len > 32752:
-            # LONG-READ MODE (v5 container): no core matching / reorder
-            # / predecessor delta — fixed-shift read overlap is a
-            # short-read property, and the delta stream fields are
-            # 15/16-bit.  Bases ride the order-2 literal rANS;
-            # qualities the standard coder with T = L.  Host pipeline
-            # only (the device stages pack 15-bit lengths).
+            # LONG-READ MODE (v6 container): the short-read core
+            # matcher cannot run (15/16-bit delta fields, automaton
+            # sized for short reads) — reads are minimizer-reordered
+            # and delta-coded against the anchored predecessor instead
+            # (ops/minimizer.py, EXPERIMENTS.md §11); wide i32 shifts
+            # ride the shv4 planes.  Non-overlapping rows stay pure
+            # literals through the order-2 literal rANS; qualities use
+            # the standard coder with T = L.  Host pipeline only (the
+            # device stages pack 15-bit lengths).
             if self.core_on_device is True or self.qual_on_device \
                     or self.delta_on_device:
                 raise ValueError("max_read_len > 32752 (long-read mode) "

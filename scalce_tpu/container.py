@@ -44,11 +44,14 @@ END_MAGIC = b"1UPTCLCS"
 #: v5: order-3 quality contexts may appear (auto-trial), and long-read
 #: mode (max_read_len > 32752) stores wide u32 length/count fields —
 #: a strictly-v4 reader must reject these instead of misreporting a
-#: valid file as corrupt)
-VERSION = 5
-_READABLE_VERSIONS = (4, 5)  # v<=3 used a different quality context
-                             # map — decoding them with this code would
-                             # silently corrupt, so reject them
+#: valid file as corrupt; v6: long-read blocks may carry
+#: minimizer-reordered reads with anchored predecessor delta — wide
+#: i32 shifts as four zig-zag planes (``shv4_*``) and a non-identity
+#: permutation)
+VERSION = 6
+_READABLE_VERSIONS = (4, 5, 6)  # v<=3 used a different quality context
+                                # map — decoding them with this code
+                                # would silently corrupt, so reject them
 _BLK = b"BLK0"
 _FTR = b"FTR0"
 

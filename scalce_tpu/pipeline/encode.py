@@ -871,30 +871,93 @@ class BlockEncoder:
         return self._assemble(block, perm_np, delta_np, len_s, None,
                               None, None)
 
-    def _assemble_long(self, block: ReadBlock) -> EncodedBlock:
-        """Long-read mode (L > 32752; container v5): identity order, no
-        core matching or predecessor delta — fixed-shift read overlap is
-        a short-read property (and the delta fields are 15/16-bit) — so
-        every valid base rides the order-2 literal rANS and qualities
-        the standard context coder with T = L.  Round-trips through the
-        UNCHANGED decoder: all-zero masks make the reconstruction a
-        plain literal fill."""
-        from scalce_tpu.io.fastq import ragged_gather
+    def _long_order(self, block: ReadBlock, h=None, mp=None) -> np.ndarray:
+        """Deterministic long-read order: (minimizer hash, -pos), stable
+        ties; identity when fewer than two reads carry a key."""
+        from scalce_tpu.ops.minimizer import NO_KEY, minimizer_keys
+        n = block.n_reads
+        if h is None:
+            h, mp = minimizer_keys(block.seq[:n],
+                                   block.lengths[:n].astype(np.int64))
+        if n >= 2 and int((h != NO_KEY).sum()) >= 2:
+            return np.lexsort((-mp, h)).astype(np.int64)
+        return np.arange(n, dtype=np.int64)
+
+    def _assemble_long(self, block: ReadBlock,
+                       order_n: Optional[np.ndarray] = None
+                       ) -> EncodedBlock:
+        """Long-read mode (L > 32752; container v6): minimizer-landmark
+        reordering + anchored predecessor delta.
+
+        The short-read core matcher cannot run here (15/16-bit delta
+        fields, automaton sized for short reads), but the boosting idea
+        carries over: reads are sorted by their GLOBAL MINIMIZER
+        (ops/minimizer.py) so overlapping reads become adjacent, and
+        each read delta-codes against its immediate predecessor at the
+        minimizer-anchored shift (i32 — the v6 ``shv4`` field).  Rows
+        whose match rate does not clearly beat the 25% random-alignment
+        floor keep an all-zero mask (pure literal fill, the v5
+        behavior), so blocks with no overlap round-trip at v5 size +
+        a few bytes.  EXPERIMENTS.md §11: 1.7-3.4x on the seq stream at
+        5-20x coverage with substitution errors; indel-dominated reads
+        fall back to literal rows via the density rule.
+
+        ``order_n``: mate-1's permutation (paired long mode — mate 2
+        follows it for pair sync but anchors with its OWN minimizers).
+        Qualities/names/exceptions ride the standard reordered-frame
+        machinery (perm stored; --keep-order works unchanged).
+        """
+        from scalce_tpu.ops.minimizer import NO_KEY, minimizer_keys
         B, L = block.seq.shape
         n = block.n_reads
-        len_n = block.lengths[:n].astype(np.int64)
-        lits = ragged_gather(block.seq.reshape(-1),
-                             np.arange(n, dtype=np.int64) * L, len_n)
+        len_n0 = block.lengths[:n].astype(np.int64)
+        h, mp = minimizer_keys(block.seq[:n], len_n0)
+        if order_n is None:
+            order_n = self._long_order(block, h, mp)
+        codes_s = block.seq[:n][order_n]
+        len_n = len_n0[order_n]
+        h_s = h[order_n]
+        mp_s = mp[order_n]
+        match = np.zeros((n, L), bool)
+        if n >= 2:
+            same = np.zeros(n, bool)
+            same[1:] = (h_s[1:] == h_s[:-1]) & (h_s[1:] != NO_KEY)
+            prev_mp = np.zeros(n, np.int64)
+            prev_mp[1:] = mp_s[:-1]
+            prev_len = np.zeros(n, np.int64)
+            prev_len[1:] = len_n[:-1]
+            shift = np.where(same, prev_mp - mp_s, 0)
+            col = np.arange(L, dtype=np.int64)[None, :]
+            pidx = col + shift[:, None]
+            inb = (pidx >= 0) & (pidx < prev_len[:, None])
+            prev_rows = np.roll(codes_s, 1, axis=0)
+            aligned = np.take_along_axis(prev_rows,
+                                         np.clip(pidx, 0, L - 1), axis=1)
+            valid = col < len_n[:, None]
+            match = (same[:, None] & inb & (aligned == codes_s) & valid)
+            # density rule: random alignment of 2-bit codes matches 25%
+            # of cells; only keep masks clearly above that floor (>=50%)
+            # — below it the mask stream costs more than the saved
+            # literals
+            cnt = match.sum(axis=1)
+            keep = cnt * 2 >= len_n
+            match &= keep[:, None]
+            shift = np.where(keep, shift, 0)
+        else:
+            shift = np.zeros(n, np.int64)
+        valid = np.arange(L, dtype=np.int64)[None, :] < len_n[:, None]
+        lits = codes_s[(~match) & valid]
+        perm_np = np.concatenate([order_n,
+                                  np.arange(n, B, dtype=np.int64)])
         len_s = np.zeros(B, np.int32)
         len_s[:n] = len_n
         delta_np = {
-            "mask_bits": np.zeros((n, L // 8), np.uint8),
-            "shifts": np.zeros(n, np.int16),
+            "mask_bits": np.packbits(match, axis=1, bitorder="little"),
+            "shifts": shift.astype(np.int32),      # v6 wide shifts
             "pred_k": np.zeros(n, np.uint8),
             "rc_bits": np.zeros((B + 7) // 8, np.uint8),
             "lits": lits, "n_lits": len(lits),
         }
-        perm_np = np.arange(B, dtype=np.int64)
         return self._assemble(block, perm_np, delta_np, len_s, None,
                               None, None)
 
@@ -946,8 +1009,12 @@ class BlockEncoder:
                       ) -> Tuple[EncodedBlock, EncodedBlock]:
         out1, out2 = devout
         if isinstance(out1[0], str) and out1[0] == "long":
-            # identity order on both mates keeps pairs line-synchronized
-            return self._assemble_long(b1), self._assemble_long(b2)
+            # mate 1 defines the minimizer order; mate 2 follows it for
+            # pair sync (anchoring with its own minimizers inside)
+            order1 = self._long_order(b1)
+            eb1 = self._assemble_long(b1, order_n=order1)
+            eb2 = self._assemble_long(b2, order_n=order1)
+            return eb1, eb2
         if isinstance(out1[0], str) and out1[0] == "hc":
             from scalce_tpu import native
             n = b1.n_reads

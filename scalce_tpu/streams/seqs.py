@@ -408,18 +408,31 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
             padded[:n_lits] = lits[:n_lits]
             arrays["lit_packed"] = _pack2bit_np(padded)
     # delta side-streams: the same order-1 byte rANS, per-block trial
-    # (shifts as zig-zag lo-plane + hi-plane so the prev-byte context
-    # sees the information-bearing bytes as one run; ~30% under the
-    # generic backend on coverage-bearing data, measured round 3)
+    # (shifts as zig-zag byte PLANES so the prev-byte context sees the
+    # information-bearing bytes as one run; ~30% under the generic
+    # backend on coverage-bearing data, measured round 3)
     arrays.pop("shifts")
-    zz = _zigzag16(np.ascontiguousarray(delta["shifts"][:n_reads]))
-    sh_stream = np.concatenate([(zz & 0xFF).astype(np.uint8),
-                                (zz >> 8).astype(np.uint8)])
-    if not _try_side_rans(arrays, "shv", sh_stream, backend):
-        # even when rANS loses, the plane-split zig-zag image deflates
-        # ~25% smaller than the raw i16 (92.6 vs 122.2 KB/block
-        # measured) — store the planes, not the legacy array
-        arrays["shv_planes"] = sh_stream
+    sh = np.ascontiguousarray(delta["shifts"][:n_reads])
+    if sh.dtype.itemsize > 2:
+        # long-read mode (container v6): minimizer-anchored shifts
+        # exceed i16 — four zig-zag planes under the same trial
+        zi = sh.astype(np.int64)
+        zz32 = (((zi << 1) ^ (zi >> 63)) & 0xFFFFFFFF).astype(np.uint32)
+        sh_stream = np.concatenate(
+            [((zz32 >> (8 * p)) & 0xFF).astype(np.uint8)
+             for p in range(4)])
+        if not _try_side_rans(arrays, "shv4", sh_stream, backend):
+            arrays["shv4_planes"] = sh_stream
+    else:
+        zz = _zigzag16(sh)
+        sh_stream = np.concatenate([(zz & 0xFF).astype(np.uint8),
+                                    (zz >> 8).astype(np.uint8)])
+        if not _try_side_rans(arrays, "shv", sh_stream, backend):
+            # even when rANS loses, the plane-split zig-zag image
+            # deflates ~25% smaller than the raw i16 (92.6 vs 122.2
+            # KB/block measured) — store the planes, not the legacy
+            # array
+            arrays["shv_planes"] = sh_stream
     pk = arrays.pop("pred_k")
     if not _try_side_rans(arrays, "pkv",
                           pk.astype(np.uint8, copy=False), backend):
@@ -451,6 +464,8 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
                          "mask_counts": 3, "shifts": 3, "pred_k": 3,
                          "shv_freq": 3, "shv_counts": 3,
                          "shv_planes": 3,
+                         "shv4_freq": 3, "shv4_counts": 3,
+                         "shv4_planes": 3,
                          "pkv_freq": 3, "pkv_counts": 3,
                          "rc_bits": 3, "lengths": 3, "exc_pos": 3,
                          "exc_byte": 3, "perm_pk": 1},
@@ -479,6 +494,21 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
         if pk is None or pk.ndim != 1 or pk.shape[0] < (n * k + 7) // 8:
             raise ValueError("corrupt .scalcer block: permutation short")
         a["perm"] = _bitunpack_u32(pk, n, k)
+    if "shifts" not in a and ("shv4_mode" in a or "shv4_planes" in a):
+        # v6 long-read wide shifts: four zig-zag u32 planes
+        if int(a["shv4_mode"][0]) if "shv4_mode" in a else 0:
+            sb = _decode_mask_rans(a, 4 * n, prefix="shv4")
+        else:
+            sb = a["shv4_planes"]
+            if sb.ndim != 1 or sb.shape[0] < 4 * n:
+                raise ValueError("corrupt .scalcer block: shifts planes "
+                                 "short")
+        zz = np.zeros(n, np.uint32)
+        for p in range(4):
+            zz |= sb[p * n:(p + 1) * n].astype(np.uint32) << np.uint32(
+                8 * p)
+        zi = zz.astype(np.int64)
+        a["shifts"] = (zi >> 1) ^ -(zi & 1)
     if "shifts" not in a:                  # zig-zag plane shifts (shv)
         if int(a["shv_mode"][0]) if "shv_mode" in a else 0:
             sb = _decode_mask_rans(a, 2 * n, prefix="shv")
@@ -511,9 +541,13 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
                              "missing")
     # native path validates copy bounds INSIDE the reconstruction loop
     # (reconstruct_delta_checked) — the whole-matrix numpy pre-checks
-    # are only needed for the unchecked paths (numpy fallback, and the
-    # device pointer-doubling whose XLA gathers clamp instead of fault)
-    _validate(a, n, B, L, n_lits, deep=delta_device or not _NATIVE)
+    # are only needed for the unchecked paths (numpy fallback, the
+    # device pointer-doubling whose XLA gathers clamp instead of fault,
+    # and v6 wide shifts which exceed the checked C loop's i16 fields)
+    sh64 = a["shifts"].astype(np.int64)
+    fits16 = n == 0 or int(np.abs(sh64).max()) < (1 << 15)
+    use_native = _NATIVE and fits16
+    _validate(a, n, B, L, n_lits, deep=delta_device or not use_native)
     if int(a["lit_mode"][0]) if "lit_mode" in a else 0:
         lits = _decode_lits_rans(a, n_lits)
     else:
@@ -528,7 +562,8 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
             a["pred_k"].astype(np.int32), lits,
             lengths[:n], B, L, codes)
     else:
-        _reconstruct(a["mask_bits"], a["shifts"].astype(np.int16),
+        _reconstruct(a["mask_bits"],
+                     sh64.astype(np.int16) if use_native else sh64,
                      a["pred_k"].astype(np.uint8), lits,
                      lengths[:n].astype(np.int64), L, codes)
     rc = np.zeros(B, bool)
@@ -646,7 +681,10 @@ def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,
     n = len(lens)
     if n == 0:
         return
-    if _NATIVE:
+    # the checked C loop's shift field is i16; v6 long-read blocks pass
+    # wide (i64) shifts and take the numpy fallback, whose bounds come
+    # from the deep _validate pass the caller already ran
+    if _NATIVE and shifts.dtype == np.int16:
         got = _native.reconstruct_delta_checked(
             np.ascontiguousarray(mask_bits), np.ascontiguousarray(shifts),
             np.ascontiguousarray(pred_k), np.ascontiguousarray(lits),

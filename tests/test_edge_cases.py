@@ -397,14 +397,14 @@ def test_long_read_mode_roundtrip_100kbp(tmp_path):
                  output=str(tmp_path / "o"), block_reads=256,
                  max_read_len=L, qual_context_order=1)
     driver.compress(cfg)
-    # the container must be stamped v5
+    # the container must be stamped with the current version
     r = container.StreamReader(str(tmp_path / "o.00.scalcer"))
     r.close()
     import struct
     with open(tmp_path / "o.00.scalcer", "rb") as f:
         f.seek(8)
         (ver,) = struct.unpack("<H", f.read(2))
-    assert ver == container.VERSION == 5
+    assert ver == container.VERSION == 6
     driver.decompress(Config(mode="decompress",
                              inputs=(str(tmp_path / "o.00.scalcen"),),
                              output=str(tmp_path / "d"), keep_order=True))
@@ -436,3 +436,91 @@ def test_link_probe_subprocess_smoke():
     t = enc_mod._PROBE_THREAD
     assert enc_mod.device_link_mbps() == enc_mod.device_link_mbps()
     assert enc_mod._PROBE_THREAD is t
+
+
+def test_long_read_v6_minimizer_reorder_roundtrip_and_ratio(tmp_path):
+    """Container v6 (VERDICT r3 #6): overlapping long reads must be
+    minimizer-reordered and delta-coded — byte-exact --keep-order
+    round-trip AND a sequence stream well under the 2-bit literal floor
+    (EXPERIMENTS.md §11 measured 1.7-3.4x; gate at 1.5x)."""
+    import numpy as np
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+
+    rng = np.random.default_rng(5)
+    genome = rng.choice(list(b"ACGT"), size=120_000).astype(np.uint8)
+    L = 40_000
+    reads = []
+    n = 48                       # ~12x coverage
+    total_bases = 0
+    for i in range(n):
+        ln = int(rng.integers(L // 2, L + 1))
+        s = int(rng.integers(0, len(genome) - ln))
+        seq = genome[s:s + ln].copy()
+        e = rng.random(ln) < 0.005
+        seq[e] = rng.choice(list(b"ACGT"), size=int(e.sum()))
+        qv = np.clip(np.cumsum(rng.integers(-1, 2, size=ln)) + 20,
+                     2, 50).astype(np.uint8) + 33
+        reads.append(b"@r%d\n%s\n+\n%s\n" % (i, seq.tobytes(),
+                                             qv.tobytes()))
+        total_bases += ln
+    payload = b"".join(reads)
+    inp = tmp_path / "long.fastq"
+    inp.write_bytes(payload)
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=256,
+                 max_read_len=L, qual_context_order=1)
+    driver.compress(cfg)
+    import os
+    r_bytes = os.path.getsize(tmp_path / "o.00.scalcer")
+    assert r_bytes * 1.5 < total_bases / 4, (r_bytes, total_bases // 4)
+    driver.decompress(Config(mode="decompress",
+                             inputs=(str(tmp_path / "o.00.scalcen"),),
+                             output=str(tmp_path / "d"),
+                             keep_order=True))
+    assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_long_read_v6_paired_pair_sync(tmp_path):
+    """Paired long-read mode: mate 2 must follow mate 1's minimizer
+    order (pair-sync invariant) and still round-trip exactly."""
+    import numpy as np
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+
+    rng = np.random.default_rng(9)
+    genome = rng.choice(list(b"ACGT"), size=80_000).astype(np.uint8)
+    L = 33_008                   # > 32752 and % 16 == 0
+    p1, p2 = [], []
+    pairs = []
+    for i in range(24):
+        ln = int(rng.integers(L // 2, L + 1))
+        s = int(rng.integers(0, len(genome) - ln - 500))
+        s2 = s + int(rng.integers(100, 500))
+        ln2 = min(ln, len(genome) - s2)
+        q1 = (np.clip(rng.integers(20, 40, ln), 2, 50) + 33
+              ).astype(np.uint8)
+        q2 = (np.clip(rng.integers(20, 40, ln2), 2, 50) + 33
+              ).astype(np.uint8)
+        s1b = genome[s:s + ln].tobytes()
+        s2b = genome[s2:s2 + ln2].tobytes()
+        p1.append(b"@p%d/1\n%s\n+\n%s\n" % (i, s1b, q1.tobytes()))
+        p2.append(b"@p%d/2\n%s\n+\n%s\n" % (i, s2b, q2.tobytes()))
+        pairs.append((s1b, s2b))
+    (tmp_path / "m1.fastq").write_bytes(b"".join(p1))
+    (tmp_path / "m2.fastq").write_bytes(b"".join(p2))
+    cfg = Config(mode="compress",
+                 inputs=(str(tmp_path / "m1.fastq"),
+                         str(tmp_path / "m2.fastq")),
+                 output=str(tmp_path / "o"), block_reads=256,
+                 max_read_len=L, qual_context_order=1, paired=True)
+    driver.compress(cfg)
+    driver.decompress(Config(mode="decompress",
+                             inputs=(str(tmp_path / "o.00_1.scalcen"),),
+                             output=str(tmp_path / "d")))
+    def seqs_of(path):
+        ls = path.read_bytes().split(b"\n")
+        return [ls[i + 1] for i in range(0, len(ls) - 1, 4)]
+    d1 = seqs_of(tmp_path / "d_1.fastq")
+    d2 = seqs_of(tmp_path / "d_2.fastq")
+    assert set(zip(d1, d2)) == set(pairs)      # pair-sync preserved
