@@ -159,6 +159,50 @@ class ReadBlock:
         return self.seq.shape[1]
 
 
+#: recycled (seq, qual, lengths) array triples for ``_BlockBuilder``.
+#: ``fill(0)`` on warm pages is ~4x cheaper than fresh ``np.zeros`` +
+#: first-touch page faults (measured 3.7 vs 13.6 ms per 131k x 128
+#: block), so the compress driver hands its consumed blocks back here.
+_BLOCK_POOL: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+_BLOCK_POOL_MAX = 6
+
+
+def recycle_block(block: "ReadBlock") -> None:
+    """Return a ReadBlock's padded arrays to the builder pool.
+
+    ONLY call this when nothing will read ``block.seq`` / ``block.qual``
+    / ``block.lengths`` again (the compress driver calls it right after
+    ``assemble``, the last consumer).  Views (non-owning arrays) and
+    odd shapes are silently skipped."""
+    seq, qual, lengths = block.seq, block.qual, block.lengths
+    if (seq is None or qual is None or lengths is None
+            or seq.base is not None or qual.base is not None
+            or lengths.base is not None
+            or seq.shape != qual.shape or len(seq.shape) != 2
+            or lengths.shape != (seq.shape[0],)):
+        return
+    if len(_BLOCK_POOL) < _BLOCK_POOL_MAX:       # GIL-atomic append
+        _BLOCK_POOL.append((seq, qual, lengths))
+
+
+def _pooled_block_arrays(capacity: int, max_len: int):
+    """Pop a recycled triple of the right shape (zeroed), else fresh."""
+    for i in range(len(_BLOCK_POOL) - 1, -1, -1):
+        try:
+            seq, qual, lengths = _BLOCK_POOL[i]
+        except IndexError:          # concurrent pop
+            break
+        if seq.shape == (capacity, max_len):
+            del _BLOCK_POOL[i]
+            seq.fill(0)
+            qual.fill(0)
+            lengths.fill(0)
+            return seq, qual, lengths
+    return (np.zeros((capacity, max_len), np.uint8),
+            np.zeros((capacity, max_len), np.uint8),
+            np.zeros(capacity, np.int32))
+
+
 class _GzChunkReader:
     """Large-chunk gzip reader: ``zlib.decompressobj`` fed 4MB
     compressed chunks (including concatenated multi-member files, as
@@ -814,9 +858,8 @@ class _BlockBuilder:
     back to reading/scanning the next chunk immediately."""
 
     def __init__(self, capacity: int, max_len: int, pool=None):
-        self.seq = np.zeros((capacity, max_len), np.uint8)
-        self.qual = np.zeros((capacity, max_len), np.uint8)
-        self.lengths = np.zeros(capacity, np.int32)
+        self.seq, self.qual, self.lengths = _pooled_block_arrays(
+            capacity, max_len)
         self.max_len = max_len
         #: ordered parse segments: ("done", seg) | ("fut", Future[seg]);
         #: seg = (rc, name_cat, name_lens, plus_cat, plus_lens,
@@ -828,9 +871,14 @@ class _BlockBuilder:
     def _parse_bundle(self, buf: np.ndarray, starts: np.ndarray,
                       line0: int, n_rec: int, row0: int):
         from scalce_tpu import native
-        cap = int(starts[line0 + 4 * n_rec] - starts[line0])
-        name_cat = np.empty(cap, np.uint8)
-        plus_cat = np.empty(cap, np.uint8)
+        # tight per-stream caps from the line offsets: the old
+        # whole-bundle-sized scratch (2 x ~32MB np.empty per bundle)
+        # cost ~0.4s of CPU per 505MB in page-table churn alone
+        st = starts[line0: line0 + 4 * n_rec + 1]
+        name_cap = int((st[1::4] - st[0::4][: n_rec]).sum())
+        plus_cap = int((st[3::4] - st[2::4][: n_rec]).sum())
+        name_cat = np.empty(name_cap, np.uint8)
+        plus_cat = np.empty(plus_cap, np.uint8)
         name_lens = np.empty(n_rec, np.int64)
         plus_lens = np.empty(n_rec, np.int64)
         meta = np.empty(3, np.int64)
@@ -849,8 +897,10 @@ class _BlockBuilder:
             break
         if rc < 0:
             return (rc, None, None, None, None, None, None)
-        return (0, name_cat[: int(meta[1])].copy(), name_lens,
-                plus_cat[: int(meta[2])].copy(), plus_lens,
+        # caps are tight (only '@'/'+'/CR bytes of slack), so the
+        # trimming views pin no meaningful dead memory — no copy
+        return (0, name_cat[: int(meta[1])], name_lens,
+                plus_cat[: int(meta[2])], plus_lens,
                 exc_pos[: int(meta[0])], exc_byte[: int(meta[0])])
 
     def add_bundle(self, buf: np.ndarray, starts: np.ndarray,

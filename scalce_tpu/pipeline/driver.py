@@ -219,11 +219,19 @@ def compress(cfg: Config) -> RunStats:
             print(f"[scalce_tpu] block {eb.block_id}: {eb.n_reads} reads, "
                   f"{eb.total_bytes} bytes", file=sys.stderr)
 
+    def assemble_recycle(block, devout):
+        # assemble is the last reader of the parsed arrays; handing
+        # them back lets the parser reuse warm pages (recycle_block
+        # docstring has the measured numbers)
+        eb = enc.assemble(block, devout)
+        fastq.recycle_block(block)
+        return eb
+
     if cfg.data_parallel:
         _run_sharded(cfg, _prefetch(owned), qual_map, emit, stats.stage_s)
     elif enc.host_core or enc.long_mode:
-        _run_pipelined(_prefetch(owned), enc.encode_device, enc.assemble,
-                       emit, cfg.threads, stats.stage_s)
+        _run_pipelined(_prefetch(owned), enc.encode_device,
+                       assemble_recycle, emit, cfg.threads, stats.stage_s)
     else:
         # device placement: an upload-prefetch stage keeps the next
         # block's H2D in flight while the current block computes —
