@@ -505,10 +505,24 @@ static inline void pack_row_be(const uint8_t *row, int64_t len,
  * Replaces the serial rolling-hash chain (~12 of the matcher's
  * ~36 ms/block was that 2-cycle loop-carried dependency).  Writes in
  * 16-lane blocks — callers pad kmv/rkv by 16 and wbuf by 2 words. */
+/* mix32_c, 16 lanes at once (identical constants / stage order) */
+static inline __m512i mix32_v(__m512i x, __m512i vseed)
+{
+    x = _mm512_xor_si512(x, vseed);
+    x = _mm512_xor_si512(x, _mm512_srli_epi32(x, 16));
+    x = _mm512_mullo_epi32(x, _mm512_set1_epi32((int)0x85EBCA6Bu));
+    x = _mm512_xor_si512(x, _mm512_srli_epi32(x, 13));
+    x = _mm512_mullo_epi32(x, _mm512_set1_epi32((int)0xC2B2AE35u));
+    return _mm512_xor_si512(x, _mm512_srli_epi32(x, 16));
+}
+
 static inline void kmer_extract_v(const uint32_t *wbuf, int64_t P,
                                   int64_t k, uint32_t kmask,
-                                  uint32_t *kmv, uint32_t *rkv)
+                                  uint32_t seed,
+                                  uint32_t *kmv, uint32_t *rkv,
+                                  uint32_t *rfv, uint32_t *rrv)
 {
+    const __m512i vseed = _mm512_set1_epi32((int)seed);
     long long base = 64 - 2 * k;
     const __m512i sh_lo = _mm512_setr_epi64(base, base - 2, base - 4,
                                             base - 6, base - 8, base - 10,
@@ -542,7 +556,39 @@ static inline void kmer_extract_v(const uint32_t *wbuf, int64_t P,
                             _mm512_srli_epi32(x, 16));
         x = _mm512_srli_epi32(x, (int)rc_sh);
         _mm512_storeu_si512(rkv + q * 16, x);
+        /* ranks fused in (one pass through L1 instead of three) */
+        _mm512_storeu_si512(rfv + q * 16, mix32_v(kk, vseed));
+        _mm512_storeu_si512(rrv + q * 16, mix32_v(x, vseed));
     }
+}
+
+/* 64-bit window of packed bases starting at base index ``pos``:
+ * base pos at the TOP 2 bits (the pack is big-endian within each
+ * u32 word).  Needs wbuf[] valid through index pos/16 + 2 (callers
+ * zero-pad two words past nw). */
+static inline uint64_t window64(const uint32_t *wbuf, int64_t pos)
+{
+    int64_t q = pos >> 4;
+    int r2 = (int)((pos & 15) << 1);
+    uint64_t v = ((uint64_t)wbuf[q] << 32) | wbuf[q + 1];
+    if (r2)
+        v = (v << r2) | ((uint64_t)wbuf[q + 2] >> (32 - r2));
+    return v;
+}
+
+/* revcomp of a 32-base packed window (2-bit groups, whole u64) */
+static inline uint64_t revcomp64(uint64_t v)
+{
+    v = ~v;
+    v = ((v & 0x3333333333333333ULL) << 2)
+        | ((v >> 2) & 0x3333333333333333ULL);
+    v = ((v & 0x0F0F0F0F0F0F0F0FULL) << 4)
+        | ((v >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+    v = ((v & 0x00FF00FF00FF00FFULL) << 8)
+        | ((v >> 8) & 0x00FF00FF00FF00FFULL);
+    v = ((v & 0x0000FFFF0000FFFFULL) << 16)
+        | ((v >> 16) & 0x0000FFFF0000FFFFULL);
+    return (v << 32) | (v >> 32);
 }
 #endif
 
@@ -654,25 +700,32 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
         uint32_t best_f = NO_CORE, best_r = NO_CORE;
         int64_t pos_f = 0, pos_r = 0;
         uint32_t kf = 0, kr = 0;
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+        uint32_t wbuf[2048 + 4];        /* ceil(32752/16) + funnel pad;
+                                           reused by the sort-key build */
+        int have_pack = 0;
+#endif
         if (len >= k) {
             int64_t P = len - k + 1;
-            /* pass 1: k-mers of both strands (serial rolling, cheap);
-             * pass 2: branchless ranks — the pure loop auto-vectorizes
-             * under -O3 -march=native (the old fused branchy loop was
-             * ~2x slower); pass 3: scalar argmin scans with the XLA
-             * tie rules.  Scratch lives row-local (L1/L2). */
+            /* one fused SIMD pass: k-mers of both strands off the
+             * packed words + their mix32 ranks (the separate rank
+             * passes re-read kmv/rkv through L1 for nothing); then
+             * two-pass SIMD argmin with the XLA tie rules.  Scratch
+             * lives row-local (L1/L2). */
             uint32_t kmv[32768 + 16], rkv[32768 + 16];  /* L <= 32752;
                                   +16: kmer_extract_v stores whole
                                   16-lane blocks */
-            uint32_t rfv[32768], rrv[32768];
+            uint32_t rfv[32768 + 16], rrv[32768 + 16];
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
             {
-                uint32_t wbuf[2048 + 4];        /* ceil(32752/16) + pad */
                 int64_t nw = (len + 15) / 16;
                 pack_row_be(row, len, wbuf, nw);
                 wbuf[nw] = 0;                   /* funnel tail window */
                 wbuf[nw + 1] = 0;
-                kmer_extract_v(wbuf, P, k, kmask, kmv, rkv);
+                wbuf[nw + 2] = 0;               /* window64 overreach */
+                kmer_extract_v(wbuf, P, k, kmask, seed,
+                               kmv, rkv, rfv, rrv);
+                have_pack = 1;
             }
 #else
             uint32_t km = 0, rkm = 0;
@@ -687,11 +740,11 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                 kmv[j - k + 1] = km;
                 rkv[j - k + 1] = rkm;
             }
-#endif
             for (int64_t p = 0; p < P; p++)
                 rfv[p] = mix32_c(kmv[p], seed);
             for (int64_t p = 0; p < P; p++)
                 rrv[p] = mix32_c(rkv[p], seed);
+#endif
             if (has_exc) {                  /* mask N-touching windows */
                 int64_t exc_in_win = 0;
                 for (int64_t j = 0; j < len; j++) {
@@ -799,17 +852,44 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
          * zero past len — mirrors build_sort_keys */
         uint32_t s[2] = {0, 0};
         int64_t cpos = cp[i];
-        for (int64_t w = 0; w < 2; w++) {
-            uint32_t acc = 0;
-            for (int64_t b = 0; b < 16; b++) {
-                int64_t idx = cpos + 16 * w + b;
-                uint32_t code = 0;
-                if (idx < len)
-                    code = rc[i] ? (uint32_t)(3 - row[len - 1 - idx])
-                                 : (uint32_t)row[idx];
-                acc = (acc << 2) | code;
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+        if (have_pack) {
+            /* funnel windows off the packed words instead of a 32-step
+             * scalar base loop.  Forward: bases cp..cp+31 verbatim
+             * (pack is zero past len).  RC: the oriented window is the
+             * revcomp of forward bases [len-cp-32, len-cp); when that
+             * start underflows (cp > len-32) only m = len-cp oriented
+             * bases exist — revcomp the [0,32) window and left-align
+             * its m meaningful bases, zero-filling the tail exactly
+             * like the scalar idx >= len rule. */
+            uint64_t s64;
+            if (!rc[i]) {
+                s64 = window64(wbuf, cpos);
+            } else {
+                int64_t start = len - cpos - 32;
+                if (start >= 0)
+                    s64 = revcomp64(window64(wbuf, start));
+                else
+                    s64 = revcomp64(window64(wbuf, 0))
+                          << (2 * (32 - (len - cpos)));
             }
-            s[w] = acc;
+            s[0] = (uint32_t)(s64 >> 32);
+            s[1] = (uint32_t)s64;
+        } else
+#endif
+        {
+            for (int64_t w = 0; w < 2; w++) {
+                uint32_t acc = 0;
+                for (int64_t b = 0; b < 16; b++) {
+                    int64_t idx = cpos + 16 * w + b;
+                    uint32_t code = 0;
+                    if (idx < len)
+                        code = rc[i] ? (uint32_t)(3 - row[len - 1 - idx])
+                                     : (uint32_t)row[idx];
+                    acc = (acc << 2) | code;
+                }
+                s[w] = acc;
+            }
         }
         recs[i].key0 = ck[i];
         recs[i].s0 = s[0];
@@ -2128,23 +2208,30 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
 #if defined(__AVX512F__) && defined(__AVX512DQ__)
 #include <immintrin.h>
 
-/* AVX-512 variant of rans_encode_qual: 32 lanes as TWO interleaved
+/* AVX-512 variant of rans_encode_qual: 64 lanes as FOUR interleaved
  * 16-lane groups (the per-lane state chain x -> divide -> x' is ~20
- * cycles of latency; two independent chains keep the ports busy).
+ * cycles of latency; independent chains keep the ports busy).
  * BIT-IDENTICAL output to the scalar path (pinned by tests):
  *
- * - contexts: the same q_ctx, vectorized; (prev2, prev1, s) rebuilt
- *   with ONE 4-byte gather per lane from the clamped-symbol scratch
+ * - symbols are staged COLUMN-MAJOR: the clamped rows transpose into a
+ *   [L][64] strip (16x16-byte VBMI tiles), so each col step is one
+ *   contiguous 64-byte load and (s, prev1, prev2) are three ROLLING
+ *   widened registers.  The old per-lane 4-byte gather of
+ *   (p2, p1, s) sat on the critical path (gather -> ctx -> table
+ *   gather -> divide): cutting it halved the kernel (measured 54 ->
+ *   29 Mcycles per 131k x 100 block on Emerald Rapids).
  * - coder tables: one u32 gather of (cum << 16 | freq) — both fit 16
- *   bits — plus two 8-lane f64 gathers of precomputed reciprocals
- * - division: q = trunc(x * (1/f)) with a one-step integer fixup.
- *   Exactness: x < 2^32 and f <= 4096 are exact in f64; the product's
- *   absolute error is < 2^-19 while non-integer quotients sit >= 1/f
- *   >= 2^-12 away from any integer, so only an EXACT-integer quotient
- *   can truncate one too low — the fixup (rem >= f => q+1) restores
- *   it and can never overshoot.
+ *   bits.
+ * - division: q = trunc(x / f) with ONE correctly-rounded vdivpd.
+ *   Exactness: x < 2^32 and f <= 4096 are exact in f64.  If f | x the
+ *   quotient is a representable integer and division is exact;
+ *   otherwise the true quotient is >= 2^-12 away from any integer
+ *   while the rounding error is < ulp(2^32)/2 = 2^-21, so truncation
+ *   can never cross an integer boundary.  (This replaced the
+ *   reciprocal-multiply + fixup: its two 8-lane f64 table gathers
+ *   cost more than the divide on gather-port-saturated loops.)
  * - renorm rule and per-lane word order exactly as the scalar code;
- *   emission (~25% of lanes per step) is scalar, driven by the kmask.
+ *   emission (~25% of lanes per step) is one masked scatter.
  */
 EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                                   const int64_t *lengths,
@@ -2168,34 +2255,52 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
     int64_t n_ent = n_ctx * Q_NSYMS;
     /* u32 emission buffer: the renorm words are written by a masked
      * scatter (4-byte granularity), narrowed to u16 at drain time */
+    /* the 16-wide transpose tiles read/write in whole 16-byte pieces:
+     * pad the strip width and the row buffer tail so arbitrary L
+     * (tests use unaligned widths) stays in-bounds */
+    int64_t Lp = (L + 15) & ~(int64_t)15;
     uint32_t *tmp = (uint32_t *)malloc((size_t)IL * T * 4);
-    uint8_t *srow_buf = (uint8_t *)malloc((size_t)(IL * L + 10));
+    uint8_t *srow_buf = (uint8_t *)malloc((size_t)(IL * L + 32));
+    uint8_t *cst = (uint8_t *)malloc((size_t)Lp * IL);
     uint32_t *fc = (uint32_t *)malloc((size_t)n_ent * 4);
-    double *rcpd = (double *)malloc((size_t)n_ent * 8);
-    if (!tmp || !srow_buf || !fc || !rcpd) {
-        free(tmp); free(srow_buf); free(fc); free(rcpd);
+    if (!tmp || !srow_buf || !cst || !fc) {
+        free(tmp); free(srow_buf); free(cst); free(fc);
         return -1;
     }
-    for (int64_t i = 0; i < n_ent; i++) {
+    for (int64_t i = 0; i < n_ent; i++)
         fc[i] = (cum[i] << 16) | freq[i];
-        rcpd[i] = freq[i] ? 1.0 / (double)freq[i] : 0.0;
-    }
-    /* zero EVERYTHING: gathers also read inactive tail lanes' rows
-     * (masked out downstream, but garbage bytes there would push the
-     * table index out of bounds) plus 2 front / 8 tail pad bytes */
-    memset(srow_buf, 0, (size_t)(IL * L + 10));
-    uint8_t *srow = srow_buf + 2;   /* gather reads [col-2, col+1] */
+    /* zero EVERYTHING once: the transpose also reads inactive tail
+     * lanes' rows (masked out downstream, but garbage bytes there
+     * would push the table index out of bounds) */
+    memset(srow_buf, 0, (size_t)(IL * L + 32));
+    uint8_t *srow = srow_buf;
 
-    int32_t lane_base_i[IL];
-    for (int j = 0; j < IL; j++)
-        lane_base_i[j] = (int32_t)(j * L);
+    /* 16x16 byte-transpose index vectors (two permutex2var levels):
+     * inputs z0 = rows 0-3 (16B each) .. z3 = rows 12-15; level 1
+     * collects 8-row half-columns, level 2 stitches full 16-byte
+     * columns, 4 per output register. */
+    uint8_t idxA_lo_b[64], idxA_hi_b[64], idxB_b[2][64];
+    for (int c = 0; c < 8; c++)
+        for (int i = 0; i < 8; i++) {
+            uint8_t v = (uint8_t)(i < 4 ? 16 * i + c
+                                        : 64 + 16 * (i - 4) + c);
+            idxA_lo_b[8 * c + i] = v;
+            idxA_hi_b[8 * c + i] = (uint8_t)(v + 8);
+        }
+    for (int half = 0; half < 2; half++)
+        for (int c = 0; c < 4; c++)
+            for (int i = 0; i < 16; i++)
+                idxB_b[half][16 * c + i] = (uint8_t)(
+                    (i < 8 ? 8 * (c + 4 * half) + i
+                           : 64 + 8 * (c + 4 * half) + i - 8));
+    const __m512i idxA_lo = _mm512_loadu_si512(idxA_lo_b);
+    const __m512i idxA_hi = _mm512_loadu_si512(idxA_hi_b);
+    const __m512i idxB0 = _mm512_loadu_si512(idxB_b[0]);
+    const __m512i idxB1 = _mm512_loadu_si512(idxB_b[1]);
+
     const __m512i v94 = _mm512_set1_epi32(94);
-    const __m512i vff = _mm512_set1_epi32(0xFF);
     const __m512i vmask16 = _mm512_set1_epi32(0xFFFF);
     const __m512i vone = _mm512_set1_epi32(1);
-    __m512i lane_base[G];
-    for (int h = 0; h < G; h++)
-        lane_base[h] = _mm512_loadu_si512(lane_base_i + 16 * h);
 
     int32_t base_i[IL];
     for (int j = 0; j < IL; j++)
@@ -2280,45 +2385,109 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
             __m512i lenv[G];
             for (int h = 0; h < G; h++)
                 lenv[h] = _mm512_loadu_si512(len_i + 16 * h);
+            /* transpose the 64 clamped rows into the column-major
+             * strip: 16x16-byte tiles, two permutex2var levels */
+            for (int64_t c0 = 0; c0 < lmax; c0 += 16) {
+                for (int j0 = 0; j0 < IL; j0 += 16) {
+                    const uint8_t *rb = srow + (size_t)j0 * L + c0;
+                    __m512i z[4], t[4], o[4];
+                    for (int hz = 0; hz < 4; hz++) {
+                        __m128i r0 = _mm_loadu_si128(
+                            (const __m128i *)(rb + (4 * hz + 0) * L));
+                        __m128i r1 = _mm_loadu_si128(
+                            (const __m128i *)(rb + (4 * hz + 1) * L));
+                        __m128i r2 = _mm_loadu_si128(
+                            (const __m128i *)(rb + (4 * hz + 2) * L));
+                        __m128i r3 = _mm_loadu_si128(
+                            (const __m128i *)(rb + (4 * hz + 3) * L));
+                        z[hz] = _mm512_inserti32x4(
+                            _mm512_inserti32x4(
+                                _mm512_inserti32x4(
+                                    _mm512_castsi128_si512(r0), r1, 1),
+                                r2, 2),
+                            r3, 3);
+                    }
+                    t[0] = _mm512_permutex2var_epi8(z[0], idxA_lo, z[1]);
+                    t[1] = _mm512_permutex2var_epi8(z[0], idxA_hi, z[1]);
+                    t[2] = _mm512_permutex2var_epi8(z[2], idxA_lo, z[3]);
+                    t[3] = _mm512_permutex2var_epi8(z[2], idxA_hi, z[3]);
+                    o[0] = _mm512_permutex2var_epi8(t[0], idxB0, t[2]);
+                    o[1] = _mm512_permutex2var_epi8(t[0], idxB1, t[2]);
+                    o[2] = _mm512_permutex2var_epi8(t[1], idxB0, t[3]);
+                    o[3] = _mm512_permutex2var_epi8(t[1], idxB1, t[3]);
+                    for (int oc = 0; oc < 4; oc++)
+                        for (int cc = 0; cc < 4; cc++) {
+                            __m128i piece;
+                            switch (cc) {
+                            case 0: piece = _mm512_castsi512_si128(
+                                        o[oc]); break;
+                            case 1: piece = _mm512_extracti32x4_epi32(
+                                        o[oc], 1); break;
+                            case 2: piece = _mm512_extracti32x4_epi32(
+                                        o[oc], 2); break;
+                            default: piece = _mm512_extracti32x4_epi32(
+                                        o[oc], 3); break;
+                            }
+                            _mm_storeu_si128(
+                                (__m128i *)(cst
+                                            + (c0 + 4 * oc + cc) * IL
+                                            + j0),
+                                piece);
+                        }
+                }
+            }
+            /* rolling widened symbol registers: ws = col, wp1 = col-1,
+             * wp2 = col-2; only ONE fresh 64-byte column load + widen
+             * per step */
+            __m512i ws[G], wp1[G], wp2[G];
+            {
+                int64_t ctop = lmax - 1;
+                for (int h = 0; h < G; h++) {
+                    ws[h] = _mm512_setzero_si512();
+                    wp1[h] = _mm512_setzero_si512();
+                    wp2[h] = _mm512_setzero_si512();
+                }
+                for (int d = 0; d < 3; d++) {
+                    int64_t c = ctop - d;
+                    if (c < 0)
+                        break;
+                    __m512i v = _mm512_loadu_si512(cst + c * IL);
+                    __m512i *dst = d == 0 ? ws : d == 1 ? wp1 : wp2;
+                    dst[0] = _mm512_cvtepu8_epi32(
+                        _mm512_castsi512_si128(v));
+                    dst[1] = _mm512_cvtepu8_epi32(
+                        _mm512_extracti32x4_epi32(v, 1));
+                    dst[2] = _mm512_cvtepu8_epi32(
+                        _mm512_extracti32x4_epi32(v, 2));
+                    dst[3] = _mm512_cvtepu8_epi32(
+                        _mm512_extracti32x4_epi32(v, 3));
+                }
+            }
             for (int64_t col = (lmax ? lmax : 0) - 1; col >= 0; col--) {
                 const __m512i colv = _mm512_set1_epi32((int)col);
                 uint32_t pb = q_pb(col, (int)order);
                 __mmask16 valid[G];
-                int any = 0;
-                for (int h = 0; h < G; h++) {
+                for (int h = 0; h < G; h++)
                     valid[h] = _mm512_cmp_epi32_mask(colv, lenv[h],
                                                      _MM_CMPINT_LT);
-                    any |= valid[h];
-                }
-                if (!any)
-                    continue;
                 __m512i fv[G], cv[G], idx[G];
                 for (int h = 0; h < G; h++) {
-                    /* one gather rebuilds (p2, p1, s) per lane */
-                    __m512i gidx = _mm512_add_epi32(
-                        lane_base[h], _mm512_set1_epi32((int)col - 2));
-                    __m512i g = _mm512_i32gather_epi32(
-                        gidx, (const int *)srow, 1);
-                    __m512i s = _mm512_and_si512(
-                        _mm512_srli_epi32(g, 16), vff);
+                    __m512i s = ws[h];
                     __m512i ctx;
                     if (order == 2) {
                         __m512i pq, p2v;
                         if (col == 0) {
                             pq = _mm512_set1_epi32(Q_PREV_LEVELS);
                         } else {
-                            __m512i p1 = _mm512_and_si512(
-                                _mm512_srli_epi32(g, 8), vff);
                             pq = _mm512_min_epi32(
-                                _mm512_srli_epi32(p1, 2),
+                                _mm512_srli_epi32(wp1[h], 2),
                                 _mm512_set1_epi32(Q_PREV_LEVELS - 1));
                         }
                         if (col <= 1) {
                             p2v = _mm512_set1_epi32(Q_PREV2_LEVELS - 1);
                         } else {
-                            __m512i p2 = _mm512_and_si512(g, vff);
                             p2v = _mm512_min_epi32(
-                                _mm512_srli_epi32(p2, 4),
+                                _mm512_srli_epi32(wp2[h], 4),
                                 _mm512_set1_epi32(Q_PREV2_LEVELS - 2));
                         }
                         ctx = _mm512_add_epi32(
@@ -2334,10 +2503,8 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                         if (col == 0) {
                             pq = _mm512_set1_epi32(Q_PREV1_FULL);
                         } else {
-                            __m512i p1 = _mm512_and_si512(
-                                _mm512_srli_epi32(g, 8), vff);
                             pq = _mm512_min_epi32(
-                                p1,
+                                wp1[h],
                                 _mm512_set1_epi32(Q_PREV1_FULL - 1));
                         }
                         ctx = _mm512_add_epi32(
@@ -2374,19 +2541,42 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                     }
                 }
                 for (int h = 0; h < G; h++) {
-                    /* q = trunc(x * rcp) with one-step fixup */
-                    __m512d rc0 = _mm512_i32gather_pd(
-                        _mm512_castsi512_si256(idx[h]), rcpd, 8);
-                    __m512d rc1 = _mm512_i32gather_pd(
-                        _mm512_extracti32x8_epi32(idx[h], 1), rcpd, 8);
+                    /* q = trunc(x * r) + one-step fixup, with r =
+                     * 1/f from RCP14 + two Newton refinements
+                     * (r <- r*(2 - f*r)): relative error (2^-14)^4
+                     * plus a few f64 roundings, so the product's
+                     * absolute error is < 2^-18 while non-integer
+                     * quotients sit >= 2^-12 from any integer — only
+                     * an exact-integer quotient can truncate one low
+                     * and the (rem >= f => q+1) fixup restores it.
+                     * Beats vdivpd (~8 cyc/vector throughput on the
+                     * divider port) and the old rcp-table gathers.
+                     * f = 0 only reaches invalid lanes (padding ctx);
+                     * clamp so the reciprocal stays finite. */
+                    __m512i fsafe = _mm512_max_epu32(fv[h], vone);
+                    __m512d fd0 = _mm512_cvtepu32_pd(
+                        _mm512_castsi512_si256(fsafe));
+                    __m512d fd1 = _mm512_cvtepu32_pd(
+                        _mm512_extracti64x4_epi64(fsafe, 1));
+                    const __m512d two = _mm512_set1_pd(2.0);
+                    __m512d r0 = _mm512_rcp14_pd(fd0);
+                    __m512d r1 = _mm512_rcp14_pd(fd1);
+                    r0 = _mm512_mul_pd(
+                        r0, _mm512_fnmadd_pd(fd0, r0, two));
+                    r1 = _mm512_mul_pd(
+                        r1, _mm512_fnmadd_pd(fd1, r1, two));
+                    r0 = _mm512_mul_pd(
+                        r0, _mm512_fnmadd_pd(fd0, r0, two));
+                    r1 = _mm512_mul_pd(
+                        r1, _mm512_fnmadd_pd(fd1, r1, two));
                     __m512d xd0 = _mm512_cvtepu32_pd(
                         _mm512_castsi512_si256(x[h]));
                     __m512d xd1 = _mm512_cvtepu32_pd(
                         _mm512_extracti64x4_epi64(x[h], 1));
                     __m256i q0 = _mm512_cvttpd_epu32(
-                        _mm512_mul_pd(xd0, rc0));
+                        _mm512_mul_pd(xd0, r0));
                     __m256i q1 = _mm512_cvttpd_epu32(
-                        _mm512_mul_pd(xd1, rc1));
+                        _mm512_mul_pd(xd1, r1));
                     __m512i q = _mm512_inserti64x4(
                         _mm512_castsi256_si512(q0), q1, 1);
                     __m512i rem = _mm512_sub_epi32(
@@ -2401,6 +2591,30 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                             _mm512_slli_epi32(q, RANS_PROB_BITS), rem),
                         cv[h]);
                     x[h] = _mm512_mask_blend_epi32(valid[h], x[h], nx);
+                }
+                /* roll the symbol windows: s <- p1, p1 <- p2,
+                 * p2 <- fresh column col-3 (zeros below col 0 — the
+                 * sentinel blends above ignore them there) */
+                if (col) {
+                    for (int h = 0; h < G; h++) {
+                        ws[h] = wp1[h];
+                        wp1[h] = wp2[h];
+                    }
+                    if (col >= 3) {
+                        __m512i v = _mm512_loadu_si512(
+                            cst + (col - 3) * IL);
+                        wp2[0] = _mm512_cvtepu8_epi32(
+                            _mm512_castsi512_si128(v));
+                        wp2[1] = _mm512_cvtepu8_epi32(
+                            _mm512_extracti32x4_epi32(v, 1));
+                        wp2[2] = _mm512_cvtepu8_epi32(
+                            _mm512_extracti32x4_epi32(v, 2));
+                        wp2[3] = _mm512_cvtepu8_epi32(
+                            _mm512_extracti32x4_epi32(v, 3));
+                    } else {
+                        for (int h = 0; h < G; h++)
+                            wp2[h] = _mm512_setzero_si512();
+                    }
                 }
             }
         }
@@ -2422,8 +2636,8 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
     }
     free(tmp);
     free(srow_buf);
+    free(cst);
     free(fc);
-    free(rcpd);
     return off;
 }
 /* AVX-512 quality decode: 32 lanes as two interleaved 16-lane groups.
