@@ -25,6 +25,7 @@ import dataclasses
 import os
 import struct
 import sys
+import threading
 import zlib
 from typing import IO, Iterator, List, Optional, Tuple
 
@@ -163,8 +164,15 @@ class ReadBlock:
 #: ``fill(0)`` on warm pages is ~4x cheaper than fresh ``np.zeros`` +
 #: first-touch page faults (measured 3.7 vs 13.6 ms per 131k x 128
 #: block), so the compress driver hands its consumed blocks back here.
+#: Lock-guarded: recyclers run on the assemble pool while the pacing
+#: thread pops.  Wrong-shape entries are EVICTED on pop so a run with
+#: a new block shape reclaims the pool instead of being locked out,
+#: and long-read-sized arrays are never pooled (gigabytes pinned for
+#: the process lifetime otherwise).
 _BLOCK_POOL: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+_BLOCK_POOL_LOCK = threading.Lock()
 _BLOCK_POOL_MAX = 6
+_BLOCK_POOL_MAX_BYTES = 64 << 20      # per array; excludes long-read L
 
 
 def recycle_block(block: "ReadBlock") -> None:
@@ -179,25 +187,33 @@ def recycle_block(block: "ReadBlock") -> None:
             or seq.base is not None or qual.base is not None
             or lengths.base is not None
             or seq.shape != qual.shape or len(seq.shape) != 2
-            or lengths.shape != (seq.shape[0],)):
+            or lengths.shape != (seq.shape[0],)
+            or seq.nbytes > _BLOCK_POOL_MAX_BYTES):
         return
-    if len(_BLOCK_POOL) < _BLOCK_POOL_MAX:       # GIL-atomic append
-        _BLOCK_POOL.append((seq, qual, lengths))
+    with _BLOCK_POOL_LOCK:
+        if len(_BLOCK_POOL) < _BLOCK_POOL_MAX:
+            _BLOCK_POOL.append((seq, qual, lengths))
 
 
 def _pooled_block_arrays(capacity: int, max_len: int):
-    """Pop a recycled triple of the right shape (zeroed), else fresh."""
-    for i in range(len(_BLOCK_POOL) - 1, -1, -1):
-        try:
-            seq, qual, lengths = _BLOCK_POOL[i]
-        except IndexError:          # concurrent pop
-            break
-        if seq.shape == (capacity, max_len):
-            del _BLOCK_POOL[i]
-            seq.fill(0)
-            qual.fill(0)
-            lengths.fill(0)
-            return seq, qual, lengths
+    """Pop a recycled triple of the right shape (zeroed), else fresh.
+    Entries of any other shape are dropped (stale run leftovers)."""
+    match = None
+    with _BLOCK_POOL_LOCK:
+        keep = []
+        for triple in _BLOCK_POOL:
+            if match is None and triple[0].shape == (capacity, max_len):
+                match = triple
+            else:
+                keep.append(triple)
+        if len(keep) != len(_BLOCK_POOL) or match is not None:
+            _BLOCK_POOL[:] = keep if match is not None else []
+    if match is not None:
+        seq, qual, lengths = match
+        seq.fill(0)
+        qual.fill(0)
+        lengths.fill(0)
+        return seq, qual, lengths
     return (np.zeros((capacity, max_len), np.uint8),
             np.zeros((capacity, max_len), np.uint8),
             np.zeros(capacity, np.int32))

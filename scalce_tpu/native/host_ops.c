@@ -2299,14 +2299,14 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
  *   29 Mcycles per 131k x 100 block on Emerald Rapids).
  * - coder tables: one u32 gather of (cum << 16 | freq) — both fit 16
  *   bits.
- * - division: q = trunc(x / f) with ONE correctly-rounded vdivpd.
- *   Exactness: x < 2^32 and f <= 4096 are exact in f64.  If f | x the
- *   quotient is a representable integer and division is exact;
- *   otherwise the true quotient is >= 2^-12 away from any integer
- *   while the rounding error is < ulp(2^32)/2 = 2^-21, so truncation
- *   can never cross an integer boundary.  (This replaced the
- *   reciprocal-multiply + fixup: its two 8-lane f64 table gathers
- *   cost more than the divide on gather-port-saturated loops.)
+ * - division: q = trunc(x * r) + the one-step integer fixup, with
+ *   r = 1/f from RCP14 refined by two Newton iterations (computed,
+ *   not gathered — the old per-entry f64 reciprocal table cost two
+ *   8-lane gathers per step).  The fixup is LOAD-BEARING: the
+ *   refined product's error (< 2^-18 absolute for x < 2^32) is far
+ *   under the 2^-12 gap non-integer quotients keep from integers,
+ *   but an EXACT-integer quotient can still truncate one low, and
+ *   (rem >= f => q+1) restores it — do not remove the fixup.
  * - renorm rule and per-lane word order exactly as the scalar code;
  *   emission (~25% of lanes per step) is one masked scatter.
  */
