@@ -1600,6 +1600,12 @@ EXPORT int64_t delta_match_runs(const uint8_t *codes, const uint8_t *bnd,
                 best_count = cnt;
                 best_shift = sh;
                 best_k = (int32_t)(k - 1);
+                /* full-row match: no later candidate can EXCEED it
+                 * (selection is strict >, ties keep the earlier k) —
+                 * skip the rest.  High-coverage blocks hit this on
+                 * most rows.  Byte-identical by construction. */
+                if (cnt == (int32_t)len_i)
+                    break;
             }
         }
         shifts[i] = (int16_t)best_shift;

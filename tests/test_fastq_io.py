@@ -267,3 +267,35 @@ def test_bz2_input_roundtrip(tmp_path):
     blocks = list(fastq.iter_blocks(str(p), 256, 128))
     assert sum(b.n_reads for b in blocks) == 800
     assert _rebuild(blocks) == payload
+
+
+def test_block_pool_recycling_identical_and_shape_safe(tmp_path):
+    """Recycled ReadBlock arrays must change nothing: parsing after
+    recycle_block yields the same bytes as fresh arrays (fill(0)
+    replaces np.zeros), and a shape change evicts stale pool entries
+    instead of disabling recycling or handing out the wrong shape."""
+    payload = synth_fastq(600, 100, seed=21, n_rate=0.01, var_len=True)
+    p = tmp_path / "in.fastq"
+    p.write_bytes(payload)
+
+    fastq._BLOCK_POOL.clear()
+    fresh = list(fastq.iter_blocks(str(p), 256, 128))
+    want = _rebuild(fresh)
+    for b in fresh:
+        fastq.recycle_block(b)
+    assert len(fastq._BLOCK_POOL) > 0          # blocks actually pooled
+    pooled_ids = {id(t[0]) for t in fastq._BLOCK_POOL}
+
+    again = list(fastq.iter_blocks(str(p), 256, 128))
+    # the recycled arrays were really reused...
+    assert any(id(b.seq) in pooled_ids for b in again)
+    # ...and the parse is byte-identical
+    assert _rebuild(again) == want
+
+    # wrong-shape entries are evicted on pop, not matched
+    for b in again:
+        fastq.recycle_block(b)
+    other = list(fastq.iter_blocks(str(p), 512, 128))
+    assert all(b.seq.shape == (512, 128) for b in other)
+    assert _rebuild(other) == want
+    fastq._BLOCK_POOL.clear()
