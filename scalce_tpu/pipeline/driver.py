@@ -367,13 +367,21 @@ def _compress_paired(cfg: Config, stats: RunStats, meta: Dict,
         for k in "nrq":
             stats.stream_bytes[k] += len(e1.payloads[k]) + len(e2.payloads[k])
 
+    def assemble_pair_recycle(p, d):
+        # same contract as the single-end branch: assemble_pair is the
+        # last reader of both mates' parsed arrays
+        out = enc.assemble_pair(p[0], p[1], d)
+        fastq.recycle_block(p[0])
+        fastq.recycle_block(p[1])
+        return out
+
     if cfg.data_parallel:
         _run_sharded(cfg, _prefetch(owned), qual_map, emit, stats.stage_s,
                      paired=True)
     elif enc.host_core or enc.long_mode:
         _run_pipelined(_prefetch(owned),
                        lambda p: enc.encode_device_pair(*p),
-                       lambda p, d: enc.assemble_pair(p[0], p[1], d),
+                       assemble_pair_recycle,
                        emit, cfg.threads, stats.stage_s)
     else:
         # device placement: upload both mates one pair ahead (see the

@@ -524,3 +524,53 @@ def test_long_read_v6_paired_pair_sync(tmp_path):
     d1 = seqs_of(tmp_path / "d_1.fastq")
     d2 = seqs_of(tmp_path / "d_2.fastq")
     assert set(zip(d1, d2)) == set(pairs)      # pair-sync preserved
+
+def test_long_read_v6_indel_reads_degrade_gracefully(tmp_path):
+    """EXPERIMENTS par.11 caveat, pinned: on indel-dominated long reads
+    (where fixed-shift masks die at the first indel) the 50% match-rate
+    mask floor must zero the masks so the seq stream degrades to
+    near-literal cost instead of REGRESSING below it (mask bytes +
+    useless shifts must not exceed ~12% over the 2-bit floor), and the
+    round-trip must stay byte-exact."""
+    import numpy as np
+    from scalce_tpu.config import Config
+    from scalce_tpu.pipeline import driver
+
+    rng = np.random.default_rng(11)
+    genome = rng.choice(list(b"ACGT"), size=100_000).astype(np.uint8)
+    L = 32_768
+    reads = []
+    total_bases = 0
+    for i in range(40):                    # ~10x coverage, 2% indels
+        ln = int(rng.integers(L // 2, L - 1024))
+        s = int(rng.integers(0, len(genome) - ln - 64))
+        seq = list(genome[s:s + ln])
+        out = []
+        for b in seq:
+            r = rng.random()
+            if r < 0.01:
+                continue                   # deletion
+            out.append(b)
+            if r > 0.99:                   # insertion
+                out.append(int(rng.choice(list(b"ACGT"))))
+        seq = np.asarray(out, np.uint8)
+        qv = np.full(len(seq), 30, np.uint8) + 33
+        reads.append(b"@r%d\n%s\n+\n%s\n" % (i, seq.tobytes(),
+                                             qv.tobytes()))
+        total_bases += len(seq)
+    payload = b"".join(reads)
+    inp = tmp_path / "indel.fastq"
+    inp.write_bytes(payload)
+    import os
+    cfg = Config(mode="compress", inputs=(str(inp),),
+                 output=str(tmp_path / "o"), block_reads=256,
+                 max_read_len=L, qual_context_order=1)
+    driver.compress(cfg)
+    r_bytes = os.path.getsize(tmp_path / "o.00.scalcer")
+    floor = total_bases / 4
+    assert r_bytes < floor * 1.12, (r_bytes, floor)
+    driver.decompress(Config(mode="decompress",
+                             inputs=(str(tmp_path / "o.00.scalcen"),),
+                             output=str(tmp_path / "d"),
+                             keep_order=True))
+    assert (tmp_path / "d.fastq").read_bytes() == payload
