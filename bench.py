@@ -76,7 +76,18 @@ def main() -> None:
     from scalce_tpu.pipeline import driver
     from scalce_tpu.utils.synth import synth_fastq
 
-    tmp = tempfile.mkdtemp(prefix="scalce_bench_")
+    # tmpfs when available: this VM writes disk at ~33 MB/s, and the
+    # decode leg writes the full 505MB FASTQ back out — on /tmp the
+    # PREVIOUS run's dirty-page writeback throttles the next run
+    # (observed decode 0.26-0.94 GB/s on identical code).  The bench
+    # measures the codec; BASELINE.md documents the disk wall
+    # separately (1 GB sustained run).
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="scalce_bench_", dir=tmp_root)
+    # tmpfs is RAM: leaked ~1.5GB working sets accumulate across runs
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     path = os.path.join(tmp, "bench.fastq")
     print(f"[bench] generating {n_reads} reads ...", file=sys.stderr,
           flush=True)
