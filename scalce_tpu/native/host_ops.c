@@ -516,13 +516,24 @@ static inline __m512i mix32_v(__m512i x, __m512i vseed)
     return _mm512_xor_si512(x, _mm512_srli_epi32(x, 16));
 }
 
+/* fused canonical argmin: per-lane running (min rank, q index) for
+ * both strands, folded into the extraction loop.  The separate
+ * two-pass argmin (min-reduce + eq-rescan with its mispredicting
+ * early-break) cost ~18 Mcycles per 131k-row block — as much as the
+ * radix sort.  Outputs feed the cross-lane tie-break reduction in
+ * core_match_block; exception rows ignore them and redo the masked
+ * two-pass walk on the stored rank arrays (rare). */
 static inline void kmer_extract_v(const uint32_t *wbuf, int64_t P,
                                   int64_t k, uint32_t kmask,
                                   uint32_t seed,
                                   uint32_t *kmv, uint32_t *rkv,
-                                  uint32_t *rfv, uint32_t *rrv)
+                                  uint32_t *rfv, uint32_t *rrv,
+                                  __m512i *minf_o, __m512i *idxf_o,
+                                  __m512i *minr_o, __m512i *idxr_o)
 {
     const __m512i vseed = _mm512_set1_epi32((int)seed);
+    __m512i minf = _mm512_set1_epi32(-1), idxf = _mm512_setzero_si512();
+    __m512i minr = _mm512_set1_epi32(-1), idxr = _mm512_setzero_si512();
     long long base = 64 - 2 * k;
     const __m512i sh_lo = _mm512_setr_epi64(base, base - 2, base - 4,
                                             base - 6, base - 8, base - 10,
@@ -557,9 +568,30 @@ static inline void kmer_extract_v(const uint32_t *wbuf, int64_t P,
         x = _mm512_srli_epi32(x, (int)rc_sh);
         _mm512_storeu_si512(rkv + q * 16, x);
         /* ranks fused in (one pass through L1 instead of three) */
-        _mm512_storeu_si512(rfv + q * 16, mix32_v(kk, vseed));
-        _mm512_storeu_si512(rrv + q * 16, mix32_v(x, vseed));
+        __m512i rf = mix32_v(kk, vseed);
+        __m512i rr = mix32_v(x, vseed);
+        _mm512_storeu_si512(rfv + q * 16, rf);
+        _mm512_storeu_si512(rrv + q * 16, rr);
+        /* running argmin, tail lanes (>= P) masked out.  Forward:
+         * strict < keeps the EARLIEST q per lane; RC: <= keeps the
+         * LATEST — the scalar tie rules, per lane. */
+        int64_t rem = P - q * 16;
+        __mmask16 lm = rem >= 16 ? (__mmask16)0xFFFF
+                                 : (__mmask16)((1u << rem) - 1);
+        const __m512i qv = _mm512_set1_epi32((int)q);
+        __mmask16 ltf = _mm512_mask_cmp_epu32_mask(lm, rf, minf,
+                                                   _MM_CMPINT_LT);
+        minf = _mm512_mask_mov_epi32(minf, ltf, rf);
+        idxf = _mm512_mask_mov_epi32(idxf, ltf, qv);
+        __mmask16 ler = _mm512_mask_cmp_epu32_mask(lm, rr, minr,
+                                                   _MM_CMPINT_LE);
+        minr = _mm512_mask_mov_epi32(minr, ler, rr);
+        idxr = _mm512_mask_mov_epi32(idxr, ler, qv);
     }
+    *minf_o = minf;
+    *idxf_o = idxf;
+    *minr_o = minr;
+    *idxr_o = idxr;
 }
 
 /* 64-bit window of packed bases starting at base index ``pos``:
@@ -717,6 +749,7 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                                   16-lane blocks */
             uint32_t rfv[32768 + 16], rrv[32768 + 16];
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+            __m512i am_minf, am_idxf, am_minr, am_idxr;
             {
                 int64_t nw = (len + 15) / 16;
                 pack_row_be(row, len, wbuf, nw);
@@ -724,7 +757,8 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                 wbuf[nw + 1] = 0;
                 wbuf[nw + 2] = 0;               /* window64 overreach */
                 kmer_extract_v(wbuf, P, k, kmask, seed,
-                               kmv, rkv, rfv, rrv);
+                               kmv, rkv, rfv, rrv,
+                               &am_minf, &am_idxf, &am_minr, &am_idxr);
                 have_pack = 1;
             }
 #else
@@ -757,6 +791,64 @@ EXPORT int64_t core_match_block(const uint8_t *codes,
                     }
                 }
             }
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+            if (!has_exc) {
+                /* cross-lane tie-break of the fused per-lane argmins
+                 * as ONE lexicographic u64 min per strand:
+                 * key = rank * 2^20 + pos (fwd: smallest pos of the
+                 * min rank) / rank * 2^20 + (2^20-1 - pos) (rc:
+                 * LARGEST pos) — the scalar rules.  Four generic
+                 * reduce_min/mask_reduce chains here cost ~100
+                 * cycles/row; two epu64 reduces cost ~25.  Exception
+                 * rows fall through to the masked two-pass walk below
+                 * (their ranks were overwritten AFTER extraction). */
+                const __m512i lane_iota = _mm512_setr_epi32(
+                    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                    15);
+                const __m512i pmask = _mm512_set1_epi64(0xFFFFF);
+                __m512i posf = _mm512_add_epi32(
+                    _mm512_slli_epi32(am_idxf, 4), lane_iota);
+                __m512i posr = _mm512_add_epi32(
+                    _mm512_slli_epi32(am_idxr, 4), lane_iota);
+                __m512i kf_lo = _mm512_or_si512(
+                    _mm512_slli_epi64(_mm512_cvtepu32_epi64(
+                        _mm512_castsi512_si256(am_minf)), 20),
+                    _mm512_cvtepu32_epi64(
+                        _mm512_castsi512_si256(posf)));
+                __m512i kf_hi = _mm512_or_si512(
+                    _mm512_slli_epi64(_mm512_cvtepu32_epi64(
+                        _mm512_extracti64x4_epi64(am_minf, 1)), 20),
+                    _mm512_cvtepu32_epi64(
+                        _mm512_extracti64x4_epi64(posf, 1)));
+                uint64_t keyf = _mm512_reduce_min_epu64(
+                    _mm512_min_epu64(kf_lo, kf_hi));
+                /* 0xFFFFF - pos == pos ^ 0xFFFFF for pos < 2^20 */
+                __m512i kr_lo = _mm512_or_si512(
+                    _mm512_slli_epi64(_mm512_cvtepu32_epi64(
+                        _mm512_castsi512_si256(am_minr)), 20),
+                    _mm512_xor_si512(
+                        _mm512_cvtepu32_epi64(
+                            _mm512_castsi512_si256(posr)), pmask));
+                __m512i kr_hi = _mm512_or_si512(
+                    _mm512_slli_epi64(_mm512_cvtepu32_epi64(
+                        _mm512_extracti64x4_epi64(am_minr, 1)), 20),
+                    _mm512_xor_si512(
+                        _mm512_cvtepu32_epi64(
+                            _mm512_extracti64x4_epi64(posr, 1)), pmask));
+                uint64_t keyr = _mm512_reduce_min_epu64(
+                    _mm512_min_epu64(kr_lo, kr_hi));
+                if ((keyf >> 20) != (uint64_t)NO_CORE) {
+                    best_f = (uint32_t)(keyf >> 20);
+                    pos_f = (int64_t)(keyf & 0xFFFFF);
+                    kf = kmv[pos_f];
+                }
+                if ((keyr >> 20) != (uint64_t)NO_CORE) {
+                    best_r = (uint32_t)(keyr >> 20);
+                    pos_r = (int64_t)(0xFFFFF - (keyr & 0xFFFFF));
+                    kr = rkv[pos_r];
+                }
+            } else
+#endif
 #if defined(__AVX512F__)
             /* two-pass SIMD argmin: the scalar loop's data-dependent
              * branches mispredict on (hashed) random ranks — ~30 of
