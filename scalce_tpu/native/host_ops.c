@@ -2804,7 +2804,28 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
             states[n0 + j] = xout[j];
             wcounts[n0 + j] = cj;
             const uint32_t *tj = tmp + (size_t)j * T;
-            for (int64_t i = 0; i < cj; i++)        /* decode order */
+            /* reversed narrow drain (decode order), 16 words per
+             * load+cvt+reverse+store instead of a scalar u16 loop
+             * (~2.2M words/block) */
+            int64_t n16 = cj >> 4;
+#if defined(__AVX512BW__)
+            {
+                const __m256i rev16 = _mm256_setr_epi16(
+                    15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1,
+                    0);
+                for (int64_t b = 0; b < n16; b++) {
+                    __m512i w32 = _mm512_loadu_si512(
+                        tj + cj - 16 * (b + 1));
+                    __m256i w16 = _mm512_cvtepi32_epi16(w32);
+                    w16 = _mm256_permutexvar_epi16(rev16, w16);
+                    _mm256_storeu_si256(
+                        (__m256i *)(words_cat + off + 16 * b), w16);
+                }
+            }
+#else
+            n16 = 0;
+#endif
+            for (int64_t i = 16 * n16; i < cj; i++)
                 words_cat[off + i] = (uint16_t)tj[cj - 1 - i];
             off += cj;
         }
