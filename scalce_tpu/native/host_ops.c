@@ -3269,18 +3269,15 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
     uint32_t *tmp = (uint32_t *)malloc((size_t)IL * T * 4);
     uint8_t *bpad = (uint8_t *)malloc((size_t)(nb + 6));
     uint32_t *fc = (uint32_t *)malloc((size_t)n_ent * 4);
-    double *rcpd = (double *)malloc((size_t)n_ent * 8);
-    if (!tmp || !bpad || !fc || !rcpd) {
-        free(tmp); free(bpad); free(fc); free(rcpd);
+    if (!tmp || !bpad || !fc) {
+        free(tmp); free(bpad); free(fc);
         return -1;
     }
     bpad[0] = 0;                     /* gather at g-1 for g = 0 */
     memcpy(bpad + 1, b, (size_t)nb);
     memset(bpad + 1 + nb, 0, 5);
-    for (int64_t i = 0; i < n_ent; i++) {
+    for (int64_t i = 0; i < n_ent; i++)
         fc[i] = (cum[i] << 16) | freq[i];
-        rcpd[i] = freq[i] ? 1.0 / (double)freq[i] : 0.0;
-    }
     const __m512i vff = _mm512_set1_epi32(0xFF);
     const __m512i vmask16 = _mm512_set1_epi32(0xFFFF);
     const __m512i vone = _mm512_set1_epi32(1);
@@ -3346,10 +3343,22 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
                         cntv[h], emit, cntv[h], vone);
                     x[h] = _mm512_mask_srli_epi32(x[h], emit, x[h], 16);
                 }
-                __m512d rc0 = _mm512_i32gather_pd(
-                    _mm512_castsi512_si256(idx), rcpd, 8);
-                __m512d rc1 = _mm512_i32gather_pd(
-                    _mm512_extracti32x8_epi32(idx, 1), rcpd, 8);
+                /* r = 1/f by rcp14 + two Newton steps (see
+                 * rans_encode_qual_v: product error < 2^-18 vs the
+                 * 2^-12 quotient gap; the fixup below is load-bearing
+                 * for exact-integer quotients) */
+                __m512i fsafe = _mm512_max_epu32(f, vone);
+                __m512d fd0 = _mm512_cvtepu32_pd(
+                    _mm512_castsi512_si256(fsafe));
+                __m512d fd1 = _mm512_cvtepu32_pd(
+                    _mm512_extracti64x4_epi64(fsafe, 1));
+                const __m512d two = _mm512_set1_pd(2.0);
+                __m512d rc0 = _mm512_rcp14_pd(fd0);
+                __m512d rc1 = _mm512_rcp14_pd(fd1);
+                rc0 = _mm512_mul_pd(rc0, _mm512_fnmadd_pd(fd0, rc0, two));
+                rc1 = _mm512_mul_pd(rc1, _mm512_fnmadd_pd(fd1, rc1, two));
+                rc0 = _mm512_mul_pd(rc0, _mm512_fnmadd_pd(fd0, rc0, two));
+                rc1 = _mm512_mul_pd(rc1, _mm512_fnmadd_pd(fd1, rc1, two));
                 __m512d xd0 = _mm512_cvtepu32_pd(
                     _mm512_castsi512_si256(x[h]));
                 __m512d xd1 = _mm512_cvtepu32_pd(
@@ -3384,7 +3393,25 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
             states[n0 + j] = xout[j];
             wcounts[n0 + j] = cj;
             const uint32_t *tj = tmp + (size_t)j * T;
-            for (int64_t i = 0; i < cj; i++)
+            int64_t n16 = cj >> 4;
+#if defined(__AVX512BW__)
+            {
+                const __m256i rev16 = _mm256_setr_epi16(
+                    15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1,
+                    0);
+                for (int64_t bq = 0; bq < n16; bq++) {
+                    __m512i w32 = _mm512_loadu_si512(
+                        tj + cj - 16 * (bq + 1));
+                    __m256i w16 = _mm512_cvtepi32_epi16(w32);
+                    w16 = _mm256_permutexvar_epi16(rev16, w16);
+                    _mm256_storeu_si256(
+                        (__m256i *)(words_cat + off + 16 * bq), w16);
+                }
+            }
+#else
+            n16 = 0;
+#endif
+            for (int64_t i = 16 * n16; i < cj; i++)
                 words_cat[off + i] = (uint16_t)tj[cj - 1 - i];
             off += cj;
         }
@@ -3392,7 +3419,6 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
     free(tmp);
     free(bpad);
     free(fc);
-    free(rcpd);
     return off;
 }
 
