@@ -82,7 +82,18 @@ def main() -> None:
     # (observed decode 0.26-0.94 GB/s on identical code).  The bench
     # measures the codec; BASELINE.md documents the disk wall
     # separately (1 GB sustained run).
-    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # the working set is ~4x the input (FASTQ + compressed triplet +
+    # decoded FASTQ + slack); tmpfs is RAM-backed, so fall back to the
+    # default tmp dir when /dev/shm can't hold it
+    tmp_root = None
+    need = 4 * n_reads * 241          # ~241 B per synthetic record
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize > need:
+                tmp_root = "/dev/shm"
+        except OSError:
+            pass
     tmp = tempfile.mkdtemp(prefix="scalce_bench_", dir=tmp_root)
     # tmpfs is RAM: leaked ~1.5GB working sets accumulate across runs
     import atexit

@@ -197,17 +197,20 @@ def recycle_block(block: "ReadBlock") -> None:
 
 def _pooled_block_arrays(capacity: int, max_len: int):
     """Pop a recycled triple of the right shape (zeroed), else fresh.
-    Entries of any other shape are dropped (stale run leftovers)."""
+    Entries of any OTHER shape are always dropped (stale leftovers of a
+    previous run's block geometry — left in place they would fill the
+    pool and lock recycling out permanently)."""
     match = None
     with _BLOCK_POOL_LOCK:
         keep = []
         for triple in _BLOCK_POOL:
-            if match is None and triple[0].shape == (capacity, max_len):
+            if triple[0].shape != (capacity, max_len):
+                continue                   # evict wrong-shape entry
+            if match is None:
                 match = triple
             else:
                 keep.append(triple)
-        if len(keep) != len(_BLOCK_POOL) or match is not None:
-            _BLOCK_POOL[:] = keep if match is not None else []
+        _BLOCK_POOL[:] = keep
     if match is not None:
         seq, qual, lengths = match
         seq.fill(0)

@@ -2380,8 +2380,51 @@ EXPORT int64_t rans_encode_qual(const uint8_t *qual,
     return off;
 }
 
-#if defined(__AVX512F__) && defined(__AVX512DQ__)
 #include <immintrin.h>
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+/* reversed narrow drain (decode order): 16 staging u32s per
+ * load + cvt + lane-reverse + store; returns the vectorized count
+ * (callers finish the sub-16 tail scalar).  Shared by the quality
+ * and mask coders. */
+static inline int64_t drain_words_rev(const uint32_t *tj, int64_t cj,
+                                      uint16_t *dst)
+{
+    const __m256i rev16 = _mm256_setr_epi16(
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    int64_t n16 = cj >> 4;
+    for (int64_t b = 0; b < n16; b++) {
+        __m512i w32 = _mm512_loadu_si512(tj + cj - 16 * (b + 1));
+        __m256i w16 = _mm512_cvtepi32_epi16(w32);
+        w16 = _mm256_permutexvar_epi16(rev16, w16);
+        _mm256_storeu_si256((__m256i *)(dst + 16 * b), w16);
+    }
+    return 16 * n16;
+}
+
+/* r = 1/f for 8 u32 lanes widened to f64: RCP14 + two Newton
+ * refinements.  Relative error ~2^-50, so q = trunc(x*r) is off by at
+ * most one LOW for exact-integer quotients — callers MUST keep the
+ * (rem >= f => q+1) fixup. */
+static inline __m512d rcp_newton_pd(__m512d fd)
+{
+    const __m512d two = _mm512_set1_pd(2.0);
+    __m512d r = _mm512_rcp14_pd(fd);
+    r = _mm512_mul_pd(r, _mm512_fnmadd_pd(fd, r, two));
+    r = _mm512_mul_pd(r, _mm512_fnmadd_pd(fd, r, two));
+    return r;
+}
+#endif
+
+#if defined(__AVX512F__) && defined(__AVX512DQ__) \
+    && defined(__AVX512BW__) && defined(__AVX512VL__) \
+    && defined(__AVX512VBMI__)
+/* the column-major staging transpose (VBMI), the shared reversed
+ * drain (BW+VL), and the coder's mask ops (BW) gate the whole _v
+ * section: hosts without them fall back to the scalar coder via the
+ * hasattr() dispatch in native/__init__.py */
+#include <immintrin.h>
+
+
 
 /* AVX-512 variant of rans_encode_qual: 64 lanes as FOUR interleaved
  * 16-lane groups (the per-lane state chain x -> divide -> x' is ~20
@@ -2733,17 +2776,8 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
                         _mm512_castsi512_si256(fsafe));
                     __m512d fd1 = _mm512_cvtepu32_pd(
                         _mm512_extracti64x4_epi64(fsafe, 1));
-                    const __m512d two = _mm512_set1_pd(2.0);
-                    __m512d r0 = _mm512_rcp14_pd(fd0);
-                    __m512d r1 = _mm512_rcp14_pd(fd1);
-                    r0 = _mm512_mul_pd(
-                        r0, _mm512_fnmadd_pd(fd0, r0, two));
-                    r1 = _mm512_mul_pd(
-                        r1, _mm512_fnmadd_pd(fd1, r1, two));
-                    r0 = _mm512_mul_pd(
-                        r0, _mm512_fnmadd_pd(fd0, r0, two));
-                    r1 = _mm512_mul_pd(
-                        r1, _mm512_fnmadd_pd(fd1, r1, two));
+                    __m512d r0 = rcp_newton_pd(fd0);
+                    __m512d r1 = rcp_newton_pd(fd1);
                     __m512d xd0 = _mm512_cvtepu32_pd(
                         _mm512_castsi512_si256(x[h]));
                     __m512d xd1 = _mm512_cvtepu32_pd(
@@ -2804,28 +2838,8 @@ EXPORT int64_t rans_encode_qual_v(const uint8_t *qual,
             states[n0 + j] = xout[j];
             wcounts[n0 + j] = cj;
             const uint32_t *tj = tmp + (size_t)j * T;
-            /* reversed narrow drain (decode order), 16 words per
-             * load+cvt+reverse+store instead of a scalar u16 loop
-             * (~2.2M words/block) */
-            int64_t n16 = cj >> 4;
-#if defined(__AVX512BW__)
-            {
-                const __m256i rev16 = _mm256_setr_epi16(
-                    15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1,
-                    0);
-                for (int64_t b = 0; b < n16; b++) {
-                    __m512i w32 = _mm512_loadu_si512(
-                        tj + cj - 16 * (b + 1));
-                    __m256i w16 = _mm512_cvtepi32_epi16(w32);
-                    w16 = _mm256_permutexvar_epi16(rev16, w16);
-                    _mm256_storeu_si256(
-                        (__m256i *)(words_cat + off + 16 * b), w16);
-                }
-            }
-#else
-            n16 = 0;
-#endif
-            for (int64_t i = 16 * n16; i < cj; i++)
+            int64_t done = drain_words_rev(tj, cj, words_cat + off);
+            for (int64_t i = done; i < cj; i++)
                 words_cat[off + i] = (uint16_t)tj[cj - 1 - i];
             off += cj;
         }
@@ -3249,7 +3263,7 @@ EXPORT void build_flat_lut(const uint32_t *freq, const uint32_t *cum,
     }
 }
 
-#if defined(__AVX512F__) && defined(__AVX512DQ__) && defined(__AVX512BW__)
+#if defined(__AVX512F__) && defined(__AVX512DQ__) && defined(__AVX512BW__) && defined(__AVX512VL__)
 /* 32-lane AVX-512 mask encode (2 interleaved 16-lane groups): the
  * context is just 1 + previous INPUT byte, so one 4-byte gather at
  * g-1 yields (prev, s) and everything else mirrors the quality
@@ -3352,13 +3366,8 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
                     _mm512_castsi512_si256(fsafe));
                 __m512d fd1 = _mm512_cvtepu32_pd(
                     _mm512_extracti64x4_epi64(fsafe, 1));
-                const __m512d two = _mm512_set1_pd(2.0);
-                __m512d rc0 = _mm512_rcp14_pd(fd0);
-                __m512d rc1 = _mm512_rcp14_pd(fd1);
-                rc0 = _mm512_mul_pd(rc0, _mm512_fnmadd_pd(fd0, rc0, two));
-                rc1 = _mm512_mul_pd(rc1, _mm512_fnmadd_pd(fd1, rc1, two));
-                rc0 = _mm512_mul_pd(rc0, _mm512_fnmadd_pd(fd0, rc0, two));
-                rc1 = _mm512_mul_pd(rc1, _mm512_fnmadd_pd(fd1, rc1, two));
+                __m512d rc0 = rcp_newton_pd(fd0);
+                __m512d rc1 = rcp_newton_pd(fd1);
                 __m512d xd0 = _mm512_cvtepu32_pd(
                     _mm512_castsi512_si256(x[h]));
                 __m512d xd1 = _mm512_cvtepu32_pd(
@@ -3393,25 +3402,8 @@ EXPORT int64_t rans_encode_mask_v(const uint8_t *b, int64_t nb,
             states[n0 + j] = xout[j];
             wcounts[n0 + j] = cj;
             const uint32_t *tj = tmp + (size_t)j * T;
-            int64_t n16 = cj >> 4;
-#if defined(__AVX512BW__)
-            {
-                const __m256i rev16 = _mm256_setr_epi16(
-                    15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1,
-                    0);
-                for (int64_t bq = 0; bq < n16; bq++) {
-                    __m512i w32 = _mm512_loadu_si512(
-                        tj + cj - 16 * (bq + 1));
-                    __m256i w16 = _mm512_cvtepi32_epi16(w32);
-                    w16 = _mm256_permutexvar_epi16(rev16, w16);
-                    _mm256_storeu_si256(
-                        (__m256i *)(words_cat + off + 16 * bq), w16);
-                }
-            }
-#else
-            n16 = 0;
-#endif
-            for (int64_t i = 16 * n16; i < cj; i++)
+            int64_t done = drain_words_rev(tj, cj, words_cat + off);
+            for (int64_t i = done; i < cj; i++)
                 words_cat[off + i] = (uint16_t)tj[cj - 1 - i];
             off += cj;
         }

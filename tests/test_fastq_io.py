@@ -292,10 +292,18 @@ def test_block_pool_recycling_identical_and_shape_safe(tmp_path):
     # ...and the parse is byte-identical
     assert _rebuild(again) == want
 
-    # wrong-shape entries are evicted on pop, not matched
+    # wrong-shape entries are EVICTED on pop, not matched — including
+    # the lockout case: a pool FULL of stale-shape triples must drain
+    # so recycling keeps working after a block-geometry change
     for b in again:
         fastq.recycle_block(b)
+    while len(fastq._BLOCK_POOL) < fastq._BLOCK_POOL_MAX:
+        fastq._BLOCK_POOL.append(fastq._BLOCK_POOL[0])
     other = list(fastq.iter_blocks(str(p), 512, 128))
     assert all(b.seq.shape == (512, 128) for b in other)
     assert _rebuild(other) == want
+    assert not any(t[0].shape == (256, 128) for t in fastq._BLOCK_POOL)
+    # pool drained of stale shapes -> new-shape recycling admits again
+    fastq.recycle_block(other[0])
+    assert any(t[0].shape == (512, 128) for t in fastq._BLOCK_POOL)
     fastq._BLOCK_POOL.clear()
