@@ -207,7 +207,7 @@ class Config:
             # matcher cannot run (15/16-bit delta fields, automaton
             # sized for short reads) — reads are minimizer-reordered
             # and delta-coded against the anchored predecessor instead
-            # (ops/minimizer.py, EXPERIMENTS.md §11); wide i32 shifts
+            # (ops/minimizer.py, EXPERIMENTS.md §14); wide i32 shifts
             # ride the shv4 planes.  Non-overlapping rows stay pure
             # literals through the order-2 literal rANS; qualities use
             # the standard coder with T = L.  Host pipeline only (the

@@ -7,7 +7,7 @@ GLOBAL MINIMIZER, the position of the minimum avalanche-hashed k-mer in
 the read.  Two reads covering the same locus almost surely contain the
 same minimum k-mer, so sorting by (min-hash, -min-pos) clusters them
 and gives a per-pair alignment anchor (shift = minpos_prev - minpos_cur)
-— EXPERIMENTS.md §11 measured 1.7-3.4x on the sequence stream.
+— EXPERIMENTS.md §14 measured 1.7-3.4x on the sequence stream.
 
 Host-only NumPy (long-read mode never touches the device); column-tiled
 so the k-mer image never materializes at [n, L] for megabase reads.

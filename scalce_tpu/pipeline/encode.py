@@ -898,7 +898,7 @@ class BlockEncoder:
         whose match rate does not clearly beat the 25% random-alignment
         floor keep an all-zero mask (pure literal fill, the v5
         behavior), so blocks with no overlap round-trip at v5 size +
-        a few bytes.  EXPERIMENTS.md §11: 1.7-3.4x on the seq stream at
+        a few bytes.  EXPERIMENTS.md §14: 1.7-3.4x on the seq stream at
         5-20x coverage with substitution errors; indel-dominated reads
         fall back to literal rows via the density rule.
 

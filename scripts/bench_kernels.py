@@ -3,7 +3,7 @@
 RESIDENT on the TPU (VERDICT r3 #1).
 
 Every end-to-end device number in BENCH_r0{1,2,3} measures the ~30 MB/s
-host<->device tunnel, not the kernels (EXPERIMENTS.md §7 roofline).
+host<->device tunnel, not the kernels (EXPERIMENTS.md §10 roofline).
 This harness answers the other question — how fast is each device stage
 where the link is NOT the wall — by pre-uploading inputs once and
 timing pure device execution:

@@ -442,7 +442,7 @@ def test_long_read_v6_minimizer_reorder_roundtrip_and_ratio(tmp_path):
     """Container v6 (VERDICT r3 #6): overlapping long reads must be
     minimizer-reordered and delta-coded — byte-exact --keep-order
     round-trip AND a sequence stream well under the 2-bit literal floor
-    (EXPERIMENTS.md §11 measured 1.7-3.4x; gate at 1.5x)."""
+    (EXPERIMENTS.md §14 measured 1.7-3.4x; gate at 1.5x)."""
     import numpy as np
     from scalce_tpu.config import Config
     from scalce_tpu.pipeline import driver

@@ -459,7 +459,7 @@ def test_driver_placement_identity_uniform_blocks(tmp_path):
     """Uniform-length blocks synthesize their device lengths from two
     scalars instead of uploading them — bytes must still match the
     host placement exactly.  (The compact 5-byte hd wire this test
-    once pinned was reverted — EXPERIMENTS.md §7.)"""
+    once pinned was reverted — EXPERIMENTS.md §10.)"""
     import glob
     from scalce_tpu.pipeline import driver
     payload = synth_fastq(3000, 100, seed=88, n_rate=0.01, rc_rate=0.3)
