@@ -94,6 +94,14 @@ def main() -> None:
                 tmp_root = "/dev/shm"
         except OSError:
             pass
+    # a disk-throttled run must be distinguishable from a codec
+    # regression in the artifact (ADVICE r4): record which working-set
+    # location was used, and the machine load, in the JSON line
+    workdir_kind = "tmpfs" if tmp_root else "disk"
+    if not tmp_root:
+        print("[bench] WARNING: /dev/shm unavailable or too small - "
+              "working set on disk (~33 MB/s on this VM); walls will "
+              "include writeback stalls", file=sys.stderr, flush=True)
     tmp = tempfile.mkdtemp(prefix="scalce_bench_", dir=tmp_root)
     # tmpfs is RAM: leaked ~1.5GB working sets accumulate across runs
     import atexit
@@ -140,12 +148,23 @@ def main() -> None:
     # minutes on identical code), so the minimum wall is the honest
     # capability estimate; the spread goes to stderr
     n_runs = int(os.environ.get("BENCH_RUNS", 3))
+    # when the wall spread exceeds ~10% the shared VM is visibly noisy
+    # and best-of-3 under-samples the clean-machine capability (round 4
+    # recorded 0.435 GB/s where quiet-machine runs pin 0.59-0.61):
+    # keep running, up to BENCH_MAX_RUNS, until the spread settles or
+    # the cap is hit (VERDICT r4 #3)
+    max_runs = int(os.environ.get("BENCH_MAX_RUNS", max(6, n_runs)))
+    spread_tol = float(os.environ.get("BENCH_SPREAD_TOL", 0.10))
     walls = []
-    for i in range(n_runs):
-        log(f"timed encode {i + 1}/{n_runs}")
+    for i in range(max_runs):
+        if i >= n_runs and (max(walls) - min(walls)) / min(walls) \
+                <= spread_tol:
+            break
+        log(f"timed encode {i + 1}/{n_runs} (cap {max_runs})")
         w, stats = run(path, "bench")
         walls.append(w)
     wall = min(walls)
+    wall_median = sorted(walls)[len(walls) // 2]
     log(f"encode walls: {[round(w, 3) for w in walls]}")
 
     budget = float(os.environ.get("BENCH_TIME_BUDGET", 480))
@@ -168,6 +187,46 @@ def main() -> None:
         log(f"decode walls: {[round(w, 3) for w in dec_walls]}")
     else:
         log("over time budget - skipping decode timing")
+
+    # paired-end leg (VERDICT r4 #4): the north-star workload is paired
+    # (BASELINE.json configs 2-5) — pin the number in the artifact, not
+    # in BASELINE.md prose.  Same host placement as the main leg.
+    paired_gbps = 0.0
+    paired_walls = []
+    if os.environ.get("BENCH_PAIRED", "1") != "0" \
+            and time.monotonic() - t_start < budget:
+        from scalce_tpu.utils.synth import synth_pair
+        # default scales with the main leg so the CI-size bench stays
+        # CI-sized (full runs use 2 x 1M mates = the BASELINE config)
+        pr = int(os.environ.get("BENCH_PAIRED_READS",
+                                min(1 << 20, n_reads)))
+        log(f"paired leg: generating 2 x {pr} mates")
+        m1, m2 = synth_pair(pr, 100, seed=42, genome_len=1_000_000,
+                            n_rate=0.001)
+        p1 = os.path.join(tmp, "mate_1.fastq")
+        p2 = os.path.join(tmp, "mate_2.fastq")
+        with open(p1, "wb") as f:
+            f.write(m1)
+        with open(p2, "wb") as f:
+            f.write(m2)
+        paired_bytes = len(m1) + len(m2)
+
+        def run_paired():
+            cfg = Config(mode="compress", inputs=(p1, p2), paired=True,
+                         output=os.path.join(tmp, "paired"),
+                         block_reads=block_reads, **place_kw)
+            t0 = time.monotonic()
+            driver.compress(cfg)
+            return time.monotonic() - t0
+
+        log("paired warm-up")
+        run_paired()                      # mate-2 jits / pool warm
+        for i in range(n_runs):
+            log(f"timed paired encode {i + 1}/{n_runs}")
+            paired_walls.append(run_paired())
+        paired_gbps = paired_bytes / min(paired_walls) / 1e9
+        log(f"paired walls: {[round(w, 3) for w in paired_walls]} "
+            f"-> {paired_gbps:.4f} GB/s")
 
     # device-placement leg (VERDICT r2 #1: the round artifact must pin
     # a TPU number, not just the host placement).  Runs AFTER the host
@@ -227,6 +286,55 @@ print(json.dumps(walls[1:] or walls))
         except Exception as e:      # no device / dead tunnel: the host
             log(f"device leg unavailable: {e}")     # number still stands
 
+    # device-placement DECODE leg (VERDICT r4 #4): the Mosaic quality
+    # decode kernel path (--qual-device), end-to-end from the container
+    # the host leg wrote.  Subprocess for the same contamination reason
+    # as the encode leg.  Null if skipped/unavailable.
+    dev_dec_gbps = 0.0
+    dev_dec_walls = []
+    if placement == "host" and dec_wall \
+            and os.environ.get("BENCH_DEVICE", "1") != "0" \
+            and os.environ.get("BENCH_DEVICE_DECODE", "1") != "0":
+        import subprocess
+        dd_budget = float(os.environ.get("BENCH_DEVICE_DECODE_BUDGET",
+                                         1200))
+        child = f"""
+import json, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from scalce_tpu.config import Config
+from scalce_tpu.pipeline import driver
+walls = []
+t_all = time.monotonic()
+for i in range(4):    # 1 warm-up + up to 3 timed
+    cfg = Config(mode="decompress",
+                 inputs=({os.path.join(tmp, "bench.00.scalcen")!r},),
+                 output={os.path.join(tmp, "devdec")!r},
+                 block_reads={block_reads}, qual_on_device=True)
+    t0 = time.monotonic()
+    driver.decompress(cfg)
+    walls.append(time.monotonic() - t0)
+    if time.monotonic() - t_all > {dd_budget}:
+        break
+print(json.dumps(walls[1:] or walls))
+"""
+        try:
+            log("device-placement decode leg (subprocess; Mosaic "
+                "compile is seconds, tunnel D2H dominates)")
+            r = subprocess.run([sys.executable, "-c", child],
+                               capture_output=True, text=True,
+                               timeout=dd_budget + 300)
+            if r.returncode == 0:
+                dev_dec_walls = json.loads(
+                    r.stdout.strip().splitlines()[-1])
+                dev_dec_gbps = input_bytes / min(dev_dec_walls) / 1e9
+                log(f"device decode walls: "
+                    f"{[round(w, 3) for w in dev_dec_walls]} "
+                    f"-> {dev_dec_gbps:.4f} GB/s")
+            else:
+                log(f"device decode leg failed: {r.stderr[-500:]}")
+        except Exception as e:
+            log(f"device decode leg unavailable: {e}")
+
     # kernel-only device leg (VERDICT r3 #1): per-stage throughput with
     # data RESIDENT on the chip — the falsifiable "fast on
     # locally-attached hardware" numbers (scripts/bench_kernels.py).
@@ -264,10 +372,22 @@ print(json.dumps(walls[1:] or walls))
         "unit": "GB/s",
         "vs_baseline": round(gbps / ref_gbps, 2),
         # run-to-run spread on this shared VM is real signal (VERDICT
-        # r2 weak #6): all walls, not just the best
+        # r2 weak #6): all walls, not just the best; median alongside
+        # best so a noisy artifact is self-describing (VERDICT r4 #3)
         "encode_walls_s": [round(w, 3) for w in walls],
+        "encode_median_gbps": round(input_bytes / wall_median / 1e9, 4),
+        # provenance of the measurement environment (ADVICE r4): which
+        # working-set location, and how loaded the VM was
+        "workdir": workdir_kind,
+        "loadavg": list(os.getloadavg()),
         "decode_gbps": round(input_bytes / dec_wall / 1e9, 4)
         if dec_wall else None,
+        "paired_encode_gbps": round(paired_gbps, 4)
+        if paired_gbps else None,
+        "paired_encode_walls_s": [round(w, 3) for w in paired_walls],
+        "device_decode_gbps": round(dev_dec_gbps, 4)
+        if dev_dec_gbps else None,
+        "device_decode_walls_s": [round(w, 3) for w in dev_dec_walls],
         "ratio": round(stats.input_bytes / stats.output_bytes, 3),
         # the TPU-placement number (VERDICT r2 #1); null if the leg was
         # skipped/unavailable

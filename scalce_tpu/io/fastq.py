@@ -174,6 +174,14 @@ _BLOCK_POOL_LOCK = threading.Lock()
 _BLOCK_POOL_MAX = 6
 _BLOCK_POOL_MAX_BYTES = 64 << 20      # per array; excludes long-read L
 
+#: SCALCE_POISON_RECYCLE=1 debug mode (ADVICE r4): instead of pooling,
+#: overwrite recycled arrays with a sentinel.  The pool's safety rests
+#: on the convention that ``assemble`` is the LAST reader of
+#: block.seq/qual/lengths; a future consumer that retains a view would
+#: silently read reused data — under poison it reads 0xAB garbage and
+#: the byte-identity tests fail deterministically instead.
+_POISON_RECYCLE = os.environ.get("SCALCE_POISON_RECYCLE", "") == "1"
+
 
 def recycle_block(block: "ReadBlock") -> None:
     """Return a ReadBlock's padded arrays to the builder pool.
@@ -189,6 +197,11 @@ def recycle_block(block: "ReadBlock") -> None:
             or seq.shape != qual.shape or len(seq.shape) != 2
             or lengths.shape != (seq.shape[0],)
             or seq.nbytes > _BLOCK_POOL_MAX_BYTES):
+        return
+    if _POISON_RECYCLE:
+        seq.fill(0xAB)
+        qual.fill(0xAB)
+        lengths.fill(0xABAB)
         return
     with _BLOCK_POOL_LOCK:
         if len(_BLOCK_POOL) < _BLOCK_POOL_MAX:

@@ -32,6 +32,8 @@ previous-symbol part differs per lane).
 from __future__ import annotations
 
 import dataclasses
+import os
+import zlib
 from functools import partial
 from typing import Optional, Tuple
 
@@ -44,6 +46,11 @@ from scalce_tpu.ops import rans
 from scalce_tpu.ops.bitops import U32
 
 N_SYMS = 94          # printable FASTQ quality range
+
+#: SCALCE_TABLE_PROBE=zlib switches the order auto-trial's table-cost
+#: probe from the analytic run-length model back to a measured zlib
+#: Z_RLE compress (A/B validation only — see _table_cost_bytes)
+_TABLE_PROBE_ZLIB = os.environ.get("SCALCE_TABLE_PROBE", "") == "zlib"
 QUAL_OFFSET = 33
 _POS_BUCKETS = 8
 _PREV1_FULL = 94     # order-1: UNQUANTIZED prev symbol (+ start sentinel).
@@ -534,6 +541,14 @@ def _table_cost_bytes(freq: np.ndarray) -> int:
     img = np.ascontiguousarray(freq.astype("<u2")).view(np.uint8)
     if img.size == 0:
         return 8
+    if _TABLE_PROBE_ZLIB:
+        # A/B validation fallback (ADVICE r4): the MEASURED Z_RLE size
+        # the analytic model was fitted against.  Env-gated because it
+        # costs ~3.5 ms/block at order-3 table sizes and ties output
+        # bytes to the zlib build; use it to re-check order picks when
+        # new corpora land (CLAUDE.md note), not in production.
+        co = zlib.compressobj(6, zlib.DEFLATED, -15, 9, zlib.Z_RLE)
+        return len(co.compress(img.tobytes()) + co.flush()) + 8
     ch = img[1:] != img[:-1]
     nruns = int(np.count_nonzero(ch)) + 1
     # run lengths via change positions; literals = first byte of each

@@ -30,9 +30,16 @@ def test_bench_emits_one_json_line():
     # + wall spreads; VERDICT r2 #1 / weak #6)
     assert {"metric", "value", "unit", "vs_baseline",
             "encode_walls_s", "device_encode_gbps",
-            "ratio"} <= set(rec)
+            "ratio",
+            # round-5 extensions (VERDICT r4 #3/#4 + ADVICE r4)
+            "encode_median_gbps", "workdir", "loadavg",
+            "paired_encode_gbps", "device_decode_gbps"} <= set(rec)
     assert rec["metric"] == "encode_throughput"
     assert rec["unit"] == "GB/s"
     assert rec["value"] > 0
     assert rec["device_encode_gbps"] is None      # BENCH_DEVICE=0
+    assert rec["device_decode_gbps"] is None      # BENCH_DEVICE=0
     assert len(rec["encode_walls_s"]) >= 1
+    assert rec["workdir"] in ("tmpfs", "disk")
+    assert rec["encode_median_gbps"] > 0
+    assert rec["paired_encode_gbps"] > 0          # paired leg always on

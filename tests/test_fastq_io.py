@@ -1,5 +1,6 @@
 """FASTQ parse/write round-trip tests (host layer)."""
 
+import os
 import gzip
 import io
 
@@ -307,3 +308,37 @@ def test_block_pool_recycling_identical_and_shape_safe(tmp_path):
     fastq.recycle_block(other[0])
     assert any(t[0].shape == (512, 128) for t in fastq._BLOCK_POOL)
     fastq._BLOCK_POOL.clear()
+
+
+def test_poison_recycle_mode_keeps_roundtrip_identical(tmp_path):
+    """SCALCE_POISON_RECYCLE=1 (ADVICE r4 debug mode) overwrites
+    recycled arrays with a sentinel instead of pooling them.  A full
+    compress must emit IDENTICAL bytes under poison — proving nothing
+    downstream of assemble still reads block.seq/qual/lengths — and the
+    pool must stay empty."""
+    import subprocess
+    import sys
+    payload = synth_fastq(3000, 100, seed=33, n_rate=0.01, var_len=True)
+    p = tmp_path / "in.fastq"
+    p.write_bytes(payload)
+    outs = {}
+    for tag, poison in (("plain", "0"), ("poison", "1")):
+        env = dict(os.environ)
+        env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                    "SCALCE_POISON_RECYCLE": poison})
+        out = tmp_path / tag
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.argv=['x']; "
+             "from scalce_tpu.config import Config; "
+             "from scalce_tpu.pipeline import driver; "
+             f"driver.compress(Config(mode='compress', "
+             f"inputs=({str(p)!r},), output={str(out)!r}, "
+             f"block_reads=1024, core_on_device=False))"],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = b"".join(
+            f.read_bytes() for f in sorted(tmp_path.glob(f"{tag}.*")))
+    assert outs["plain"] == outs["poison"]

@@ -785,3 +785,31 @@ def test_hiseq_profile_order3_wins_and_auto_picks_it():
     # floor so smaller test blocks and table overhead keep headroom)
     raw = int(lengths.sum())
     assert raw / s0 > 2.3, raw / s0
+
+
+def test_table_cost_probe_zlib_fallback_tracks_analytic(monkeypatch):
+    """The env-gated zlib Z_RLE table-cost probe (ADVICE r4) must stay
+    available and track the analytic model on realistic tables (gate at
+    35% — measured 19-27% on this grid; the auto-trial's table-cost
+    margins between orders are far wider than that, so availability +
+    rough agreement is what matters, not the fitted constants)."""
+    rng = np.random.default_rng(7)
+    B, L = 8192, 100
+    base = 38 - (np.arange(L) * 8 / L)          # bench-like profile
+    q = np.clip(base[None, :] + rng.normal(0, 3, (B, L)), 2, 40)
+    qual = (q + 33).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    for order in (1, 2, 3):
+        C = qualities.n_contexts(order)
+        sym, ctx, _ = qualities._sym_ctx_np(qual, lengths, order)
+        idx = ctx.reshape(-1).astype(np.int64) * qualities.N_SYMS \
+            + sym.reshape(-1)
+        counts = np.bincount(idx, minlength=C * qualities.N_SYMS)
+        freq, _ = entropy.host_normalize(counts, C, qualities.N_SYMS)
+        analytic = qualities._table_cost_bytes(freq)
+        monkeypatch.setattr(qualities, "_TABLE_PROBE_ZLIB", True)
+        measured = qualities._table_cost_bytes(freq)
+        monkeypatch.setattr(qualities, "_TABLE_PROBE_ZLIB", False)
+        assert measured > 0 and analytic > 0
+        assert abs(measured - analytic) / measured < 0.35, \
+            (order, analytic, measured)
