@@ -64,7 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decompress in original read order (scalce_tpu "
                         "extension; the reference cannot restore order)")
     p.add_argument("--block-reads", type=int, default=1 << 18)
-    p.add_argument("--max-read-len", type=int, default=128)
+    p.add_argument("--max-read-len", type=int, default=0,
+                   help="padded read width; 0 (default) auto-sizes "
+                        "from the input head (>=128, multiple of 16)")
     p.add_argument("--core-k", type=int, default=12)
     p.add_argument("--dict-mode", choices=("hash", "lut", "lcp"),
                    default="hash",

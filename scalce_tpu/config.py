@@ -91,7 +91,13 @@ class Config:
                                        # speed on large inputs; the
                                        # bench pins its own 128k blocks
                                        # for pipeline granularity)
-    max_read_len: int = 128            # padded read length (static shape)
+    max_read_len: int = 0              # padded read length (static shape);
+                                       # 0 = AUTO: size from the longest
+                                       # sequence line in the input head
+                                       # (>= 128, ceil to a multiple of
+                                       # 16) via resolve_read_len — 151bp
+                                       # HiSeq reads compress with no
+                                       # flags (VERDICT r4 #7)
     core_k: int = 12                   # core k-mer length (2k bits <= 31)
     dict_seed: int = 0x5CA1CE          # core-dictionary ranking seed
     dict_mode: str = "hash"            # "hash" = implicit minimizer ranking
@@ -244,3 +250,21 @@ class Config:
         if self.dict_mode in ("lut", "lcp") and self.core_k > 12:
             raise ValueError(f"dict_mode={self.dict_mode!r} requires "
                              "core_k <= 12 (4^k LUT)")
+
+
+def resolve_read_len(cfg: Config) -> Config:
+    """Resolve ``max_read_len == 0`` (AUTO) to a concrete padded width.
+
+    Compress mode probes the input head (io.fastq.probe_max_read_len:
+    deterministic, >= 128, multiple of 16); stdin and decompress keep
+    the 128 floor (decode takes its width from the container metadata).
+    ``dataclasses.replace`` re-runs validation, so long-read widths
+    picked by the probe hit the same placement constraints an explicit
+    --max-read-len would."""
+    if cfg.max_read_len:
+        return cfg
+    width = None
+    if cfg.mode == "compress" and cfg.inputs:
+        from scalce_tpu.io.fastq import probe_max_read_len
+        width = probe_max_read_len(cfg.inputs)
+    return dataclasses.replace(cfg, max_read_len=width or 128)

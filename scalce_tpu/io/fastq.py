@@ -583,6 +583,46 @@ class _ChainedFile:
         self._f.close()
 
 
+def probe_max_read_len(paths, floor: int = 128,
+                       probe_bytes: int = 4 << 20) -> Optional[int]:
+    """Auto-size the padded read width from the head of the input(s)
+    (VERDICT r4 #7: the reference handles any length up to its MAXLINE
+    without user action [REF: const.h MAXLINE — UNVERIFIED; SURVEY.md
+    §6 long-context row]).
+
+    Scans the first ``probe_bytes`` of DECODED text per input and
+    returns ``max(floor, ceil16(longest sequence line))`` — a pure
+    function of (input bytes, constants), so the resolved width (and
+    therefore every output byte) stays deterministic.  Inputs at or
+    under ``floor`` bp resolve to exactly ``floor``, keeping the warmed
+    default shapes.  Returns None for stdin (not re-readable; the
+    caller keeps the floor and the exceeds-max error path still names
+    --max-read-len).  A read beyond the probe window that exceeds the
+    resolved width raises the same actionable error as before."""
+    best = floor
+    for path in paths:
+        if path == "-":
+            return None
+        with open(path, "rb") as f:
+            magic = f.read(3)
+            f.seek(0)
+            if magic[:2] == b"\x1f\x8b":
+                import gzip
+                src = gzip.GzipFile(fileobj=f)
+            elif magic == b"BZh":
+                import bz2
+                src = bz2.BZ2File(f)
+            else:
+                src = f
+            data = src.read(probe_bytes)
+        lines = data.split(b"\n")
+        lines = lines[:-1]      # trailing partial line (or empty tail)
+        seqs = lines[1::4]      # 4-line records from byte 0
+        if seqs:
+            best = max(best, max(len(s.rstrip(b"\r")) for s in seqs))
+    return (best + 15) // 16 * 16
+
+
 def _open_maybe_gz(path: str) -> IO[bytes]:
     if path == "-":
         return sys.stdin.buffer
@@ -1093,7 +1133,10 @@ def iter_blocks(path: str, capacity: int, max_len: int) -> Iterator[ReadBlock]:
     """Parse a FASTQ file into fixed-shape ``ReadBlock``s of ``capacity``
     reads.  One block's pool parses stay IN FLIGHT while this thread
     reads/scans the next block; the finish-join is deferred one block
-    (output identical — segments merge in submission order)."""
+    (output identical — segments merge in submission order).
+    ``max_len=0`` auto-sizes from the input head (probe_max_read_len)."""
+    if max_len == 0:
+        max_len = probe_max_read_len((path,)) or 128
     stream = _RecordStream(path)
     pending = None
     block_id = 0
@@ -1119,8 +1162,11 @@ def iter_paired_blocks(path1: str, path2: str, capacity: int,
 
     Mate-2 blocks carry the reads pairing 1:1 with mate-1 rows, so one
     permutation computed from mate 1 reorders both (SURVEY.md §2
-    "Paired-end sync").
+    "Paired-end sync").  ``max_len=0`` auto-sizes from both mates'
+    heads (probe_max_read_len).
     """
+    if max_len == 0:
+        max_len = probe_max_read_len((path1, path2)) or 128
     s1 = _RecordStream(path1)
     s2 = _RecordStream(path2)
     block_id = 0

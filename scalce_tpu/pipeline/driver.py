@@ -181,6 +181,12 @@ def compress(cfg: Config) -> RunStats:
     for p in cfg.inputs:
         if p != "-" and not os.path.exists(p):
             raise FileNotFoundError(f"input FASTQ not found: {p}")
+    # max_read_len=0 (AUTO): size the padded width from the input head
+    # BEFORE anything shape-dependent (file_meta stores it; every jit
+    # below keys on it).  Deterministic, so output bytes stay a pure
+    # function of (input, config).  VERDICT r4 #7.
+    from scalce_tpu.config import resolve_read_len
+    cfg = resolve_read_len(cfg)
     stats = RunStats(mode="compress")
     meta = file_meta(cfg)
     if cfg.core_on_device is None and cfg.max_read_len <= 32752:

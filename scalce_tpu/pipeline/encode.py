@@ -1139,6 +1139,8 @@ def warm_slice_variants(cfg: Config) -> None:
     (word and literal buckets).  Called once after the warm-up block so
     the TIMED phase (and production runs) never stall on the remote
     compiler for a block whose payload crossed a bucket boundary."""
+    from scalce_tpu.config import resolve_read_len
+    cfg = resolve_read_len(cfg)     # max_read_len=0 (AUTO) -> width
     if BlockEncoder(cfg).host_core:
         return          # host placement: no device jits exist to warm
     B, L = cfg.block_reads, cfg.max_read_len

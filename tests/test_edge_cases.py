@@ -574,3 +574,52 @@ def test_long_read_v6_indel_reads_degrade_gracefully(tmp_path):
                              output=str(tmp_path / "d"),
                              keep_order=True))
     assert (tmp_path / "d.fastq").read_bytes() == payload
+
+
+def test_auto_read_len_151bp_no_flags(tmp_path):
+    """VERDICT r4 #7: 151 bp HiSeq-class reads must compress with NO
+    flags — max_read_len=0 (the default) auto-sizes from the input head
+    to ceil16(151)=160 — and round-trip byte-exact under keep-order."""
+    from scalce_tpu.io import fastq
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(2000, 151, seed=61, n_rate=0.01)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    assert fastq.probe_max_read_len((str(inp),)) == 160
+    assert _roundtrip_bytes(tmp_path, payload) == payload
+
+
+def test_auto_read_len_keeps_128_floor_and_bytes(tmp_path):
+    """Inputs at or under 128 bp must resolve to EXACTLY the historical
+    width 128 (warmed shapes; byte-stability of every existing output):
+    AUTO and an explicit --max-read-len 128 emit identical bytes."""
+    import glob
+    from scalce_tpu.io import fastq
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(2000, 100, seed=62, n_rate=0.01, var_len=True)
+    inp = tmp_path / "in.fastq"
+    inp.write_bytes(payload)
+    assert fastq.probe_max_read_len((str(inp),)) == 128
+    outs = {}
+    for tag, width in (("auto", 0), ("fix", 128)):
+        cfg = Config(mode="compress", inputs=(str(inp),),
+                     output=str(tmp_path / tag), block_reads=256,
+                     max_read_len=width)
+        driver.compress(cfg)
+        outs[tag] = b"".join(
+            open(f, "rb").read() for f in
+            sorted(glob.glob(str(tmp_path / f"{tag}.*"))))
+    assert outs["auto"] == outs["fix"]
+
+
+def test_auto_read_len_probe_gz_and_ceil16(tmp_path):
+    """The probe sees through gzip and rounds up to a multiple of 16;
+    stdin is un-probeable (None -> caller keeps the floor)."""
+    import gzip
+    from scalce_tpu.io import fastq
+    from scalce_tpu.utils.synth import synth_fastq
+    payload = synth_fastq(500, 137, seed=63)
+    gzp = tmp_path / "in.fastq.gz"
+    gzp.write_bytes(gzip.compress(payload))
+    assert fastq.probe_max_read_len((str(gzp),)) == 144   # ceil16(137)
+    assert fastq.probe_max_read_len(("-",)) is None
