@@ -125,9 +125,39 @@ def sym_ctx_hist(qual: jnp.ndarray, lengths: jnp.ndarray, order: int
     prev2 = jnp.pad(sym[:, :-2], ((0, 0), (2, 0)))
     ctx = _ctx_from(prev1, prev2, _pos_bucket(col.astype(U32), order),
                     col == 0, col == 1, valid, order)
-    counts = rans.context_histogram(sym.reshape(-1), ctx.reshape(-1),
-                                    n_contexts(order), N_SYMS)
+    counts = _ctx_histogram(sym, ctx, order)
     return sym, ctx, counts
+
+
+def _slab_spec(order: int) -> Tuple[int, int, int]:
+    """(rows per position bucket R, bucket count PB, bucket column
+    width) of the context model — ctx = 1 + pos_bucket(col)*R + pidx."""
+    if order == 2:
+        return ((_PREV_LEVELS + 1) * _PREV2_LEVELS, _POS_BUCKETS, 16)
+    if order == 3:
+        return (_PREV1_FULL + 1, _POS_BUCKETS32, 4)
+    return (_PREV1_FULL + 1, _POS_BUCKETS, 16)
+
+
+def _ctx_histogram(sym: jnp.ndarray, ctx: jnp.ndarray,
+                   order: int) -> jnp.ndarray:
+    """(ctx, sym) histogram with the fastest exact device path: the
+    slab-factored Mosaic kernel when eligible (8x the round-4 flat
+    kernel — ops/hist_pallas.py), else the generic path (flat Mosaic
+    kernel on TPU, `.at[].add` scatter elsewhere).  All three are
+    bit-identical (pinned by test)."""
+    B, L = sym.shape
+    R, PB, cd = _slab_spec(order)
+    try:
+        from scalce_tpu.ops import hist_pallas
+        import jax as _jax
+        if hist_pallas.slab_eligible(B * L, R, _jax.default_backend()):
+            return hist_pallas.hist_ctx_slab_pallas(sym, ctx, R, PB, cd,
+                                                    n_syms=N_SYMS)
+    except Exception:       # pragma: no cover - exotic backends
+        pass
+    return rans.context_histogram(sym.reshape(-1), ctx.reshape(-1),
+                                  n_contexts(order), N_SYMS)
 
 
 _sym_ctx_hist = partial(jax.jit, static_argnames=("order",))(sym_ctx_hist)

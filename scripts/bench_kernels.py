@@ -132,7 +132,6 @@ def main() -> None:
         "rank_lut": jnp.zeros(1, jnp.uint32),
         "f_all": jnp.asarray(f_all_np),
         "c_all": jnp.asarray(c_all_np),
-        "idx": jnp.asarray(idx_np.astype(np.int32)),
         "states": jnp.asarray(enc_q.states)[None],
         "words": jnp.asarray(words_padded)[None],
         "freq": jnp.asarray(enc_q.freq)[None],
@@ -210,16 +209,26 @@ def main() -> None:
     rans_dec_flops = 2 * 128 * Rpad * S
     rans_dec_bytes = 4 * S + 4 * N * W   # syms out + words in
 
+    # production histogram path (round 5): the slab-factored kernel —
+    # each symbol matmuls into a dense [128, 128] (prev, sym) slab of
+    # its position bucket instead of the flat-factored [256, 512] cell
+    # tile (8x less padded MXU work; measured 38.9 -> 4.7 ms)
+    sym_g, ctx_g, _ = qualities._sym_ctx_hist(
+        jnp.asarray(block.qual), jnp.asarray(lengths_i32), ORDER)
+    dev["sym_g"] = jax.block_until_ready(sym_g)
+    dev["ctx_g"] = jax.block_until_ready(ctx_g)
+    Rs, PBs, cds = qualities._slab_spec(ORDER)
+
     def run_hist(d):
-        idx = (dev["idx"].astype(jnp.uint32) ^ (d & jnp.uint32(0))
-               ).astype(jnp.int32)
-        h = hist_pallas.histogram_pallas(idx, C * qualities.N_SYMS)
+        s = _salt_u32(dev["sym_g"], d)
+        h = hist_pallas.hist_ctx_slab_pallas(s, dev["ctx_g"], Rs, PBs,
+                                             cds, n_syms=qualities.N_SYMS)
         return _dsum(h)
 
-    Rh_pad = -(-(C * qualities.N_SYMS) // hist_pallas._LO)
-    Rh_pad = (Rh_pad + 7) // 8 * 8
-    hist_flops = 2 * S * Rh_pad * hist_pallas._LO
-    hist_bytes = 4 * S
+    # padded matmul work: 2*128(prev rows)*128(sym lanes) per symbol;
+    # HBM: read sym+ctx grids, write + re-read the transposed streams
+    hist_flops = 2 * S * 128 * 128
+    hist_bytes = 3 * 8 * S
 
     steps = delta_decode._ceil_log2(B)
 
@@ -250,6 +259,10 @@ def main() -> None:
 
     results = {}
     budget = float(os.environ.get("BENCH_KERNEL_BUDGET", 2400))
+    only = os.environ.get("BENCH_KERNEL_STAGES", "")
+    if only:
+        keep = set(only.split(","))
+        stages = {k: v for k, v in stages.items() if k in keep}
     t_all = time.monotonic()
     for name, (fn, pay, bts, flops, note) in stages.items():
         if time.monotonic() - t_all > budget:
