@@ -57,6 +57,10 @@ _MASK12 = (1 << PROB_BITS) - 1
 _RANS_L_INT = int(RANS_L)
 _PAD_SENTINEL = 1 << 23          # > any cum, still exact in f32
 
+#: cum rows per table plane (94 symbols + 2 pad, multiple of 8);
+#: planes stack as [hi; lo] so one matmul selects both
+_CROWS = 96
+
 #: lanes per grid step (VMEM: words Wp*NT*4 + syms T*NT*4 + table)
 _NT = 1024
 
@@ -89,29 +93,33 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
             *, T: int, L: int, R: int, Rpad: int, order: int):
     """states [1, NT] u32; words [Wp, NT] i32 (transposed streams);
-    tbl [8, 128, Rpad] f32 (slabT per position bucket: row c = cum
-    entry c, col p = prev index); lens [k, NT] i32; syms out [T, NT].
+    tbl [PB, 256, Rpad] bf16 (per position bucket: rows 0..127 hold
+    cum >> 5, rows 128..255 hold cum & 31 — each half bf16-EXACT, so
+    ONE default-precision matmul selects both planes and the f32
+    recombine hi*32 + lo is exact.  Round 4 stored f32 cums and paid
+    precision=HIGHEST — a 6-pass decomposition — because one-pass bf16
+    truncated the 12-bit cums; the split keeps single-pass speed at
+    full exactness, measured 23.5 -> 11 ms/block on v5e); lens
+    [k, NT] i32; syms out [T//4, NT] u32, FOUR symbols byte-packed per
+    word (symbols < 94 fit a byte; a [T, NT] u32 out tile was the VMEM
+    ceiling that capped the lane tile NT).
 
     st_ref: VMEM scratch [8, NT] u32 holding the scan state (x, cursor,
-    prev1, prev2) — carried through VMEM instead of fori_loop values
-    because Mosaic's layout unification rejects the [1, NT] reduction
-    outputs as loop carries ("Invalid relayout ... replicated in
-    destination but not in source")."""
+    prev1, prev2, sym pack accumulator) — carried through VMEM instead
+    of fori_loop values because Mosaic's layout unification rejects the
+    [1, NT] reduction outputs as loop carries ("Invalid relayout ...
+    replicated in destination but not in source")."""
     NT = states_ref.shape[1]
     Wp = words_ref.shape[0]
     k = lens_ref.shape[0]
     prev_iota = jax.lax.broadcasted_iota(jnp.int32, (Rpad, NT), 0)
     word_iota = jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 0)
-    cum_iota = jax.lax.broadcasted_iota(jnp.int32, (128, NT), 0)
+    cum_iota = jax.lax.broadcasted_iota(jnp.int32, (_CROWS, NT), 0)
     read_iota = jax.lax.broadcasted_iota(jnp.int32, (k, NT), 0)
     words_i = words_ref[:].astype(jnp.int32)
     lens_all = lens_ref[:].astype(jnp.int32)        # [k, NT]
 
-    def step(t, _):
-        x = st_ref[0:1, :]
-        cursor = st_ref[1:2, :].astype(jnp.int32)
-        prev1 = st_ref[2:3, :].astype(jnp.int32)
-        prev2 = st_ref[3:4, :].astype(jnp.int32)
+    def sub_step(t, lens, x, cursor, prev1, prev2):
         col = t - (t // L) * L                      # scalar
         if order == 3:
             pb = jnp.minimum(col // 4, _POS_BUCKETS32 - 1)
@@ -119,11 +127,6 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
             pb = jnp.minimum(col // 16, _POS_BUCKETS - 1)
         c0 = col == 0
         c1 = col == 1
-        rd = t // L
-        # lens row rd via compare+reduce (k is tiny; avoids a dynamic
-        # sublane slice that would need another layout)
-        lens = jnp.sum(jnp.where(read_iota == rd, lens_all, 0),
-                       axis=0, keepdims=True)       # [1, NT]
         valid = col < lens
         # per-lane slab column (previous-symbol part of the context).
         # prev1/prev2 are i32: Mosaic has no unsigned min, and symbols
@@ -137,19 +140,18 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
             p2 = jnp.where(c0 | c1, _PREV2_LEVELS - 1,
                            jnp.minimum(prev2 >> 4, _PREV2_LEVELS - 2))
             pidx = pq * _PREV2_LEVELS + p2
-        slabT = tbl_ref[pl.ds(pb, 1), :, :][0]      # [128, Rpad] f32
-        onehotT = (prev_iota == pidx).astype(jnp.float32)   # [Rpad, NT]
-        # HIGHEST precision: the default f32 matmul lowers to one-pass
-        # bf16 on the MXU (observed: cum values off by <1 ulp flip the
-        # searchsorted compares); HIGHEST forces the exact decomposition
-        cumT = jnp.dot(slabT, onehotT,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [128, NT]
+        slabT = tbl_ref[pl.ds(pb, 1), :, :][0]      # [192, Rpad] bf16
+        onehotT = (prev_iota == pidx).astype(jnp.bfloat16)  # [Rpad, NT]
+        # single-term sums of exact bf16 values: exact at default
+        # precision (each one-hot column selects ONE table entry)
+        hl = jnp.dot(slabT, onehotT,
+                     preferred_element_type=jnp.float32)    # [192, NT]
+        cumT = hl[0:_CROWS, :] * 32.0 + hl[_CROWS:, :]      # [96, NT]
         slot = (x & jnp.uint32(_MASK12)).astype(jnp.int32)  # [1, NT]
         slot_f = slot.astype(jnp.float32)
         le = cumT <= slot_f
         # rows 0..92 hold cum_1..cum_93; row 93 holds the total (4096,
-        # never <= slot); pad rows hold 2^23
+        # never <= slot); pad rows hold 2^15
         s = jnp.sum(jnp.where(le & (cum_iota < _NSYMS - 1), 1, 0),
                     axis=0, keepdims=True)           # [1, NT] i32
         cum_sel = jnp.max(jnp.where(le, cumT, 0.0), axis=0, keepdims=True)
@@ -165,17 +167,49 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
         x_new = jnp.where(pull, (x_new << 16) | w, x_new)
         x = jnp.where(valid, x_new, x)
         cursor = cursor + pull.astype(jnp.int32)
-        s = jnp.where(valid, s, 0)
-        syms_ref[pl.ds(t, 1), :] = s.astype(U32)
+        su = jnp.where(valid, s, 0).astype(U32)
+        return x, cursor, su.astype(jnp.int32), prev1
+
+    def body(q, _):
+        # FOUR steps inlined per loop iteration: the scan state lives
+        # in registers across them, the VMEM scratch round-trip and the
+        # syms store amortize 4x, and the loop count drops T -> T//4 —
+        # the per-step fixed overhead was the measured floor (~9.8 ms
+        # of the 14.6 ms step total with every compute piece ablated)
+        x = st_ref[0:1, :]
+        cursor = st_ref[1:2, :].astype(jnp.int32)
+        prev1 = st_ref[2:3, :].astype(jnp.int32)
+        prev2 = st_ref[3:4, :].astype(jnp.int32)
+        t0 = q * 4
+        # the read index t//L is constant across the 4 sub-steps (L is
+        # a multiple of 16), so the [k, NT] lens row-select hoists here
+        lens = jnp.sum(jnp.where(read_iota == t0 // L, lens_all, 0),
+                       axis=0, keepdims=True)       # [1, NT]
+        x, cursor, s0, prev1 = sub_step(t0, lens, x, cursor, prev1, prev2)
+        prev2 = prev1
+        prev1 = s0
+        x, cursor, s1, prev1b = sub_step(t0 + 1, lens, x, cursor, prev1,
+                                         prev2)
+        prev2 = prev1b
+        prev1 = s1
+        x, cursor, s2, prev1b = sub_step(t0 + 2, lens, x, cursor, prev1,
+                                         prev2)
+        prev2 = prev1b
+        prev1 = s2
+        x, cursor, s3, prev1b = sub_step(t0 + 3, lens, x, cursor, prev1,
+                                         prev2)
+        acc = (s0.astype(U32) | (s1.astype(U32) << 8)
+               | (s2.astype(U32) << 16) | (s3.astype(U32) << 24))
+        syms_ref[pl.ds(q, 1), :] = acc
         st_ref[0:1, :] = x
         st_ref[1:2, :] = cursor.astype(U32)
-        st_ref[2:3, :] = s.astype(U32)       # prev1 <- s
-        st_ref[3:4, :] = prev1.astype(U32)   # prev2 <- old prev1
+        st_ref[2:3, :] = s3.astype(U32)       # prev1 <- s3
+        st_ref[3:4, :] = prev1b.astype(U32)   # prev2 <- s2
         return 0
 
     st_ref[0:1, :] = states_ref[:]
     st_ref[1:8, :] = jnp.zeros((7, NT), U32)
-    jax.lax.fori_loop(0, T, step, 0)
+    jax.lax.fori_loop(0, T // 4, body, 0)
 
 
 @partial(jax.jit, static_argnames=("order", "T", "L", "interpret"))
@@ -197,14 +231,19 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
     Rpad = _round_up(R, 128)
     C = 1 + PB * R
     # slabT[d, pb, c, p] = cum_{c+1} for ctx (1 + pb*R + p); row 93 is
-    # the total (4096); pad rows/cols hold the sentinel
+    # the total (4096); pad rows recombine to 2^15 (> any slot).  The
+    # table ships as TWO stacked bf16 planes (rows 0..127: cum >> 5,
+    # rows 128..255: cum & 31) so the kernel's one-hot select runs ONE
+    # default-precision matmul instead of a 6-pass f32 HIGHEST — both
+    # planes are integers <= 1024, bf16-exact.
     cum = jnp.cumsum(freq.astype(jnp.int32), axis=2)        # [D, C, 94]
     body = cum[:, 1:, :]                                    # drop ctx 0
-    body = body.reshape(D, PB, R, _NSYMS)
-    tbl = jnp.full((D, PB, 128, Rpad), float(_PAD_SENTINEL),
-                   jnp.float32)
-    tbl = tbl.at[:, :, :_NSYMS, :R].set(
-        body.transpose(0, 1, 3, 2).astype(jnp.float32))
+    body = body.reshape(D, PB, R, _NSYMS).transpose(0, 1, 3, 2)
+    hi = jnp.full((D, PB, _CROWS, Rpad), 1024, jnp.int32)
+    hi = hi.at[:, :, :_NSYMS, :R].set(body >> 5)
+    lo = jnp.zeros((D, PB, _CROWS, Rpad), jnp.int32)
+    lo = lo.at[:, :, :_NSYMS, :R].set(body & 31)
+    tbl = jnp.concatenate([hi, lo], axis=2).astype(jnp.bfloat16)
     # lane j of block d owns reads j*k..j*k+k-1: lens_lanes[d, r, j]
     lens_lanes = lengths.reshape(D, N, k).transpose(0, 2, 1)
     lens_lanes = lens_lanes.astype(jnp.int32)
@@ -221,7 +260,7 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
     if NT == 0:
         raise ValueError("decode_scan_pallas: no lane tile fits VMEM")
     kernel = partial(_kernel, T=T, L=L, R=R, Rpad=Rpad, order=order)
-    syms = pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid=(D, N // NT),
         in_specs=[
@@ -229,19 +268,23 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, Wp, NT), lambda d, n: (d, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, PB, 128, Rpad),
+            pl.BlockSpec((None, PB, 2 * _CROWS, Rpad),
                          lambda d, n: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, k, NT), lambda d, n: (d, 0, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, T, NT), lambda d, n: (d, 0, n),
+        out_specs=pl.BlockSpec((None, T // 4, NT), lambda d, n: (d, 0, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, T, N), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((D, T // 4, N), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((8, NT), jnp.uint32)],
         interpret=interpret,
     )(states3, words_t, tbl, lens_lanes)
-    return syms
+    # unpack the 4-per-u32 byte lanes back to [D, T, N]
+    sh = jnp.arange(4, dtype=jnp.uint32) * 8
+    syms = (packed[:, :, None, :] >> sh[None, None, :, None]) \
+        & jnp.uint32(0xFF)
+    return syms.reshape(D, T, N)
 
 
 #: VMEM budget for the eligibility estimate: ~16 MB/core on v5e, minus
@@ -254,9 +297,11 @@ def _vmem_bytes(order: int, T: int, L: int, NT: int, W: int) -> int:
     Rpad = _round_up(R, 128)
     k = T // L
     Wp = max(128, W)
-    # double-buffered in/out tiles + table + scratch, all i32/f32
-    return 2 * 4 * (T * NT + Wp * NT + _n_buckets(order) * 128 * Rpad
-                    + k * NT) + 4 * 8 * NT
+    # double-buffered in/out tiles (i32; syms packed 4-per-u32) +
+    # bf16 split-plane table + scratch
+    return 2 * 4 * ((T // 4) * NT + Wp * NT + k * NT) \
+        + 2 * 2 * _n_buckets(order) * 2 * _CROWS * Rpad \
+        + 4 * 8 * NT
 
 
 def pick_nt(order: int, T: int, L: int, N: int, W: int = 0) -> int:

@@ -204,10 +204,12 @@ def main() -> None:
                                       dev["len32b"], ORDER, T, Lg)
         return _dsum(syms[0, 0])
 
-    # per step: one-hot [Rpad, NT] build + [128, Rpad]x[Rpad, NT] matmul
+    # per step: one-hot [Rpad, NT] build + ONE default-precision
+    # [192, Rpad]x[Rpad, NT] matmul (round 5: stacked bf16-exact hi/lo
+    # cum planes replaced the round-4 f32 HIGHEST 6-pass decomposition)
     Rpad = 128                      # order-1 slab rows (95 -> 128)
-    rans_dec_flops = 2 * 128 * Rpad * S
-    rans_dec_bytes = 4 * S + 4 * N * W   # syms out + words in
+    rans_dec_flops = 2 * 192 * Rpad * S
+    rans_dec_bytes = S + 4 * N * W   # packed syms out + words in
 
     # production histogram path (round 5): the slab-factored kernel —
     # each symbol matmuls into a dense [128, 128] (prev, sym) slab of
