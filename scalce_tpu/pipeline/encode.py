@@ -23,7 +23,7 @@ import numpy as np
 from scalce_tpu.config import Config
 from scalce_tpu.io.fastq import ReadBlock
 from scalce_tpu.ops import core_match, reorder
-from scalce_tpu.ops.bitops import pack_bases_u32
+from scalce_tpu.ops.bitops import U32, pack_bases_u32
 from scalce_tpu.streams import names as names_stream
 from scalce_tpu.streams import qualities, seqs
 
@@ -59,7 +59,9 @@ def _encode_core(codes, seq_packed, qual, lengths, n_reads, exc, qual_map,
     # independent, and flipping would scramble quality position stats)
     codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, qual, lengths, ck, cp, is_rc)
-    qual_s = qual_map[qual_s]
+    # qual_map=None means identity (lossless): skipping the [B, L] LUT
+    # gather saves ~130 ms/block on TPU (15 ns/element)
+    qual_s = qual_s if qual_map is None else qual_map[qual_s]
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
     delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_s, len_s, order)
@@ -144,7 +146,7 @@ def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
         use_pallas=use_pallas)
     codes_s, qual_s, len_s, ck_s, cp_s, rc_s = reorder.apply_permutation(
         perm, codes_o, qual, lengths, ck, cp, is_rc)
-    qual_m = qual_map[qual_s]
+    qual_m = qual_s if qual_map is None else qual_map[qual_s]
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
     delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_m, len_s, order)
@@ -197,59 +199,116 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
       n_lits    i32 []        number of literal bases
     """
     B, L = codes_s.shape
+    W = L // 16
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
     row = jnp.arange(B, dtype=jnp.int32)
     valid = col < len_s[:, None]
 
-    # pass 1 — pick the winning predecessor with REDUCTIONS ONLY.
-    # XLA fuses each gather→compare→reduce chain without materializing
-    # any [B, L] intermediate (~0.1 ms/candidate on the dev emulator);
-    # the old formulation kept a select-chain over [B, L] grids and
-    # cost ~30 ms per materialized pass, ~850 ms/block in total.
+    # The shifted-predecessor compare runs on 2-bit PACKED words with
+    # per-row funnel shifts — the same trick the host matcher uses for
+    # sort keys (CLAUDE.md), here because a [B, L] take_along_axis
+    # gather costs ~15 ns/element on this TPU: the round-4 per-base
+    # form spent ~200 ms per candidate, ~1.05 s/block across the five
+    # gathers; the word-granularity gather is 16x smaller (~18 ms) and
+    # the funnel/popcount arithmetic is cheap VPU work.  Bit-identical
+    # winner selection and match grid (pinned by the device-vs-host
+    # delta identity tests).
+    P = pack_bases_u32(codes_s, axis=1)              # [B, W] u32 BE
+    zpad = jnp.zeros((B, W), U32)
+    Ppad = jnp.concatenate([zpad, P, jnp.zeros((B, W + 1), U32)], axis=1)
+    wcol = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    base0 = jnp.arange(W, dtype=jnp.int32)[None, :] * 16
+    EVEN = U32(0x55555555)
+
+    def shifted_eq(prev_pad, prev_len, shift, row_ok):
+        """eq bitmask [B, W] (low bit of each big-endian 2-bit pair set
+        where prev[c+shift] == codes[c] AND c is inside the candidate's
+        valid interval) — exactly pass 1's same & inb & eq & valid."""
+        ws = shift >> 4                              # floor to words
+        bs = (U32(2) * (shift & 15).astype(U32))[:, None]
+        idx = wcol + (ws + W)[:, None]               # [B, W+1] in Ppad
+        G = jnp.take_along_axis(prev_pad, idx, axis=1)
+        g0, g1 = G[:, :W], G[:, 1:]
+        shifted = jnp.where(bs == 0, g0,
+                            (g0 << bs) | (g1 >> (U32(32) - bs)))
+        x = shifted ^ P
+        eq = (~(x | (x >> 1))) & EVEN
+        # per-base conditions are all intervals in c: inb gives
+        # c >= -shift and c < prev_len - shift, valid gives c < len
+        lo = jnp.maximum(-shift, 0)
+        hi = jnp.minimum(len_s.astype(jnp.int32),
+                         prev_len.astype(jnp.int32) - shift)
+        n1 = jnp.clip(hi[:, None] - base0, 0, 16).astype(U32)
+        n0 = jnp.clip(lo[:, None] - base0, 0, 16).astype(U32)
+        ones1 = jnp.where(n1 == 0, U32(0),
+                          U32(0xFFFFFFFF) << (U32(32) - U32(2) * n1))
+        ones0 = jnp.where(n0 == 0, U32(0),
+                          U32(0xFFFFFFFF) << (U32(32) - U32(2) * n0))
+        return eq & ones1 & ~ones0 \
+            & jnp.where(row_ok, EVEN, U32(0))[:, None]
+
+    # pass 1 — pick the winning predecessor by popcount of the packed
+    # equality mask (identical counts to the per-base reduction)
     best_count = jnp.full(B, -1, jnp.int32)
     best_shift = jnp.zeros(B, jnp.int32)
     best_k = jnp.zeros(B, jnp.int32)
     for k in range(1, _DELTA_K + 1):
-        prev_codes = jnp.roll(codes_s, k, axis=0)
         prev_len = jnp.roll(len_s, k)
         same = (ck_s == jnp.roll(ck_s, k)) & (ck_s != core_match.NO_CORE)
         same = same & (row >= k) & (row < n_reads)
         shift = jnp.where(same, (jnp.roll(cp_s, k) - cp_s).astype(
             jnp.int32), 0)
-        pidx = col + shift[:, None]
-        inb = (pidx >= 0) & (pidx < prev_len[:, None])
-        aligned = jnp.take_along_axis(prev_codes, jnp.clip(pidx, 0, L - 1),
-                                      axis=1)
-        m = (same[:, None] & inb & (aligned == codes_s) & valid)
-        cnt = jnp.where(same, jnp.sum(m, axis=1, dtype=jnp.int32), -1)
+        eqm = shifted_eq(jnp.roll(Ppad, k, axis=0), prev_len, shift, same)
+        cnt = jnp.sum(jax.lax.population_count(eqm), axis=1,
+                      dtype=jnp.int32)
+        cnt = jnp.where(same, cnt, -1)
         better = cnt > best_count
         best_count = jnp.where(better, cnt, best_count)
         best_shift = jnp.where(better, shift, best_shift)
         best_k = jnp.where(better, k - 1, best_k)
 
-    # pass 2 — rebuild the winning mask ONCE (row gather + one compare):
-    # bit-identical to selecting it inside the loop, since the winning
-    # candidate's (same, shift, predecessor) fully determine its mask
+    # pass 2 — rebuild the winning mask ONCE (word-granularity row
+    # gather + funnel): bit-identical to selecting it inside the loop,
+    # since the winning (same, shift, predecessor) determine its mask
     shift = best_shift
     ok = best_count >= 0
     src_row = jnp.maximum(row - 1 - best_k, 0)
-    prev_codes = codes_s[src_row]
-    prev_len = len_s[src_row]
-    pidx = col + shift[:, None]
-    inb = (pidx >= 0) & (pidx < prev_len[:, None])
-    aligned = jnp.take_along_axis(prev_codes, jnp.clip(pidx, 0, L - 1),
-                                  axis=1)
-    match = ok[:, None] & inb & (aligned == codes_s) & valid
+    prev_pad2 = jnp.concatenate(
+        [zpad, P[src_row], jnp.zeros((B, W + 1), U32)], axis=1)
+    eqm2 = shifted_eq(prev_pad2, len_s[src_row], shift, ok)
+    # expand the packed equality bits back to the [B, L] match grid
+    # (elementwise repeat + shift — no gather)
+    bitpos = (U32(2) * (15 - (col % 16)).astype(U32))
+    match = ((jnp.repeat(eqm2, 16, axis=1) >> bitpos) & U32(1)
+             ).astype(jnp.bool_)
 
-    # literals: row-major compaction of non-matching valid bases
+    # literals: row-major compaction of non-matching valid bases.
+    # Two-level instead of one flat [B*L] scatter (120 ms/block on TPU
+    # at 15 ns/element): (1) compact each row's literals to its front
+    # with a minor-axis key-value sort (bandwidth-class, like
+    # rans.compact_emissions), (2) 2-bit-pack the rows and OR-scatter
+    # the WORDS into the global stream at each row's bit offset — 16x
+    # fewer scattered elements, identical bytes (zeros beyond each
+    # row's count make the word adds disjoint).
     lit_mask = (~match) & valid
-    order_idx = jnp.cumsum(lit_mask.reshape(-1).astype(jnp.int32)) - 1
-    n_lits = order_idx[-1] + 1
-    flat = jnp.where(lit_mask.reshape(-1), order_idx, B * L)
-    lits = jnp.zeros(B * L, jnp.uint8).at[flat].set(
-        codes_s.reshape(-1), mode="drop")
-    lit_packed = pack_bases_u32(lits.reshape(B * L // 16, 16), axis=1
-                                ).reshape(-1)
+    cnt = jnp.sum(lit_mask, axis=1, dtype=jnp.int32)           # [B]
+    n_lits = jnp.sum(cnt)
+    litkey = jnp.where(lit_mask,
+                       jnp.cumsum(lit_mask.astype(jnp.int32), axis=1) - 1,
+                       L)
+    _, litvals = jax.lax.sort((litkey, codes_s.astype(jnp.int32)),
+                              dimension=1, num_keys=1)
+    litvals = jnp.where(col < cnt[:, None], litvals, 0)
+    prow = pack_bases_u32(litvals.astype(jnp.uint8), axis=1)   # [B, W]
+    off = jnp.cumsum(cnt) - cnt                                # [B]
+    sh = (U32(2) * (off % 16).astype(U32))[:, None]
+    hi = jnp.where(sh == 0, prow, prow >> sh)
+    lo = jnp.where(sh == 0, U32(0), prow << (U32(32) - sh))
+    tgt = (off // 16)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    out = jnp.zeros(B * L // 16 + 1, U32)
+    out = out.at[tgt.reshape(-1)].add(hi.reshape(-1), mode="drop")
+    out = out.at[(tgt + 1).reshape(-1)].add(lo.reshape(-1), mode="drop")
+    lit_packed = out[: B * L // 16]
 
     bit_w = jnp.left_shift(jnp.uint8(1),
                            jnp.arange(8, dtype=jnp.uint8)[None, None, :])
@@ -318,7 +377,7 @@ def _device_stage_b(codes_s, qual_s, len_s, ck_s, cp_s, rc_s, n_reads,
     the lossy quantizer's merge table under ``-p`` (SURVEY.md §4.4:
     "mapping applied per quality byte inside hot loop #1").
     """
-    qual_m = qual_map[qual_s]
+    qual_m = qual_s if qual_map is None else qual_map[qual_s]
     delta = _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads)
     delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_m, len_s, order)
@@ -680,6 +739,12 @@ class BlockEncoder:
     # stall it on runtime-internal locks)
     @property
     def qual_map(self):
+        """Device remap LUT, or None for the lossless identity (the
+        jitted stages skip the [B, L] LUT gather on None — ~130 ms on
+        TPU; None vs array retraces, so the branch is static)."""
+        if np.array_equal(self.qual_map_np,
+                          np.arange(256, dtype=np.uint8)):
+            return None
         if self._qual_map_dev is None:
             self._qual_map_dev = jnp.asarray(self.qual_map_np)
         return self._qual_map_dev

@@ -357,10 +357,65 @@ def encode_from_grids(sym, ctx, counts, B: int, L: int, order: int,
     stays bit-exact regardless of the normalization split."""
     T = pick_T(B, L, T_target)
     freq_dev, cum_dev = _normalize_pass(counts, order)
-    states, packed, wcounts = _encode_pass(
-        sym, ctx, freq_dev.reshape(-1), cum_dev.reshape(-1), T)
+    if _tbl_encode_eligible(B, L, T, order):
+        # table-resident Mosaic encode (round 5): the per-symbol (f, c)
+        # LUT gather cost ~290 ms/block on TPU (15 ns/element); the
+        # kernel selects tables per step with the decode kernel's slab
+        # matmul instead.  Bit-identical (pinned by test).
+        states, packed, wcounts = _encode_pass_slab(
+            sym, ctx, freq_dev, cum_dev, T, order)
+    else:
+        states, packed, wcounts = _encode_pass(
+            sym, ctx, freq_dev.reshape(-1), cum_dev.reshape(-1), T)
     return finish_encoded(np.asarray(freq_dev), np.asarray(states), packed,
                           np.asarray(wcounts), B, L, T, order)
+
+
+def _tbl_encode_eligible(B: int, L: int, T: int, order: int) -> bool:
+    from scalce_tpu.ops import rans_pallas
+    try:
+        import jax as _jax
+        if not (rans_pallas.PALLAS_OK
+                and _jax.default_backend() == "tpu"):
+            return False
+    except Exception:           # pragma: no cover - exotic backends
+        return False
+    N = B * L // T
+    NT = min(rans_pallas._NT, N)
+    TT = min(rans_pallas._TT, T)
+    if N % NT or T % TT or T % L:
+        return False
+    R, PB, _ = _slab_spec(order)
+    Rpad = rans_pallas._round_up_128(R + 1)
+    vmem = 2 * 4 * (2 * TT * NT + 2 * TT * NT + NT) \
+        + 2 * PB * 3 * 96 * Rpad
+    return vmem <= 12 << 20
+
+
+@partial(jax.jit, static_argnames=("T", "order"))
+def _encode_pass_slab(sym: jnp.ndarray, ctx: jnp.ndarray,
+                      freq_dev: jnp.ndarray, cum_dev: jnp.ndarray,
+                      T: int, order: int):
+    """Pass B via the table-resident Mosaic kernel: derive the slab
+    column index from the ctx grid (pidx = ctx-1 - pos_bucket*R; R for
+    the ctx-0 padding column), reshape to encode lanes, and hand the
+    packed (f*4096 + cum) byte planes to the kernel."""
+    from scalce_tpu.ops import rans_pallas
+    B, L = sym.shape
+    R, PB, cd = _slab_spec(order)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pbc = jnp.minimum(col // cd, PB - 1)
+    ctx_i = ctx.astype(jnp.int32)
+    pidx = jnp.where(ctx_i == 0, R, ctx_i - 1 - pbc * R)
+    N = B * L // T
+    sym_l = sym.astype(jnp.int32).reshape(N, T).T
+    pidx_l = pidx.reshape(N, T).T
+    tbl = rans_pallas.build_encode_slabs(
+        freq_dev.reshape(-1, N_SYMS), cum_dev.reshape(-1, N_SYMS), R, PB)
+    states, words, emits = rans_pallas.encode_scan_tbl_pallas(
+        sym_l, pidx_l, tbl, T, L, cd, PB)
+    packed, counts = rans.compact_emissions(words, emits)
+    return states, packed, counts
 
 
 def finish_encoded(freq: np.ndarray, states: np.ndarray, packed,

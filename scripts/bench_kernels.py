@@ -246,7 +246,57 @@ def main() -> None:
     # write (4S) per round, plus the final value gather
     delta_bytes = steps * 12 * S + 8 * S
 
+    # --- chained device-resident encode pipeline (VERDICT r4 #1) ------
+    # The production device stages composed end-to-end with data
+    # resident: stage A (unpack -> canonical core match -> multi-key
+    # sort -> permute, WITH qualities) -> stage B (predecessor delta +
+    # quality remap/contexts/histogram) -> device table normalize ->
+    # Mosaic rANS encode pass -> digest of every array production
+    # would download (so no stage can be DCE'd).  ONE number for the
+    # full on-chip encode path; host-side residue (names, container
+    # framing, final D2H) is excluded and noted.
+    dev["qual"] = jnp.asarray(block.qual)
+    jax.block_until_ready(dev["qual"])
+    n_reads_j = jnp.int32(block.n_reads)
+
+    def run_pipeline(d):
+        seq = _salt_u32(dev["seq"], d)
+        perm, codes_s, qual_s, len_s, ck_s, cp_s, rc_s = \
+            enc_mod._device_stage_a(
+                seq, dev["qual"], dev["len16"], n_reads_j, dev["exc"],
+                dev["rank_lut"], cfg.core_k, cfg.dict_seed, uniform=uni)
+        delta, sym2, ctx2, counts = enc_mod._device_stage_b(
+            codes_s, qual_s, len_s, ck_s, cp_s, rc_s, n_reads_j,
+            None, ORDER)      # None = lossless identity remap (skipped)
+        freq_dev, cum_dev = qualities._normalize_pass(counts, ORDER)
+        # production dispatch: the table-resident Mosaic encode when
+        # eligible (kills the ~290 ms per-symbol LUT gather), else the
+        # gather + scan path — same branch encode_from_grids takes
+        if qualities._tbl_encode_eligible(B, Lg, T, ORDER):
+            states, packed, wcounts = qualities._encode_pass_slab(
+                sym2, ctx2, freq_dev, cum_dev, T, ORDER)
+        else:
+            states, packed, wcounts = qualities._encode_pass(
+                sym2, ctx2, freq_dev.reshape(-1), cum_dev.reshape(-1), T)
+        dig = _dsum(states) + _dsum(packed) + _dsum(wcounts) \
+            + _dsum(freq_dev) + _dsum(perm)
+        for key in ("mask_bits", "shifts", "pred_k", "lit_packed",
+                    "rc_bits"):
+            dig = dig + _dsum(delta[key])
+        return dig + delta["n_lits"].astype(jnp.uint32)
+
+    # traffic LOWER BOUND: stage A + ~10 grid passes for delta (K+1
+    # candidate gathers + mask/literal builds over [B, L]) + quality
+    # sym/ctx/hist (~8 i32-ish passes) + rANS table gathers/encode
+    pipeline_bytes = stage_a_bytes + 10 * S + 8 * S + 16 * S
+    fastq_bytes = len(payload)
+
     stages = {
+        "device_pipeline": (run_pipeline, fastq_bytes, pipeline_bytes, 0,
+                            "chained stage A -> delta -> histogram -> "
+                            "normalize -> rANS encode, data resident; "
+                            "payload = FASTQ bytes; names/container "
+                            "framing (host-side) excluded"),
         "stage_a_hd": (run_stage_a, S, stage_a_bytes, 0,
                        "traffic model is a lower bound (sort passes "
                        "are XLA-internal)"),

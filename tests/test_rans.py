@@ -848,3 +848,57 @@ def test_slab_histogram_matches_scatter_add():
     for order in (1, 2, 3):
         R, _, _ = qualities._slab_spec(order)
         assert hist_pallas.slab_eligible(131072 * 128, R, "tpu")
+
+
+def test_tbl_encode_kernel_matches_gather_path():
+    """The round-5 table-resident Mosaic encode (slab-selected (f, cum)
+    via one-hot matmul over three bf16-exact byte planes of
+    v = f*4096 + cum) must be bit-identical to the pre-gathered-table
+    path across orders and ragged lengths (interpret mode on CPU;
+    compiled identity is covered by the TPU placement validation)."""
+    from scalce_tpu.ops import rans_pallas
+    if not rans_pallas.PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    import jax
+    rng = np.random.default_rng(11)
+    B, L = 128, 64
+    lengths = rng.integers(30, L + 1, B).astype(np.int32)
+    col = np.arange(L)[None, :]
+    qual = np.where(col < lengths[:, None],
+                    rng.integers(33, 75, (B, L)), 0).astype(np.uint8)
+    for order in (1, 2, 3):
+        sym, ctx, counts = qualities.sym_ctx_hist(
+            jnp.asarray(qual), jnp.asarray(lengths), order)
+        freq_dev, cum_dev = qualities._normalize_pass(counts, order)
+        T = qualities.pick_T(B, L, 256)
+        # reference: gather path
+        states_r, packed_r, wc_r = qualities._encode_pass(
+            sym, ctx, freq_dev.reshape(-1), cum_dev.reshape(-1), T)
+        # slab path, interpret-mode kernel
+        R, PB, cd = qualities._slab_spec(order)
+        colj = jnp.arange(L, dtype=jnp.int32)[None, :]
+        pbc = jnp.minimum(colj // cd, PB - 1)
+        ctx_i = ctx.astype(jnp.int32)
+        pidx = jnp.where(ctx_i == 0, R, ctx_i - 1 - pbc * R)
+        N = B * L // T
+        sym_l = sym.astype(jnp.int32).reshape(N, T).T
+        pidx_l = pidx.reshape(N, T).T
+        tbl = rans_pallas.build_encode_slabs(
+            freq_dev.reshape(-1, qualities.N_SYMS),
+            cum_dev.reshape(-1, qualities.N_SYMS), R, PB)
+        old_nt, old_tt = rans_pallas._NT, rans_pallas._TT
+        rans_pallas._NT, rans_pallas._TT = 128, 64
+        try:
+            states, words, emits = rans_pallas.encode_scan_tbl_pallas(
+                sym_l, pidx_l, tbl, T, L, cd, PB, interpret=True)
+        finally:
+            rans_pallas._NT, rans_pallas._TT = old_nt, old_tt
+        packed, wc = rans.compact_emissions(words, emits)
+        np.testing.assert_array_equal(np.asarray(states),
+                                      np.asarray(states_r),
+                                      err_msg=f"states o={order}")
+        np.testing.assert_array_equal(np.asarray(wc), np.asarray(wc_r),
+                                      err_msg=f"counts o={order}")
+        np.testing.assert_array_equal(np.asarray(packed),
+                                      np.asarray(packed_r),
+                                      err_msg=f"packed o={order}")
