@@ -395,6 +395,12 @@ print(json.dumps(walls[1:] or walls))
         "device_encode_walls_s": [round(w, 3) for w in dev_walls],
         "device_vs_baseline": round(dev_gbps / ref_gbps, 2)
         if dev_gbps else None,
+        # ONE device-resident full-pipeline number (VERDICT r4 #1):
+        # stage A -> delta -> histogram -> normalize -> rANS encode
+        # chained on-chip, FASTQ bytes / wall
+        "device_pipeline_gbps": (((kernels or {}).get("stages") or {})
+                                 .get("device_pipeline") or {}
+                                 ).get("gbps_payload"),
         # per-stage device-resident kernel throughput + roofline %
         # (VERDICT r3 #1); null if the leg was skipped/unavailable
         "device_kernels": (kernels or {}).get("stages") or None,
