@@ -48,8 +48,12 @@ END_MAGIC = b"1UPTCLCS"
 #: minimizer-reordered reads with anchored predecessor delta — wide
 #: i32 shifts as four zig-zag planes (``shv4_*``) and a non-identity
 #: permutation)
-VERSION = 6
-_READABLE_VERSIONS = (4, 5, 6)  # v<=3 used a different quality context
+#: v7: long-read blocks carry MULTI-ANCHOR delta — ``nseg`` segment
+#: shifts per read (flat read-major through the ``shv4`` planes) with
+#: per-segment copy masks; columns map to segments by
+#: ``min(col*nseg//len, nseg-1)``.  v4-v6 files remain readable.
+VERSION = 7
+_READABLE_VERSIONS = (4, 5, 6, 7)  # v<=3: different quality context
                                 # map — decoding them with this code
                                 # would silently corrupt, so reject them
 _BLK = b"BLK0"

@@ -77,3 +77,46 @@ def minimizer_keys(codes: np.ndarray, lengths: np.ndarray,
         best_h = np.where(better, h_loc, best_h)
         best_p = np.where(better, t0 + p_loc, best_p)
     return best_h, best_p
+
+
+def segment_minimizer_keys(codes: np.ndarray, lengths: np.ndarray,
+                           nseg: int, tile: int = 1 << 16
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-read per-segment minimizers (container v7 multi-anchor delta).
+
+    Segment s of a read of length ``len`` owns k-mer START positions
+    ``[len*s//nseg, len*(s+1)//nseg)`` — the same boundary function the
+    decoder applies to map a column to its segment shift, so both sides
+    agree by construction.  Returns (hash u32 [n, nseg],
+    pos i64 [n, nseg]); segments with no k-mer (short reads / tails)
+    get (NO_KEY, 0) and callers fall back to the global anchor.
+    EXPERIMENTS.md §16: per-segment anchors recover 1.1-1.8x on
+    indel-bearing long reads where the single fixed shift is a no-op.
+    """
+    n, L = codes.shape
+    lengths = np.asarray(lengths, np.int64)
+    best_h = np.full((n, nseg), NO_KEY, np.uint32)
+    best_p = np.zeros((n, nseg), np.int64)
+    if n == 0 or L < K:
+        return best_h, best_p
+    w = codes.astype(np.uint32)
+    lo = (lengths[:, None] * np.arange(nseg)[None, :]) // nseg
+    hi = (lengths[:, None] * np.arange(1, nseg + 1)[None, :]) // nseg
+    for t0 in range(0, L - K + 1, tile):
+        t1 = min(t0 + tile, L - K + 1)
+        width = t1 - t0
+        km = np.zeros((n, width), np.uint32)
+        for t in range(K):
+            km = (km << np.uint32(2)) | w[:, t0 + t: t0 + t + width]
+        h_all = mix32_np(km)
+        pos = np.arange(t0, t1, dtype=np.int64)[None, :]
+        h_all = np.where(pos + K <= lengths[:, None], h_all, NO_KEY)
+        for s in range(nseg):
+            h = np.where((pos >= lo[:, None, s]) & (pos < hi[:, None, s]),
+                         h_all, NO_KEY)
+            p_loc = h.argmin(axis=1)
+            h_loc = h[np.arange(n), p_loc]
+            better = h_loc < best_h[:, s]
+            best_h[:, s] = np.where(better, h_loc, best_h[:, s])
+            best_p[:, s] = np.where(better, t0 + p_loc, best_p[:, s])
+    return best_h, best_p

@@ -180,6 +180,13 @@ def block_is_uniform(block: ReadBlock) -> bool:
 
 
 _DELTA_K = 4          # candidate predecessors per read (2-bit selector)
+_LONG_SEG_LEN = 512   # long-read multi-anchor TARGET segment length
+                      # (container v7; EXPERIMENTS §16: what matters is
+                      # segment length vs the inter-indel run length —
+                      # ~512 bp keeps segments above the 50% gate down
+                      # to ~0.5% indel rates; the per-block nseg is a
+                      # pow2 of the MEDIAN read length / 512, clamped
+                      # to [4, 256], stored in the container)
 
 
 def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
@@ -972,10 +979,13 @@ class BlockEncoder:
         Qualities/names/exceptions ride the standard reordered-frame
         machinery (perm stored; --keep-order works unchanged).
         """
-        from scalce_tpu.ops.minimizer import NO_KEY, minimizer_keys
+        from scalce_tpu.ops.minimizer import (NO_KEY, minimizer_keys,
+                                              segment_minimizer_keys)
         B, L = block.seq.shape
         n = block.n_reads
         len_n0 = block.lengths[:n].astype(np.int64)
+        med = int(np.median(len_n0)) if n else 0
+        nseg = 1 << max(2, min(8, (med // _LONG_SEG_LEN).bit_length()))
         h, mp = minimizer_keys(block.seq[:n], len_n0)
         if order_n is None:
             order_n = self._long_order(block, h, mp)
@@ -984,6 +994,8 @@ class BlockEncoder:
         h_s = h[order_n]
         mp_s = mp[order_n]
         match = np.zeros((n, L), bool)
+        col = np.arange(L, dtype=np.int64)[None, :]
+        seg_shift = np.zeros((n, nseg), np.int64)
         if n >= 2:
             same = np.zeros(n, bool)
             same[1:] = (h_s[1:] == h_s[:-1]) & (h_s[1:] != NO_KEY)
@@ -991,26 +1003,55 @@ class BlockEncoder:
             prev_mp[1:] = mp_s[:-1]
             prev_len = np.zeros(n, np.int64)
             prev_len[1:] = len_n[:-1]
-            shift = np.where(same, prev_mp - mp_s, 0)
-            col = np.arange(L, dtype=np.int64)[None, :]
-            pidx = col + shift[:, None]
+            gshift = np.where(same, prev_mp - mp_s, 0)
+            # MULTI-ANCHOR (container v7, EXPERIMENTS §16): one fixed
+            # shift dies at the first indel after the anchor; instead
+            # each of nseg equal spans of the read anchors on any
+            # segment minimizer it shares with its predecessor (the
+            # global anchor is the fallback), so alignment re-locks
+            # after every indel that lands between anchors.  Measured:
+            # 1.8x/1.4x/1.1x on 0.2%/0.5%/1% indel synthetics where
+            # the v6 single anchor is a no-op; identical behavior on
+            # indel-free data (every segment agrees with the global
+            # shift there).
+            sh_cur, sp_cur = segment_minimizer_keys(codes_s, len_n, nseg)
+            sh_prev = np.roll(sh_cur, 1, axis=0)
+            sp_prev = np.roll(sp_cur, 1, axis=0)
+            seg_shift[:] = gshift[:, None]
+            seg_ok = np.zeros((n, nseg), bool)
+            for a in range(nseg):
+                for b in range(nseg):
+                    hit = (~seg_ok[:, a]) & same \
+                        & (sh_cur[:, a] == sh_prev[:, b]) \
+                        & (sh_cur[:, a] != NO_KEY)
+                    seg_shift[hit, a] = sp_prev[hit, b] - sp_cur[hit, a]
+                    seg_ok[hit, a] = True
+            seg_shift = np.where(same[:, None], seg_shift, 0)
+            seg_of = np.minimum((col * nseg)
+                                // np.maximum(len_n[:, None], 1),
+                                nseg - 1)
+            cell_shift = np.take_along_axis(seg_shift, seg_of, axis=1)
+            pidx = col + cell_shift
             inb = (pidx >= 0) & (pidx < prev_len[:, None])
             prev_rows = np.roll(codes_s, 1, axis=0)
             aligned = np.take_along_axis(prev_rows,
                                          np.clip(pidx, 0, L - 1), axis=1)
             valid = col < len_n[:, None]
             match = (same[:, None] & inb & (aligned == codes_s) & valid)
-            # density rule: random alignment of 2-bit codes matches 25%
-            # of cells; only keep masks clearly above that floor (>=50%)
-            # — below it the mask stream costs more than the saved
-            # literals
-            cnt = match.sum(axis=1)
-            keep = cnt * 2 >= len_n
-            match &= keep[:, None]
-            shift = np.where(keep, shift, 0)
-        else:
-            shift = np.zeros(n, np.int64)
-        valid = np.arange(L, dtype=np.int64)[None, :] < len_n[:, None]
+            # density rule, per SEGMENT: random alignment of 2-bit
+            # codes matches 25% of cells; segments below a 50% match
+            # rate cost more mask than they save in literals — their
+            # cells degrade to pure literals and their shift zeroes
+            # (compressible planes), so indel-dense regions fall back
+            # gracefully while re-locked segments keep their win
+            for s in range(nseg):
+                in_seg = seg_of == s
+                seg_cells = (in_seg & valid).sum(axis=1)
+                seg_match = (match & in_seg).sum(axis=1)
+                kill = seg_match * 2 < seg_cells
+                match &= ~(kill[:, None] & in_seg)
+                seg_shift[kill, s] = 0
+        valid = col < len_n[:, None]
         lits = codes_s[(~match) & valid]
         perm_np = np.concatenate([order_n,
                                   np.arange(n, B, dtype=np.int64)])
@@ -1018,7 +1059,8 @@ class BlockEncoder:
         len_s[:n] = len_n
         delta_np = {
             "mask_bits": np.packbits(match, axis=1, bitorder="little"),
-            "shifts": shift.astype(np.int32),      # v6 wide shifts
+            "shifts": seg_shift.astype(np.int32),  # v7 [n, nseg] wide
+            "nseg": nseg,
             "pred_k": np.zeros(n, np.uint8),
             "rc_bits": np.zeros((B + 7) // 8, np.uint8),
             "lits": lits, "n_lits": len(lits),

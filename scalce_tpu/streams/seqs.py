@@ -413,6 +413,11 @@ def payload(delta: Dict[str, np.ndarray], lengths: np.ndarray, n_reads: int,
     # backend on coverage-bearing data, measured round 3)
     arrays.pop("shifts")
     sh = np.ascontiguousarray(delta["shifts"][:n_reads])
+    if sh.ndim == 2:
+        # v7 long-read multi-anchor: nseg shifts per read, stored as a
+        # flat read-major stream through the same shv4 planes
+        arrays["nseg"] = np.asarray([sh.shape[1]], np.int64)
+        sh = np.ascontiguousarray(sh.reshape(-1))
     if sh.dtype.itemsize > 2:
         # long-read mode (container v6): minimizer-anchored shifts
         # exceed i16 — four zig-zag planes under the same trial
@@ -495,20 +500,26 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
             raise ValueError("corrupt .scalcer block: permutation short")
         a["perm"] = _bitunpack_u32(pk, n, k)
     if "shifts" not in a and ("shv4_mode" in a or "shv4_planes" in a):
-        # v6 long-read wide shifts: four zig-zag u32 planes
+        # v6 long-read wide shifts: four zig-zag u32 planes; v7 stores
+        # nseg multi-anchor shifts per read ([n, nseg] after reshape)
+        nseg = int(a["nseg"][0]) if "nseg" in a else 1
+        if not (1 <= nseg <= 256):
+            raise ValueError("corrupt .scalcer block: nseg out of range")
+        ns = n * nseg
         if int(a["shv4_mode"][0]) if "shv4_mode" in a else 0:
-            sb = _decode_mask_rans(a, 4 * n, prefix="shv4")
+            sb = _decode_mask_rans(a, 4 * ns, prefix="shv4")
         else:
             sb = a["shv4_planes"]
-            if sb.ndim != 1 or sb.shape[0] < 4 * n:
+            if sb.ndim != 1 or sb.shape[0] < 4 * ns:
                 raise ValueError("corrupt .scalcer block: shifts planes "
                                  "short")
-        zz = np.zeros(n, np.uint32)
+        zz = np.zeros(ns, np.uint32)
         for p in range(4):
-            zz |= sb[p * n:(p + 1) * n].astype(np.uint32) << np.uint32(
+            zz |= sb[p * ns:(p + 1) * ns].astype(np.uint32) << np.uint32(
                 8 * p)
         zi = zz.astype(np.int64)
-        a["shifts"] = (zi >> 1) ^ -(zi & 1)
+        sh = (zi >> 1) ^ -(zi & 1)
+        a["shifts"] = sh.reshape(n, nseg) if nseg > 1 else sh
     if "shifts" not in a:                  # zig-zag plane shifts (shv)
         if int(a["shv_mode"][0]) if "shv_mode" in a else 0:
             sb = _decode_mask_rans(a, 2 * n, prefix="shv")
@@ -545,7 +556,8 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
     # device pointer-doubling whose XLA gathers clamp instead of fault,
     # and v6 wide shifts which exceed the checked C loop's i16 fields)
     sh64 = a["shifts"].astype(np.int64)
-    fits16 = n == 0 or int(np.abs(sh64).max()) < (1 << 15)
+    fits16 = n == 0 or (sh64.ndim == 1
+                        and int(np.abs(sh64).max()) < (1 << 15))
     use_native = _NATIVE and fits16
     _validate(a, n, B, L, n_lits, deep=delta_device or not use_native)
     if int(a["lit_mode"][0]) if "lit_mode" in a else 0:
@@ -555,6 +567,9 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
     lengths = np.zeros(B, np.int32)
     lengths[:n] = a["lengths"].astype(np.int32)
     codes = np.zeros((B, L), np.uint8)
+    if delta_device and a["shifts"].ndim == 2:
+        raise ValueError("--delta-device does not support v7 long-read "
+                         "multi-anchor blocks (host walk only)")
     if delta_device:
         from scalce_tpu.ops import delta_decode
         delta_decode.reconstruct_device(
@@ -570,6 +585,24 @@ def parse(blob: bytes, B: int, L: int, delta_device: bool = False
     rc[:n] = np.unpackbits(a["rc_bits"], bitorder="little")[:n].astype(bool)
     return codes, lengths, n, a["exc_pos"].astype(np.int64), \
         a["exc_byte"], a["perm"].astype(np.int64), rc
+
+
+def _cell_shifts(shifts: np.ndarray, lens: np.ndarray,
+                 L: int) -> np.ndarray:
+    """Per-cell copy shift matrix (broadcastable [n, 1] or full [n, L]).
+
+    v4-v6: one shift per read.  v7 long-read multi-anchor: ``shifts``
+    is [n, nseg] and column c of a length-``len`` read uses segment
+    ``min(c*nseg//len, nseg-1)`` — the same boundary function the
+    encoder's ``segment_minimizer_keys`` used, so both sides agree by
+    construction."""
+    if shifts.ndim == 1:
+        return shifts[:, None]
+    n, nseg = shifts.shape
+    col = np.arange(L, dtype=np.int64)[None, :]
+    seg = np.minimum((col * nseg) // np.maximum(lens[:, None], 1),
+                     nseg - 1)
+    return np.take_along_axis(shifts, seg, axis=1)
 
 
 def _validate(a, n: int, B: int, L: int, n_lits: int,
@@ -589,6 +622,8 @@ def _validate(a, n: int, B: int, L: int, n_lits: int,
     pred_k = a["pred_k"].astype(np.int64)
     if lens.shape[0] != n or shifts.shape[0] != n or pred_k.shape[0] != n:
         raise ValueError("corrupt .scalcer block: field length mismatch")
+    if shifts.ndim not in (1, 2):
+        raise ValueError("corrupt .scalcer block: shifts rank")
     # mask_bits must be exactly [n, L/8]: a smaller array would broadcast
     # through the checks below but stride out of bounds in the native
     # reconstruction loop
@@ -623,7 +658,7 @@ def _validate(a, n: int, B: int, L: int, n_lits: int,
                              "length")
         # masked source columns must be in-bounds
         if n:
-            src = col + shifts[:, None]
+            src = col + _cell_shifts(shifts, lens, L)
             if (bits & ((src < 0) | (src >= L))).any():
                 raise ValueError("corrupt .scalcer block: copy source out "
                                  "of bounds")
@@ -695,6 +730,7 @@ def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,
         return
     # NumPy fallback: vectorized within each row, sequential across rows
     bits = np.unpackbits(mask_bits, axis=1, bitorder="little")[:, :L]
+    nseg = shifts.shape[1] if shifts.ndim == 2 else 1
     lit_off = 0
     for i in range(n):
         l = int(lens[i])
@@ -702,8 +738,13 @@ def _reconstruct(mask_bits: np.ndarray, shifts: np.ndarray,
         k = int(m.sum())
         row = out[i]
         if k:
-            src_cols = np.flatnonzero(m) + int(shifts[i])
-            row[np.flatnonzero(m)] = out[i - 1 - int(pred_k[i]), src_cols]
+            dst = np.flatnonzero(m)
+            if nseg > 1:
+                seg = np.minimum(dst * nseg // max(l, 1), nseg - 1)
+                src_cols = dst + shifts[i][seg]
+            else:
+                src_cols = dst + int(shifts[i])
+            row[dst] = out[i - 1 - int(pred_k[i]), src_cols]
         nm = np.flatnonzero(~m)
         row[nm] = lits[lit_off:lit_off + l - k]
         lit_off += l - k

@@ -253,8 +253,8 @@ def test_format_doc_constants():
 
     assert container.MAGIC == b"SCLCTPU1"
     assert container.END_MAGIC == b"1UPTCLCS"
-    assert container.VERSION == 6
-    assert container._READABLE_VERSIONS == (4, 5, 6)
+    assert container.VERSION == 7
+    assert container._READABLE_VERSIONS == (4, 5, 6, 7)
     assert (container._CODEC_NONE, container._CODEC_ZLIB,
             container._CODEC_BZ2, container._CODEC_ZSTD) == (0, 1, 2, 3)
     assert container._CODEC_OF_BACKEND == {"no": 0, "gz": 1, "bz": 2,
@@ -267,9 +267,9 @@ def test_format_doc_constants():
     doc = open(os.path.join(os.path.dirname(__file__), "..",
                             "FORMAT.md")).read()
     assert f"version {container.VERSION}" in doc
-    assert re.search(r"version=6", doc)
+    assert re.search(r"version=7", doc)
     assert "0=raw, 1=zlib, 2=bzip2, 3=zstd" in doc
-    assert "_READABLE_VERSIONS = (4, 5, 6)" in doc
+    assert "_READABLE_VERSIONS = (4, 5, 6, 7)" in doc
 
 
 def test_corrupt_side_stream_rans_fields_raise(tmp_path):
