@@ -156,11 +156,21 @@ def main() -> None:
     max_runs = int(os.environ.get("BENCH_MAX_RUNS", max(6, n_runs)))
     spread_tol = float(os.environ.get("BENCH_SPREAD_TOL", 0.10))
     walls = []
+
+    def settled():
+        # convergence of the MINIMUM estimate: stop when the three
+        # fastest walls agree within tol.  (The overall max/min spread
+        # is monotonically non-decreasing, so it could never re-settle
+        # once a noisy run landed.)
+        if len(walls) < n_runs:
+            return False
+        best3 = sorted(walls)[:3]
+        return (best3[-1] - best3[0]) / best3[0] <= spread_tol
+
     for i in range(max_runs):
-        if i >= n_runs and (max(walls) - min(walls)) / min(walls) \
-                <= spread_tol:
+        if settled():
             break
-        log(f"timed encode {i + 1}/{n_runs} (cap {max_runs})")
+        log(f"timed encode {i + 1}/{max_runs} (min {n_runs})")
         w, stats = run(path, "bench")
         walls.append(w)
     wall = min(walls)

@@ -601,9 +601,15 @@ def probe_max_read_len(paths, floor: int = 128,
     resolved width raises the same actionable error as before."""
     best = floor
     for path in paths:
-        if path == "-":
+        if path == "-" or not os.path.isfile(path):
+            # stdin / FIFOs / process substitution are not re-readable:
+            # a probe read would consume bytes the parse then misses
+            # (and seek(0) raises on them) — keep the floor; the
+            # exceeds-max error still names --max-read-len
             return None
         with open(path, "rb") as f:
+            if not f.seekable():
+                return None
             magic = f.read(3)
             f.seek(0)
             if magic[:2] == b"\x1f\x8b":

@@ -85,9 +85,13 @@ def segment_minimizer_keys(codes: np.ndarray, lengths: np.ndarray,
     """Per-read per-segment minimizers (container v7 multi-anchor delta).
 
     Segment s of a read of length ``len`` owns k-mer START positions
-    ``[len*s//nseg, len*(s+1)//nseg)`` — the same boundary function the
-    decoder applies to map a column to its segment shift, so both sides
-    agree by construction.  Returns (hash u32 [n, nseg],
+    ``[len*s//nseg, len*(s+1)//nseg)``.  NOTE: this is the ANCHOR
+    SELECTION partition only — the decoder maps a column c to its
+    shift via ``min(c*nseg//len, nseg-1)`` (seqs._cell_shifts), which
+    differs at non-divisible lengths.  That is fine: anchors are
+    alignment HINTS (any shift produces a valid mask); correctness
+    rests solely on the encoder's mask construction and the decoder
+    using the SAME column map, which both do.  Returns (hash u32 [n, nseg],
     pos i64 [n, nseg]); segments with no k-mer (short reads / tails)
     get (NO_KEY, 0) and callers fall back to the global anchor.
     EXPERIMENTS.md §16: per-segment anchors recover 1.1-1.8x on

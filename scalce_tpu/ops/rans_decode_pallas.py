@@ -93,8 +93,9 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
             *, T: int, L: int, R: int, Rpad: int, order: int):
     """states [1, NT] u32; words [Wp, NT] i32 (transposed streams);
-    tbl [PB, 256, Rpad] bf16 (per position bucket: rows 0..127 hold
-    cum >> 5, rows 128..255 hold cum & 31 — each half bf16-EXACT, so
+    tbl [PB, 2*_CROWS=192, Rpad] bf16 (per position bucket: rows
+    0.._CROWS-1 hold cum >> 5, rows _CROWS..2*_CROWS-1 hold cum & 31
+    — each half bf16-EXACT, so
     ONE default-precision matmul selects both planes and the f32
     recombine hi*32 + lo is exact.  Round 4 stored f32 cums and paid
     precision=HIGHEST — a 6-pass decomposition — because one-pass bf16

@@ -1018,14 +1018,16 @@ class BlockEncoder:
             sh_prev = np.roll(sh_cur, 1, axis=0)
             sp_prev = np.roll(sp_cur, 1, axis=0)
             seg_shift[:] = gshift[:, None]
-            seg_ok = np.zeros((n, nseg), bool)
-            for a in range(nseg):
-                for b in range(nseg):
-                    hit = (~seg_ok[:, a]) & same \
-                        & (sh_cur[:, a] == sh_prev[:, b]) \
-                        & (sh_cur[:, a] != NO_KEY)
-                    seg_shift[hit, a] = sp_prev[hit, b] - sp_cur[hit, a]
-                    seg_ok[hit, a] = True
+            # vectorized first-match-wins hash join (an a x b Python
+            # loop is 65,536 numpy passes at nseg=256 — ~0.66 s/block
+            # of pure loop overhead): for each cur segment, the FIRST
+            # prev segment sharing its minimizer hash
+            eq = (sh_cur[:, :, None] == sh_prev[:, None, :]) \
+                & (sh_cur[:, :, None] != NO_KEY)
+            hit = eq.any(axis=2) & same[:, None]
+            b_idx = eq.argmax(axis=2)                  # first True per a
+            matched = np.take_along_axis(sp_prev, b_idx, axis=1) - sp_cur
+            seg_shift = np.where(hit, matched, seg_shift)
             seg_shift = np.where(same[:, None], seg_shift, 0)
             seg_of = np.minimum((col * nseg)
                                 // np.maximum(len_n[:, None], 1),

@@ -702,13 +702,6 @@ def test_long_read_v6_scalar_shift_blocks_still_decode(tmp_path):
         "rc_bits": np.zeros((n + 7) // 8, np.uint8),
         "lit_packed": None, "lits": lits, "n_lits": len(lits),
     }
-    # route literals the way the long assemble does
-    from scalce_tpu.pipeline.encode import EncodedBlock  # noqa: F401
-    blob = seqs.payload({**delta, "lit_packed": None},
-                        lens.astype(np.int32), n,
-                        np.zeros(0, np.uint64), np.zeros(0, np.uint8),
-                        np.arange(n, dtype=np.int64), backend="zstd") \
-        if False else None
     # direct payload call (lits ride lit_packed 2-bit like the encoder)
     padded = np.zeros(((len(lits) + 15) // 16) * 16, np.uint8)
     padded[:len(lits)] = lits
@@ -720,3 +713,15 @@ def test_long_read_v6_scalar_shift_blocks_still_decode(tmp_path):
     out_codes, out_lens, nn, _, _, _, _ = seqs.parse(blob, n, L)
     assert nn == n
     np.testing.assert_array_equal(out_codes, codes)
+
+
+def test_auto_read_len_probe_fifo_returns_none(tmp_path):
+    """Non-seekable inputs (FIFOs / process substitution) must keep the
+    128 floor instead of crashing or consuming the stream head: the
+    probe declines BEFORE opening (opening a FIFO read-only would block
+    for a writer)."""
+    import os as _os
+    from scalce_tpu.io import fastq
+    fifo = str(tmp_path / "pipe")
+    _os.mkfifo(fifo)
+    assert fastq.probe_max_read_len((fifo,)) is None
