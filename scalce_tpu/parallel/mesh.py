@@ -143,7 +143,8 @@ def make_sharded_stage_mate2(mesh: Mesh, k: int, seed: int, order: int,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(dspec,) * 6 + (rspec, rspec),
-             out_specs=(dspec,) * 5)
+             out_specs=(dspec,) * 5,
+             check_vma=False)   # Mosaic out_shapes carry no vma
     def stage2(seq, qual, lengths, n_reads, exc_mask, perm, qual_map,
                rank_lut):
         f = partial(_block_stage_mate2, k=k, seed=seed, order=order,
@@ -167,7 +168,8 @@ def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(dspec, dspec, dspec, dspec, dspec, rspec, rspec),
-             out_specs=(dspec,) * 6)
+             out_specs=(dspec,) * 6,
+             check_vma=False)   # Mosaic out_shapes carry no vma
     def stage1(seq, qual, lengths, n_reads, exc_mask, qual_map, rank_lut):
         f = partial(_block_stage1, k=k, seed=seed, order=order,
                     uniform=uniform)
@@ -177,22 +179,34 @@ def make_sharded_stage1(mesh: Mesh, k: int, seed: int, order: int,
     return jax.jit(stage1)
 
 
-def make_sharded_qual_encode(mesh: Mesh, n_ctx: int, n_syms: int, T: int):
+def make_sharded_qual_encode(mesh: Mesh, n_ctx: int, n_syms: int, T: int,
+                             order: int = 1):
     """jit'd rANS pass B over stacked blocks — per-block tables are
     normalized on device (entropy.device_normalize), matching the
-    single-device path bit for bit."""
+    single-device path bit for bit.  On TPU the table-resident Mosaic
+    encode replaces the per-symbol LUT gather exactly as the
+    single-device dispatch does (round 5; vmap of the kernel verified
+    byte-identical on hardware); off-TPU / odd shapes keep the gather
+    path, so the CPU mesh tests pin the same bytes."""
     from scalce_tpu.models import entropy
+    from scalce_tpu.streams import qualities as Q
     dspec = P("data")
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(dspec,) * 3, out_specs=(dspec,) * 4)
+             in_specs=(dspec,) * 3, out_specs=(dspec,) * 4,
+             check_vma=False)   # pallas_call out_shapes carry no vma
     def encode(sym, ctx, counts):
         def one(sym_b, ctx_b, counts_b):
             freq, cum = entropy.device_normalize(counts_b, n_ctx, n_syms)
-            states, words, emits = rans.rans_encode(
-                sym_b.reshape(-1), ctx_b.reshape(-1), freq.reshape(-1),
-                cum.reshape(-1), n_syms, T)
-            packed, wcounts = rans.compact_emissions(words, emits)
+            B, L = sym_b.shape
+            if order and Q._tbl_encode_eligible(B, L, T, order):
+                states, packed, wcounts = Q._encode_pass_slab(
+                    sym_b, ctx_b, freq, cum, T, order)
+            else:
+                states, words, emits = rans.rans_encode(
+                    sym_b.reshape(-1), ctx_b.reshape(-1),
+                    freq.reshape(-1), cum.reshape(-1), n_syms, T)
+                packed, wcounts = rans.compact_emissions(words, emits)
             return freq, states, packed, wcounts
         return jax.vmap(one)(sym, ctx, counts)
 
@@ -213,8 +227,10 @@ class ShardedEncoder:
 
     def __init__(self, cfg, qual_map: np.ndarray, mesh: Optional[Mesh] = None,
                  group: Optional[int] = None):
+        from scalce_tpu.config import resolve_read_len
         from scalce_tpu.pipeline.encode import BlockEncoder
         from scalce_tpu.streams import qualities as Q
+        cfg = resolve_read_len(cfg)    # max_read_len=0 (AUTO) -> width
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else local_mesh()
         # `group` blocks per DEVICE per super-step: vmapping several
@@ -241,7 +257,7 @@ class ShardedEncoder:
                                cfg.qual_T_target)
             self._qenc = make_sharded_qual_encode(
                 self.mesh, Q.n_contexts(cfg.qual_context_order), Q.N_SYMS,
-                self._T)
+                self._T, order=cfg.qual_context_order)
         else:
             from scalce_tpu.pipeline.encode import host_delta_available
             self._host_delta = (not cfg.delta_on_device
