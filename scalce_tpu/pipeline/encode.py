@@ -1018,16 +1018,20 @@ class BlockEncoder:
             sh_prev = np.roll(sh_cur, 1, axis=0)
             sp_prev = np.roll(sp_cur, 1, axis=0)
             seg_shift[:] = gshift[:, None]
-            # vectorized first-match-wins hash join (an a x b Python
-            # loop is 65,536 numpy passes at nseg=256 — ~0.66 s/block
-            # of pure loop overhead): for each cur segment, the FIRST
-            # prev segment sharing its minimizer hash
-            eq = (sh_cur[:, :, None] == sh_prev[:, None, :]) \
-                & (sh_cur[:, :, None] != NO_KEY)
-            hit = eq.any(axis=2) & same[:, None]
-            b_idx = eq.argmax(axis=2)                  # first True per a
-            matched = np.take_along_axis(sp_prev, b_idx, axis=1) - sp_cur
-            seg_shift = np.where(hit, matched, seg_shift)
+            # first-match-wins hash join, vectorized over rows and
+            # chunked over the cur-segment axis: the full a x b Python
+            # loop was 65,536 numpy passes at nseg=256 (~0.66 s/block),
+            # while a single [n, nseg, nseg] broadcast materializes
+            # multi-GB bool temporaries at large blocks — nseg passes
+            # of [n, nseg] work is both fast and O(n*nseg) memory
+            rows_i = np.arange(n)
+            for a in range(nseg):
+                eq_a = (sh_cur[:, a:a + 1] == sh_prev) \
+                    & (sh_cur[:, a:a + 1] != NO_KEY)   # [n, nseg]
+                hit = eq_a.any(axis=1) & same
+                b_idx = eq_a.argmax(axis=1)            # first True
+                matched = sp_prev[rows_i, b_idx] - sp_cur[:, a]
+                seg_shift[:, a] = np.where(hit, matched, seg_shift[:, a])
             seg_shift = np.where(same[:, None], seg_shift, 0)
             seg_of = np.minimum((col * nseg)
                                 // np.maximum(len_n[:, None], 1),

@@ -593,9 +593,11 @@ def _cell_shifts(shifts: np.ndarray, lens: np.ndarray,
 
     v4-v6: one shift per read.  v7 long-read multi-anchor: ``shifts``
     is [n, nseg] and column c of a length-``len`` read uses segment
-    ``min(c*nseg//len, nseg-1)`` — the same boundary function the
-    encoder's ``segment_minimizer_keys`` used, so both sides agree by
-    construction."""
+    ``min(c*nseg//len, nseg-1)``.  Correctness rests on the ENCODER'S
+    MASK CONSTRUCTION (encode.py _assemble_long ``seg_of``) using this
+    exact column map — which it does; the anchor-selection partition in
+    ``segment_minimizer_keys`` intentionally differs at non-divisible
+    lengths and is only an alignment hint (see its docstring)."""
     if shifts.ndim == 1:
         return shifts[:, None]
     n, nseg = shifts.shape
