@@ -69,8 +69,15 @@ def main():
         _run("dev-qual", ["--qual-device", "--qual-order", "1",
                           "--core-placement", "device",
                           "-o", str(d / "q1")] + base)
+        # data-parallel sharded path (round 5): the shard_map pipeline
+        # with the Mosaic slab histogram + table-resident rANS encode
+        # must match the threaded device-quality bytes on hardware
+        _run("dev-dp", ["--data-parallel", "--qual-device",
+                        "--qual-order", "1",
+                        "--core-placement", "device",
+                        "-o", str(d / "dp1")] + base)
         sums = {}
-        for tag in ("h", "c", "h1", "q1"):
+        for tag in ("h", "c", "h1", "q1", "dp1"):
             blobs = sorted(d.glob(f"{tag}.*"))
             assert blobs, f"no output for {tag}"
             h = hashlib.sha256()
@@ -81,6 +88,8 @@ def main():
         assert sums["h"] == sums["c"], f"CORE PLACEMENT MISMATCH: {sums}"
         assert sums["h1"] == sums["q1"], \
             f"QUALITY PLACEMENT MISMATCH: {sums}"
+        assert sums["h1"] == sums["dp1"], \
+            f"DATA-PARALLEL MISMATCH: {sums}"
         # decode placements (round 3): host walk vs pointer-doubling
         # delta reconstruction vs the Mosaic quality decode kernel —
         # all three must emit the same FASTQ from the same container
@@ -99,7 +108,7 @@ def main():
             "DELTA-DEVICE DECODE MISMATCH"
         assert (d / "dec_qd.fastq").read_bytes() == ref, \
             "QUAL-DEVICE DECODE MISMATCH"
-        print("PLACEMENT IDENTITY OK (encode x4, decode x3) on",
+        print("PLACEMENT IDENTITY OK (encode x5, decode x3) on",
               jax.default_backend(), flush=True)
 
 
