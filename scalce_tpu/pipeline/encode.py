@@ -223,7 +223,6 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
     P = pack_bases_u32(codes_s, axis=1)              # [B, W] u32 BE
     zpad = jnp.zeros((B, W), U32)
     Ppad = jnp.concatenate([zpad, P, jnp.zeros((B, W + 1), U32)], axis=1)
-    wcol = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
     base0 = jnp.arange(W, dtype=jnp.int32)[None, :] * 16
     EVEN = U32(0x55555555)
 
@@ -233,8 +232,15 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
         valid interval) — exactly pass 1's same & inb & eq & valid."""
         ws = shift >> 4                              # floor to words
         bs = (U32(2) * (shift & 15).astype(U32))[:, None]
-        idx = wcol + (ws + W)[:, None]               # [B, W+1] in Ppad
-        G = jnp.take_along_axis(prev_pad, idx, axis=1)
+        # per-row shifted window G[r, j] = prev_pad[r, j + ws_r + W]:
+        # ws only takes 2W values (|shift| < L), so the 15 ns/element
+        # TPU gather dissolves into 2W STATIC slices select-summed —
+        # fused elementwise passes at HBM speed (~0.1 ms vs ~11 ms per
+        # candidate measured)
+        G = jnp.zeros((B, W + 1), U32)
+        for s in range(-W, W):
+            G = G | jnp.where((ws == s)[:, None],
+                              prev_pad[:, s + W: s + 2 * W + 1], U32(0))
         g0, g1 = G[:, :W], G[:, 1:]
         shifted = jnp.where(bs == 0, g0,
                             (g0 << bs) | (g1 >> (U32(32) - bs)))
@@ -279,10 +285,20 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
     # since the winning (same, shift, predecessor) determine its mask
     shift = best_shift
     ok = best_count >= 0
-    src_row = jnp.maximum(row - 1 - best_k, 0)
+    # winning predecessor rows: best_k takes only _DELTA_K values, so
+    # the row gather is a select over static rolls (same trick as the
+    # window shift above); rows with row-1-k < 0 have ok=False, so the
+    # roll wraparound rows are never read through the masks
+    psel = jnp.zeros((B, W), U32)
+    lsel = jnp.zeros(B, len_s.dtype)
+    for k in range(_DELTA_K):
+        is_k = best_k == k
+        psel = psel | jnp.where(is_k[:, None], jnp.roll(P, k + 1, axis=0),
+                                U32(0))
+        lsel = jnp.where(is_k, jnp.roll(len_s, k + 1), lsel)
     prev_pad2 = jnp.concatenate(
-        [zpad, P[src_row], jnp.zeros((B, W + 1), U32)], axis=1)
-    eqm2 = shifted_eq(prev_pad2, len_s[src_row], shift, ok)
+        [zpad, psel, jnp.zeros((B, W + 1), U32)], axis=1)
+    eqm2 = shifted_eq(prev_pad2, lsel, shift, ok)
     # expand the packed equality bits back to the [B, L] match grid
     # (elementwise repeat + shift — no gather)
     bitpos = (U32(2) * (15 - (col % 16)).astype(U32))
