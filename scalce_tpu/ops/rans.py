@@ -170,11 +170,16 @@ def compact_emissions(words: jnp.ndarray, emits: jnp.ndarray
     wt = words.T.astype(jnp.uint32)                      # [N, T]
     et = emits.T
     pos = jnp.cumsum(et.astype(I32), axis=1) - 1
-    key = jnp.where(et, pos, T).astype(I32)
-    _, sval = jax.lax.sort((key, wt), dimension=1, num_keys=1)
+    key = jnp.where(et, pos, T).astype(jnp.uint32)
+    # ONE u32 carries key<<16 | word (key <= T <= 2^15, word is u16):
+    # a single-operand sort runs ~2x the key-value form.  Emitted slots
+    # have unique keys so their order is exact; trash slots (shared key
+    # T) order by word value among themselves and are zeroed below.
+    sval = jnp.sort((key << 16) | wt, axis=1)
     counts = jnp.sum(et.astype(I32), axis=1)
     col = jnp.arange(T, dtype=I32)[None, :]
-    packed = jnp.where(col < counts[:, None], sval, 0).astype(jnp.uint16)
+    packed = jnp.where(col < counts[:, None], sval & jnp.uint32(0xFFFF),
+                       0).astype(jnp.uint16)
     return packed, counts
 
 

@@ -318,10 +318,12 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
     n_lits = jnp.sum(cnt)
     litkey = jnp.where(lit_mask,
                        jnp.cumsum(lit_mask.astype(jnp.int32), axis=1) - 1,
-                       L)
-    _, litvals = jax.lax.sort((litkey, codes_s.astype(jnp.int32)),
-                              dimension=1, num_keys=1)
-    litvals = jnp.where(col < cnt[:, None], litvals, 0)
+                       L).astype(jnp.uint32)
+    # single-operand sort of key<<2 | code (~2x the key-value form;
+    # L <= 32752 on this path, codes are 2-bit); literal keys are
+    # unique per row, non-literals share key L and are zeroed below
+    sl = jnp.sort((litkey << 2) | codes_s.astype(jnp.uint32), axis=1)
+    litvals = jnp.where(col < cnt[:, None], sl & jnp.uint32(3), 0)
     prow = pack_bases_u32(litvals.astype(jnp.uint8), axis=1)   # [B, W]
     off = jnp.cumsum(cnt) - cnt                                # [B]
     sh = (U32(2) * (off % 16).astype(U32))[:, None]
