@@ -275,9 +275,21 @@ def build_sort_keys(codes: jnp.ndarray, lengths: jnp.ndarray,
     words_p = jnp.concatenate([words, pad], axis=1)
     w0 = (core_pos >> 4).astype(jnp.int32)         # first word index
     s = (2 * (core_pos & 15)).astype(U32)          # bit offset (0..30)
-    widx = w0[:, None] + jnp.arange(suffix_words + 1,
-                                    dtype=jnp.int32)[None, :]
-    g = jnp.take_along_axis(words_p, widx, axis=1)  # [B, sw+1]
+    if W <= 16:
+        # w0 takes at most W values (core_pos < L): the per-row window
+        # gather dissolves into W static-slice select-sums at fused
+        # elementwise cost (TPU gathers ~15 ns/element; same trick as
+        # the delta's shifted windows).  Larger L keeps the gather —
+        # the unroll would bloat the graph.
+        g = jnp.zeros((B, suffix_words + 1), U32)
+        for wi in range(W):
+            g = g | jnp.where((w0 == wi)[:, None],
+                              words_p[:, wi:wi + suffix_words + 1],
+                              U32(0))
+    else:
+        widx = w0[:, None] + jnp.arange(suffix_words + 1,
+                                        dtype=jnp.int32)[None, :]
+        g = jnp.take_along_axis(words_p, widx, axis=1)  # [B, sw+1]
     a, b = g[:, :-1], g[:, 1:]
     lo = jnp.where(s[:, None] == 0, U32(0),
                    b >> (U32(32) - s[:, None]))     # s=0 lane discarded
