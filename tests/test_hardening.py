@@ -309,3 +309,75 @@ def test_corrupt_side_stream_rans_fields_raise(tmp_path):
         bad["shv_planes"] = a["shv_planes"][: 2 * 2048 - 7]
         with pytest.raises(ValueError):
             seqs.parse(container.pack_arrays(bad), B, L)
+
+
+def test_corrupt_v7_nseg_fields_rejected():
+    """v7 multi-anchor blocks: corrupt nseg / short shift planes /
+    out-of-bounds segment shifts must raise, never crash or read out
+    of bounds."""
+    import numpy as np
+    from scalce_tpu.streams import seqs
+
+    rng = np.random.default_rng(6)
+    n, L, nseg = 4, 64 * 16, 8
+    codes = rng.integers(0, 4, (n, L)).astype(np.uint8)
+    lens = np.full(n, L, np.int64)
+    codes[1] = codes[0]
+    match = np.zeros((n, L), bool)
+    match[1, :64] = True
+    lits = codes[(~match)]
+    padded = np.zeros(((len(lits) + 15) // 16) * 16, np.uint8)
+    padded[:len(lits)] = lits
+    delta = {
+        "mask_bits": np.packbits(match, axis=1, bitorder="little"),
+        "shifts": np.zeros((n, nseg), np.int32),
+        "nseg": nseg,
+        "pred_k": np.zeros(n, np.uint8),
+        "rc_bits": np.zeros((n + 7) // 8, np.uint8),
+        "lit_packed": seqs._pack2bit_np(padded),
+        "n_lits": len(lits),
+    }
+    blob = seqs.payload(delta, lens.astype(np.int32), n,
+                        np.zeros(0, np.uint64), np.zeros(0, np.uint8),
+                        np.arange(n, dtype=np.int64), backend="zstd")
+    # sanity: intact blob decodes
+    out_codes, _, _, _, _, _, _ = seqs.parse(blob, n, L)
+    np.testing.assert_array_equal(out_codes, codes)
+
+    from scalce_tpu import container
+
+    def rewrite(mut):
+        a = dict(container.unpack_arrays(blob))
+        mut(a)
+        return container.pack_arrays(a, backend="zstd")
+
+    # nseg out of range
+    for bad in (0, 100000):
+        b2 = rewrite(lambda a, bad=bad: a.update(
+            nseg=np.asarray([bad], np.int64)))
+        with pytest.raises(ValueError):
+            seqs.parse(b2, n, L)
+    # truncated shift planes
+    def trunc(a):
+        key = "shv4_planes" if "shv4_planes" in a else None
+        if key is None:
+            # rANS-coded planes: corrupt the word count instead
+            a["shv4_counts"] = a["shv4_counts"][:1]
+        else:
+            a[key] = a[key][: n]        # far short of 4*n*nseg
+    with pytest.raises(ValueError):
+        seqs.parse(rewrite(trunc), n, L)
+    # out-of-bounds segment shift (copy source past row end)
+    def oob(a):
+        sh = np.zeros((n, nseg), np.int64)
+        sh[1, 0] = L + 5                # |shift| >= L must be rejected
+        zz = ((sh.reshape(-1) << 1) ^ (sh.reshape(-1) >> 63)) \
+            & 0xFFFFFFFF
+        planes = np.concatenate(
+            [((zz >> (8 * p)) & 0xFF).astype(np.uint8) for p in range(4)])
+        for k in ("shv4_mode", "shv4_freq", "shv4_states", "shv4_counts",
+                  "shv4_words"):
+            a.pop(k, None)
+        a["shv4_planes"] = planes
+    with pytest.raises(ValueError):
+        seqs.parse(rewrite(oob), n, L)
