@@ -61,8 +61,9 @@ _PAD_SENTINEL = 1 << 23          # > any cum, still exact in f32
 #: planes stack as [hi; lo] so one matmul selects both
 _CROWS = 96
 
-#: lanes per grid step (VMEM: words Wp*NT*4 + syms T*NT*4 + table)
-_NT = 1024
+#: lanes per grid step (VMEM: words Wp*NT*4 dominates; the syms
+#: out tile is time-tiled so NT can reach 2048)
+_NT = 2048
 
 # quality context model constants (must mirror streams/qualities.py —
 # the kernel bakes the model in because the scan's ctx_fn closure
@@ -91,7 +92,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
-            *, T: int, L: int, R: int, Rpad: int, order: int):
+            *, T: int, L: int, R: int, Rpad: int, order: int,
+            TT2: int):
     """states [1, NT] u32; words [Wp, NT] i32 (transposed streams);
     tbl [PB, 2*_CROWS=192, Rpad] bf16 (per position bucket: rows
     0.._CROWS-1 hold cum >> 5, rows _CROWS..2*_CROWS-1 hold cum & 31
@@ -109,7 +111,11 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
     prev1, prev2, sym pack accumulator) — carried through VMEM instead
     of fori_loop values because Mosaic's layout unification rejects the
     [1, NT] reduction outputs as loop carries ("Invalid relayout ...
-    replicated in destination but not in source")."""
+    replicated in destination but not in source").  The grid's third
+    axis tiles TIME (TT2 steps per tile): the syms out tile shrinks to
+    [TT2//4, NT], which is what lets NT reach 2048 within VMEM — the
+    scratch carries the scan state across a lane tile's time tiles
+    exactly as the encode kernel's does."""
     NT = states_ref.shape[1]
     Wp = words_ref.shape[0]
     k = lens_ref.shape[0]
@@ -171,7 +177,10 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
         su = jnp.where(valid, s, 0).astype(U32)
         return x, cursor, su.astype(jnp.int32), prev1
 
-    def body(q, _):
+    t_tile = pl.program_id(2)
+
+    def body(qi, _):
+        q = t_tile * (TT2 // 4) + qi
         # FOUR steps inlined per loop iteration: the scan state lives
         # in registers across them, the VMEM scratch round-trip and the
         # syms store amortize 4x, and the loop count drops T -> T//4 —
@@ -201,16 +210,19 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
                                          prev2)
         acc = (s0.astype(U32) | (s1.astype(U32) << 8)
                | (s2.astype(U32) << 16) | (s3.astype(U32) << 24))
-        syms_ref[pl.ds(q, 1), :] = acc
+        syms_ref[pl.ds(qi, 1), :] = acc
         st_ref[0:1, :] = x
         st_ref[1:2, :] = cursor.astype(U32)
         st_ref[2:3, :] = s3.astype(U32)       # prev1 <- s3
         st_ref[3:4, :] = prev1b.astype(U32)   # prev2 <- s2
         return 0
 
-    st_ref[0:1, :] = states_ref[:]
-    st_ref[1:8, :] = jnp.zeros((7, NT), U32)
-    jax.lax.fori_loop(0, T // 4, body, 0)
+    @pl.when(t_tile == 0)
+    def _init():
+        st_ref[0:1, :] = states_ref[:]
+        st_ref[1:8, :] = jnp.zeros((7, NT), U32)
+
+    jax.lax.fori_loop(0, TT2 // 4, body, 0)
 
 
 @partial(jax.jit, static_argnames=("order", "T", "L", "interpret"))
@@ -257,25 +269,27 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
                                     (0, 0)))
     states3 = states.reshape(D, 1, N)
 
-    NT = pick_nt(order, T, L, N, words_padded.shape[2])
+    NT, TT2 = pick_nt(order, T, L, N, words_padded.shape[2])
     if NT == 0:
         raise ValueError("decode_scan_pallas: no lane tile fits VMEM")
-    kernel = partial(_kernel, T=T, L=L, R=R, Rpad=Rpad, order=order)
+    kernel = partial(_kernel, T=T, L=L, R=R, Rpad=Rpad, order=order,
+                     TT2=TT2)
     packed = pl.pallas_call(
         kernel,
-        grid=(D, N // NT),
+        grid=(D, N // NT, T // TT2),
         in_specs=[
-            pl.BlockSpec((None, 1, NT), lambda d, n: (d, 0, n),
+            pl.BlockSpec((None, 1, NT), lambda d, n, t: (d, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Wp, NT), lambda d, n: (d, 0, n),
+            pl.BlockSpec((None, Wp, NT), lambda d, n, t: (d, 0, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, PB, 2 * _CROWS, Rpad),
-                         lambda d, n: (d, 0, 0, 0),
+                         lambda d, n, t: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, k, NT), lambda d, n: (d, 0, n),
+            pl.BlockSpec((None, k, NT), lambda d, n, t: (d, 0, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, T // 4, NT), lambda d, n: (d, 0, n),
+        out_specs=pl.BlockSpec((None, TT2 // 4, NT),
+                               lambda d, n, t: (d, t, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, T // 4, N), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((8, NT), jnp.uint32)],
@@ -293,33 +307,44 @@ def decode_scan_pallas(states: jnp.ndarray, words_padded: jnp.ndarray,
 _VMEM_BUDGET = 12 << 20
 
 
+def _pick_tt2(T: int) -> int:
+    # time-tile: multiple of 4 (sym packing) dividing T; 512 keeps the
+    # syms out tile small without per-tile overhead mattering
+    tt2 = min(512, T)
+    while T % tt2 or tt2 % 4:
+        tt2 //= 2
+    return max(tt2, 4)
+
+
 def _vmem_bytes(order: int, T: int, L: int, NT: int, W: int) -> int:
     R = _rows_per_bucket(order)
     Rpad = _round_up(R, 128)
     k = T // L
     Wp = max(128, W)
-    # double-buffered in/out tiles (i32; syms packed 4-per-u32) +
-    # bf16 split-plane table + scratch
-    return 2 * 4 * ((T // 4) * NT + Wp * NT + k * NT) \
+    TT2 = _pick_tt2(T)
+    # double-buffered in/out tiles (i32; syms packed 4-per-u32, the
+    # out tile covers TT2 steps) + bf16 split-plane table + scratch
+    return 2 * 4 * ((TT2 // 4) * NT + Wp * NT + k * NT) \
         + 2 * 2 * _n_buckets(order) * 2 * _CROWS * Rpad \
         + 4 * 8 * NT
 
 
-def pick_nt(order: int, T: int, L: int, N: int, W: int = 0) -> int:
-    """Largest lane tile that divides N and fits the VMEM budget —
-    longer lane spans (bigger T) shrink the tile instead of losing the
-    kernel.  Returns 0 if nothing fits.
+def pick_nt(order: int, T: int, L: int, N: int, W: int = 0):
+    """(largest lane tile that divides N and fits the VMEM budget,
+    time tile) — longer lane spans (bigger T) shrink the tile instead
+    of losing the kernel.  Returns (0, _) if nothing fits.
 
     The 128 floor is a hardware lane-width efficiency bound; tests
     that patch ``_NT`` below it (interpret mode) lower the floor too."""
+    tt2 = _pick_tt2(T)
     nt = min(_NT, N)
     floor = min(128, _NT)
     while nt >= floor:
         if (N % nt == 0
                 and _vmem_bytes(order, T, L, nt, W) <= _VMEM_BUDGET):
-            return nt
+            return nt, tt2
         nt //= 2
-    return 0
+    return 0, tt2
 
 
 def eligible(order: int, T: int, L: int, N: int, backend: str,
@@ -333,4 +358,4 @@ def eligible(order: int, T: int, L: int, N: int, backend: str,
         return False
     if T % 8 or T // L < 1 or T % L:
         return False
-    return pick_nt(order, T, L, N, W) > 0
+    return pick_nt(order, T, L, N, W)[0] > 0
