@@ -103,9 +103,10 @@ def _kernel(states_ref, words_ref, tbl_ref, lens_ref, syms_ref, st_ref,
     precision=HIGHEST — a 6-pass decomposition — because one-pass bf16
     truncated the 12-bit cums; the split keeps single-pass speed at
     full exactness, measured 23.5 -> 11 ms/block on v5e); lens
-    [k, NT] i32; syms out [T//4, NT] u32, FOUR symbols byte-packed per
-    word (symbols < 94 fit a byte; a [T, NT] u32 out tile was the VMEM
-    ceiling that capped the lane tile NT).
+    [k, NT] i32; syms out [TT2//4, NT] u32 per time tile, FOUR symbols
+    byte-packed per word (symbols < 94 fit a byte; the old full
+    [T, NT] u32 out tile was the VMEM ceiling that capped the lane
+    tile NT).
 
     st_ref: VMEM scratch [8, NT] u32 holding the scan state (x, cursor,
     prev1, prev2, sym pack accumulator) — carried through VMEM instead
@@ -309,11 +310,13 @@ _VMEM_BUDGET = 12 << 20
 
 def _pick_tt2(T: int) -> int:
     # time-tile: multiple of 4 (sym packing) dividing T; 512 keeps the
-    # syms out tile small without per-tile overhead mattering
+    # syms out tile small without per-tile overhead mattering.
+    # Returns 0 when T admits no such tile (T % 4 != 0) — callers
+    # treat that as "kernel ineligible", never divide by it
     tt2 = min(512, T)
-    while T % tt2 or tt2 % 4:
+    while tt2 >= 4 and (T % tt2 or tt2 % 4):
         tt2 //= 2
-    return max(tt2, 4)
+    return tt2 if tt2 >= 4 else 0
 
 
 def _vmem_bytes(order: int, T: int, L: int, NT: int, W: int) -> int:
@@ -321,7 +324,7 @@ def _vmem_bytes(order: int, T: int, L: int, NT: int, W: int) -> int:
     Rpad = _round_up(R, 128)
     k = T // L
     Wp = max(128, W)
-    TT2 = _pick_tt2(T)
+    TT2 = _pick_tt2(T) or T
     # double-buffered in/out tiles (i32; syms packed 4-per-u32, the
     # out tile covers TT2 steps) + bf16 split-plane table + scratch
     return 2 * 4 * ((TT2 // 4) * NT + Wp * NT + k * NT) \
@@ -337,6 +340,8 @@ def pick_nt(order: int, T: int, L: int, N: int, W: int = 0):
     The 128 floor is a hardware lane-width efficiency bound; tests
     that patch ``_NT`` below it (interpret mode) lower the floor too."""
     tt2 = _pick_tt2(T)
+    if tt2 == 0:
+        return 0, 0
     nt = min(_NT, N)
     floor = min(128, _NT)
     while nt >= floor:

@@ -613,16 +613,20 @@ def test_encode_host_fused_perm_map_identity():
 
 
 @pytest.mark.parametrize("order", [1, 2, 3])
-def test_pallas_decode_matches_xla_scan(order):
+@pytest.mark.parametrize("T_factor", [4, 32])
+def test_pallas_decode_matches_xla_scan(order, T_factor):
     """The Mosaic decode kernel (one-hot-matmul row select + compare
     searchsorted, VERDICT r2 #3) must be bit-identical to the XLA scan
-    path through the full quality codec (interpret mode on CPU)."""
+    path through the full quality codec (interpret mode on CPU).
+    T_factor=32 makes T=1024 > TT2=512, covering the MULTI-time-tile
+    grid (scratch state carried across tiles, per-tile out spec) that
+    production's T=2048 always uses."""
     from scalce_tpu.ops import rans_decode_pallas as rdp
     from scalce_tpu.streams import qualities as Q
     if not rdp.PALLAS_OK:
         pytest.skip("pallas unavailable")
     rng = np.random.default_rng(11)
-    B, L = 64, 32
+    B, L = (64, 32) if T_factor == 4 else (512, 32)   # keep N >= NT floor
     # serially-correlated quals so order-1/2 contexts are exercised,
     # plus var-len padding rows
     base = np.clip(np.cumsum(rng.integers(-2, 3, size=(B, L)), axis=1)
@@ -630,7 +634,7 @@ def test_pallas_decode_matches_xla_scan(order):
     lengths = rng.integers(8, L + 1, size=B).astype(np.int32)
     col = np.arange(L)[None, :]
     qual = np.where(col < lengths[:, None], base, 0).astype(np.uint8)
-    enc = Q.encode(qual, lengths, order=order, T_target=4 * L)
+    enc = Q.encode(qual, lengths, order=order, T_target=T_factor * L)
     N = enc.states.shape[0]
     # reference: XLA scan decode
     ref = Q.decode_host(enc, lengths)
