@@ -344,6 +344,16 @@ def main() -> None:
                 d = fn(d)
             np.asarray(d)              # one forcing fetch for the chain
             wall = time.monotonic() - t0
+            # sub-RTT chains are unmeasurable (the round-5 Mosaic
+            # encode finishes 8 dispatches inside the ~30 ms fetch
+            # RTT): lengthen the chain until it dominates the RTT
+            while wall < 3 * rtt and iters < 512:
+                iters *= 8
+                t0 = time.monotonic()
+                for _ in range(iters):
+                    d = fn(d)
+                np.asarray(d)
+                wall = time.monotonic() - t0
             per = max((wall - rtt) / iters, 1e-9)
             entry = {
                 "ms": round(per * 1e3, 2),
