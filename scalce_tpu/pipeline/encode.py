@@ -153,6 +153,35 @@ def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
     return delta, len_s, sym, ctx, counts
 
 
+def _rev_lanes(v: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit lanes of each u32 word (big<->little lane
+    order; an involution)."""
+    v = ((v & U32(0x33333333)) << 2) | ((v >> 2) & U32(0x33333333))
+    v = ((v & U32(0x0F0F0F0F)) << 4) | ((v >> 4) & U32(0x0F0F0F0F))
+    v = ((v & U32(0x00FF00FF)) << 8) | ((v >> 8) & U32(0x00FF00FF))
+    return (v << 16) | (v >> 16)
+
+
+def _compress_bits(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Keep the bits of ``x`` where ``m`` is set, packed toward the LSB
+    in order (Hacker's Delight 7-4 parallel-suffix compress) — with
+    pair-granular masks this moves 2-bit lanes intact."""
+    x = x & m
+    mk = (~m) << 1
+    for i in range(5):
+        mp = mk ^ (mk << 1)
+        mp = mp ^ (mp << 2)
+        mp = mp ^ (mp << 4)
+        mp = mp ^ (mp << 8)
+        mp = mp ^ (mp << 16)
+        mv = mp & m
+        m = (m ^ mv) | (mv >> (1 << i))
+        t = x & mv
+        x = (x ^ t) | (t >> (1 << i))
+        mk = mk & (~mp)
+    return x
+
+
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     B = bits.shape[0]
     w = jnp.left_shift(jnp.uint8(1), jnp.arange(8, dtype=jnp.uint8))
@@ -316,15 +345,32 @@ def _delta_seq(codes_s, len_s, ck_s, cp_s, n_reads):
     lit_mask = (~match) & valid
     cnt = jnp.sum(lit_mask, axis=1, dtype=jnp.int32)           # [B]
     n_lits = jnp.sum(cnt)
-    litkey = jnp.where(lit_mask,
-                       jnp.cumsum(lit_mask.astype(jnp.int32), axis=1) - 1,
-                       L).astype(jnp.uint32)
-    # single-operand sort of key<<2 | code (~2x the key-value form;
-    # L <= 32752 on this path, codes are 2-bit); literal keys are
-    # unique per row, non-literals share key L and are zeroed below
-    sl = jnp.sort((litkey << 2) | codes_s.astype(jnp.uint32), axis=1)
-    litvals = jnp.where(col < cnt[:, None], sl & jnp.uint32(3), 0)
-    prow = pack_bases_u32(litvals.astype(jnp.uint8), axis=1)   # [B, W]
+    # per-row literal compaction as a PEXT-style bit network on the
+    # packed words (Hacker's Delight 7-4 compress, lane-reversed so
+    # the big-endian pair order is preserved): replaces a [B, L]
+    # key-value sort (~9 ms/block) with ~60 elementwise ops per u32
+    # word (~1 ms).  Kept pairs land TOP-aligned per word, zeros after.
+    mbits = pack_bases_u32(jnp.where(lit_mask, 3, 0).astype(jnp.uint8),
+                           axis=1)                             # [B, W]
+    compw = _rev_lanes(_compress_bits(_rev_lanes(P), _rev_lanes(mbits)))
+    wcnt = (jax.lax.population_count(mbits) >> 1).astype(jnp.int32)
+    # merge each row's <=W compacted words into a row-local stream:
+    # word w's 2*wcnt bits go to row bit offset 2*prefix — the target
+    # word index takes only w+1 values, so placement is a select-sum
+    rowacc = jnp.zeros((B, W + 1), U32)
+    cidx = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    woff = jnp.zeros(B, jnp.int32)
+    for w in range(W):
+        v = compw[:, w]
+        sh = (U32(2) * (woff.astype(U32) & 15))
+        hi = jnp.where(sh == 0, v, v >> sh)
+        lo = jnp.where(sh == 0, U32(0), v << (U32(32) - sh))
+        j = (woff >> 4)[:, None]
+        rowacc = rowacc \
+            | jnp.where(cidx == j, hi[:, None], U32(0)) \
+            | jnp.where(cidx == j + 1, lo[:, None], U32(0))
+        woff = woff + wcnt[:, w]
+    prow = rowacc[:, :W]                                       # [B, W]
     off = jnp.cumsum(cnt) - cnt                                # [B]
     sh = (U32(2) * (off % 16).astype(U32))[:, None]
     hi = jnp.where(sh == 0, prow, prow >> sh)
