@@ -60,3 +60,13 @@ def unpack_bases_u32(packed: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     *lead, n, _ = codes.shape
     out = codes.reshape(*lead, n * 16).astype(jnp.uint8)
     return jnp.moveaxis(out, -1, axis)
+
+
+def rev_lanes_u32(v: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit lanes of each u32 word (big<->little lane
+    order; an involution).  Shared by the reverse-complement k-mer
+    helpers and the literal-compaction bit network."""
+    v = ((v & U32(0x33333333)) << 2) | ((v >> 2) & U32(0x33333333))
+    v = ((v & U32(0x0F0F0F0F)) << 4) | ((v >> 4) & U32(0x0F0F0F0F))
+    v = ((v & U32(0x00FF00FF)) << 8) | ((v >> 8) & U32(0x00FF00FF))
+    return (v << 16) | (v >> 16)

@@ -148,12 +148,8 @@ def revcomp_kmer(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     swapping 2-bit groups (bytewise swaps, ~10 VPU ops) — far cheaper to
     COMPILE and run than a second rolling scan over the RC read.
     """
-    v = (~kmers).astype(U32)
-    # reverse 2-bit groups within the u32
-    v = ((v & U32(0x33333333)) << 2) | ((v >> 2) & U32(0x33333333))
-    v = ((v & U32(0x0F0F0F0F)) << 4) | ((v >> 4) & U32(0x0F0F0F0F))
-    v = ((v & U32(0x00FF00FF)) << 8) | ((v >> 8) & U32(0x00FF00FF))
-    v = (v << 16) | (v >> 16)
+    from scalce_tpu.ops.bitops import rev_lanes_u32
+    v = rev_lanes_u32((~kmers).astype(U32))
     return v >> (32 - 2 * k)
 
 

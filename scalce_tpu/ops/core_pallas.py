@@ -66,15 +66,8 @@ def _mix32(x, seed: int):
 
 
 def _revcomp(v, k: int):
-    v = (~v).astype(U32)
-    v = ((v & jnp.uint32(0x33333333)) << 2) | ((v >> 2)
-                                              & jnp.uint32(0x33333333))
-    v = ((v & jnp.uint32(0x0F0F0F0F)) << 4) | ((v >> 4)
-                                              & jnp.uint32(0x0F0F0F0F))
-    v = ((v & jnp.uint32(0x00FF00FF)) << 8) | ((v >> 8)
-                                              & jnp.uint32(0x00FF00FF))
-    v = (v << 16) | (v >> 16)
-    return v >> (32 - 2 * k)
+    from scalce_tpu.ops.bitops import rev_lanes_u32
+    return rev_lanes_u32((~v).astype(U32)) >> (32 - 2 * k)
 
 
 def _kernel(km_ref, bad_ref, out_ref, *, k: int, seed: int):

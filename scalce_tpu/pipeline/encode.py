@@ -23,7 +23,8 @@ import numpy as np
 from scalce_tpu.config import Config
 from scalce_tpu.io.fastq import ReadBlock
 from scalce_tpu.ops import core_match, reorder
-from scalce_tpu.ops.bitops import U32, pack_bases_u32
+from scalce_tpu.ops.bitops import U32, pack_bases_u32, \
+    rev_lanes_u32 as _rev_lanes
 from scalce_tpu.streams import names as names_stream
 from scalce_tpu.streams import qualities, seqs
 
@@ -151,15 +152,6 @@ def _encode_core_mate2(codes, qual, lengths, n_reads, exc, perm, qual_map,
     delta["rc_bits"] = _pack_bits(rc_s)
     sym, ctx, counts = qualities.sym_ctx_hist(qual_m, len_s, order)
     return delta, len_s, sym, ctx, counts
-
-
-def _rev_lanes(v: jnp.ndarray) -> jnp.ndarray:
-    """Reverse the 16 2-bit lanes of each u32 word (big<->little lane
-    order; an involution)."""
-    v = ((v & U32(0x33333333)) << 2) | ((v >> 2) & U32(0x33333333))
-    v = ((v & U32(0x0F0F0F0F)) << 4) | ((v >> 4) & U32(0x0F0F0F0F))
-    v = ((v & U32(0x00FF00FF)) << 8) | ((v >> 8) & U32(0x00FF00FF))
-    return (v << 16) | (v >> 16)
 
 
 def _compress_bits(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
